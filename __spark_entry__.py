@@ -3,8 +3,7 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -15,24 +14,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1 pricing summary on sf0.001."""
+    from ubparquet_spark.plans import tpch
+
+    return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _registry() -> dict[str, tuple]:
+    """name -> (fn, oracle_sql | None), collected from plan modules."""
+    reg: dict[str, tuple] = {}
+
+    from ubparquet_spark.plans import tpch
+
+    reg.update(tpch.QUERIES)
+
+    for modname in ("events", "text", "similarity"):
+        try:
+            import importlib
+
+            mod = importlib.import_module(f"ubparquet_spark.plans.{modname}")
+            reg.update(mod.QUERIES)
+        except ImportError:
+            pass
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }

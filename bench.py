@@ -1,0 +1,56 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line with per-query and
+total wall seconds. Each query is executed as a full action (collect) so the
+measurement includes scan + shuffle + result materialization."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from ubparquet_spark.session import get_session
+
+    spark = get_session("ubparquet_spark-bench")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+
+    # warm up the JVM + parquet footers with a trivial action
+    spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        t0 = time.perf_counter()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as e:  # keep benching even if one query breaks
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"bench: {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,97 @@
+"""Parquet sources and sinks.
+
+Covers SURVEY.md §2.1: lazy multi-file scan with schema merge (S7, reference
+``larmatch2d/larmatch_dataset.py:93,246``), eager-reader replacement (S6,
+``readparquet.py:8-11``), file-list/manifest sources (S10,
+``larvoxel_dataset.py:19-43``), compressed sinks (S4/S5,
+``root2parquet.py:84-85``, ``make_larmatch_parquet_data.py:103-105``).
+
+All reads are lazy DataFrames — Catalyst handles column pruning (the
+reference's declared read-set, ``dlmerged2parquet.py:32-50``) and predicate
+pushdown to Parquet row groups automatically.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the driver's synthetic tables (TESTDATA.md)
+DRIVER_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table from a scale-factor directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = DRIVER_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_parquet(
+    spark: SparkSession,
+    *paths: str,
+    merge_schema: bool = False,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Multi-file Parquet scan (S2/S6/S7).
+
+    ``merge_schema=True`` reconciles heterogeneous footers across files, the
+    reference's ``option("mergeSchema","true")`` at
+    ``larmatch2d/larmatch_dataset.py:93``. ``columns`` projects early so
+    Catalyst prunes the Parquet read schema.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*paths)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_manifest(
+    spark: SparkSession, manifest_path: str, merge_schema: bool = False
+) -> DataFrame:
+    """File-list source from a text manifest, one path per line (S10,
+    reference ``larvoxel_dataset.py:30-43``)."""
+    with open(manifest_path) as f:
+        paths = [line.strip() for line in f if line.strip() and not line.startswith("#")]
+    return read_parquet(spark, *paths, merge_schema=merge_schema)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "zstd",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_within_partitions_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (S4/S5). Reference wrote GZIP single files
+    (``root2parquet.py:85``); distributed writes partition the output, and
+    sorting within partitions on the event key keeps Parquet row-group stats
+    tight so later point lookups prune (SURVEY.md §4 pain point)."""
+    if sort_within_partitions_by:
+        df = df.sortWithinPartitions(*sort_within_partitions_by)
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

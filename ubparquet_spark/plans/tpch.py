@@ -1,0 +1,350 @@
+"""Relational query surface over the TPC-H-ish star schema.
+
+These plans exercise the reference's relational operator inventory
+(SURVEY.md §2.2-2.5) on the driver's synthetic tables: conjunctive
+predicates and point lookups (P4/P6, reference
+``larmatch2d/larmatch_dataset.py:138``), group-by aggregation (A1-A8),
+broadcast lookup joins (J1, ``view_voxel_data.ipynb:cell-5``), dedup audits
+(A1, ``larvoxel_dataset.py:101-110``), mode/majority vote (A3,
+``voxel_to_instance_data.py:63``), window cumulative offsets (W4,
+``larvoxel_dataset.py:263-278``) and top-k (W3).
+
+Numeric policy: every monetary double is cast to DECIMAL(18,2) before
+aggregation so sums are exact and independent of partial-aggregation order —
+the result hash-matches the DuckDB oracle bit-for-bit regardless of shuffle
+layout. Final outputs are cast back to double (lossless at these magnitudes).
+
+Scale notes (100 TB design):
+- ``nation``/``region``/``supplier`` are broadcast; Catalyst picks broadcast
+  hash join under the configured threshold, and dimension tables stay small
+  by construction.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; AQE handles
+  skew. At warehouse scale, bucketing both tables on the orderkey would
+  remove the shuffle entirely — the write path in ``io.write_parquet``
+  supports sorted partitioned layouts.
+- Filters are expressed on base columns before joins so they push into the
+  Parquet scan (verified via ``explain`` in tests/test_plans_physical.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ubparquet_spark.io import load_table
+
+
+def money(c: str | Column) -> Column:
+    """Exact-decimal view of a 2-decimal monetary double column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def dbl(c: Column) -> Column:
+    return c.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — pricing summary (flagship: scan → filter → groupBy agg)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = money("l_discount")
+    price = money("l_extendedprice")
+    tax = money("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dbl(F.sum(money("l_quantity"))).alias("sum_qty"),
+            dbl(F.sum(price)).alias("sum_base_price"),
+            dbl(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
+            dbl(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
+            F.round(dbl(F.sum(money("l_quantity"))) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(dbl(F.sum(price)) / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(dbl(F.sum(disc)) / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 — shipping priority (fact-fact join + agg + deterministic top-k)
+# ---------------------------------------------------------------------------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    revenue = F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dbl(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT
+  o_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 — local supplier volume (multi-way join incl. broadcast dims)
+# ---------------------------------------------------------------------------
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dbl(revenue).alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Point lookup + range predicates (P4/P6) — the reference's
+# run/subrun/event lookup pattern (larmatch_dataset.py:137-142)
+# ---------------------------------------------------------------------------
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # conjunctive equality/range predicate pushed to the Parquet scan
+    target = orders.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 105)
+    )
+    return (
+        li.join(F.broadcast(target), li.l_orderkey == target.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "l_linenumber",
+            "l_partkey",
+            money("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+
+
+Q_POINT_LOOKUP_SQL = """
+SELECT o_orderkey, o_orderdate, l_linenumber, l_partkey,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey >= 100 AND o_orderkey < 105
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup audit (A1) — groupBy key, flag count > 1
+# (reference invariant: no duplicate voxel coords, larvoxel_dataset.py:101-110)
+# ---------------------------------------------------------------------------
+
+def q_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+    )
+
+
+Q_DEDUP_AUDIT_SQL = """
+SELECT l_orderkey, l_partkey, COUNT(*) AS n_dup
+FROM lineitem
+GROUP BY l_orderkey, l_partkey
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct (A2) + min/max sanity bounds (A7)
+# ---------------------------------------------------------------------------
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_mktsegment").distinct()
+
+
+Q_DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def q_sanity_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max/count sanity aggregate — the reference's plane-index
+    bound check (make_larmatch_parquet_data.py:94-97) as a query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        dbl(F.min(money("l_quantity"))).alias("min_qty"),
+        dbl(F.max(money("l_quantity"))).alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+Q_SANITY_SQL = """
+SELECT
+  MIN(l_shipdate) AS min_shipdate,
+  MAX(l_shipdate) AS max_shipdate,
+  CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+  CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (W3) — deterministic row_number window
+# ---------------------------------------------------------------------------
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(money("o_totalprice")), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .filter(F.col("o_custkey") < 50)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            dbl(money("o_totalprice")).alias("totalprice"),
+            "rank_in_cust",
+        )
+    )
+
+
+Q_TOPK_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+       rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
+         ) AS rank_in_cust
+  FROM orders
+)
+WHERE rank_in_cust <= 3 AND o_custkey < 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cumulative window offsets (W4) — the reference's batch-offset assignment
+# (larvoxel_dataset.py:263-278) as a running-total window
+# ---------------------------------------------------------------------------
+
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        dbl(F.sum(money("o_totalprice")).over(w)).alias("cum_total"),
+    )
+
+
+Q_CUMSUM_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS cum_total
+FROM orders
+WHERE o_custkey < 20
+"""
+
+
+#: name -> (query fn, oracle sql) for the driver contract
+QUERIES: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q_point_lookup": (q_point_lookup, Q_POINT_LOOKUP_SQL),
+    "q_dedup_audit": (q_dedup_audit, Q_DEDUP_AUDIT_SQL),
+    "q_distinct_segments": (q_distinct_segments, Q_DISTINCT_SQL),
+    "q_sanity_bounds": (q_sanity_bounds, Q_SANITY_SQL),
+    "q_top_orders_per_customer": (q_top_orders_per_customer, Q_TOPK_SQL),
+    "q_cumulative_revenue": (q_cumulative_revenue, Q_CUMSUM_SQL),
+}

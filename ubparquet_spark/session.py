@@ -1,0 +1,60 @@
+"""SparkSession factory for the engine.
+
+The reference hand-builds a local session with fixed memory and cores
+(``/root/reference/larmatch2d/larmatch_dataset.py:82-89``). Here we centralize
+session construction with settings that matter at cluster scale:
+
+- AQE on (runtime coalescing, skew-join splitting) — replaces the reference's
+  manual partition-range splits (``larvoxel_dataset.py:196-201``).
+- Arrow for every Python boundary — replaces the reference's per-row
+  ``.rdd.collect()`` pickle path (``larmatch_dataset.py:163``, noted "SLOW ASF"
+  at ``:188-192``).
+- UTC session timezone so timestamp semantics are engine-independent.
+- zstd Parquet writes (reference used GZIP, ``root2parquet.py:85``; zstd is the
+  modern speed/ratio point).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(
+    app_name: str = "ubparquet_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a real cluster, ``master`` comes from the environment and
+    ``shuffle_partitions`` should scale with input size; AQE coalesces
+    over-provisioned shuffles at runtime so a generous static value is safe.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
