@@ -39,6 +39,15 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, *, rtol: float = 0.0)
     )
     assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
     for c in got.columns:
+        gi = pd.api.types.is_integer_dtype(got[c])
+        ei = pd.api.types.is_integer_dtype(exp[c])
+        gf = pd.api.types.is_float_dtype(got[c])
+        ef = pd.api.types.is_float_dtype(exp[c])
+        assert (gi, gf) == (ei, ef), (
+            f"dtype kind mismatch in {c}: {got[c].dtype} vs {exp[c].dtype} "
+            "(int-vs-float differences change the driver's value hash)"
+        )
+    for c in got.columns:
         g, e = got[c], exp[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
             ok = np.isclose(

@@ -34,7 +34,20 @@ DRIVER_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver table from a scale-factor directory."""
+    """Load one driver table from a scale-factor directory.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    default; we read it as long (``nanosAsLong``) and truncate to
+    microseconds — the same conversion DuckDB applies, so oracle
+    comparisons agree."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,271 @@
+"""Event-time analytics over the ``events`` table.
+
+The reference has no streaming operators (SURVEY.md §2.8) — these plans
+define the engine's event-time surface on the driver's designated streaming
+table: tumbling/sliding windows, session windows with gap semantics, JSON
+property extraction, mode/majority-vote per key (A3,
+``voxel_to_instance_data.py:63``) and 2-D voxelization-style binning (A5,
+``dlmerged2parquet.py:72-77``) re-expressed over (value, hour) space.
+
+Batch plans here share semantics with ``ubparquet_spark.streaming`` — the
+same window specs run under Structured Streaming with watermarks; the batch
+results below are the ``Trigger.AvailableNow`` ground truth.
+
+Scale notes: all aggregations are partial-aggregatable group-bys keyed by
+(window, type) or user — they map-side combine and shuffle only the digest.
+Session windows shuffle by user_id once; skewed users are handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ubparquet_spark.io import load_table
+from ubparquet_spark.plans.tpch import dbl, money, roundn
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window (1 hour)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(money("value"))).alias("sum_value"),
+            roundn(dbl(F.sum(money("value"))) / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+Q_EVENTS_HOURLY_SQL = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+  FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (2 hours, sliding 1 hour) — each event lands in 2 windows
+# ---------------------------------------------------------------------------
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+SELECT
+  date_trunc('hour', ts) - (off * INTERVAL 1 HOUR) AS window_start,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+CROSS JOIN (SELECT UNNEST([0, 1]) AS off)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session windows (30-minute gap). Spark merges events while
+# next_ts - prev_ts < gap; session_end = last_ts + gap.
+# ---------------------------------------------------------------------------
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(money("value"))).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q_EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WHERE user_id < 100
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, sess_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (props is a JSON string column)
+# ---------------------------------------------------------------------------
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            roundn(F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q_EVENTS_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       FLOOR((CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mode / majority vote per key (A3) — deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def q_events_user_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    total = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"))
+    )
+    return total.join(top, "user_id").select(
+        "user_id", "mode_event_type", "n_events"
+    )
+
+
+Q_EVENTS_USER_MODE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM counts
+), totals AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT t.user_id, r.event_type AS mode_event_type, t.n_events
+FROM totals t JOIN ranked r ON t.user_id = r.user_id AND r.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2-D voxelization-style binning (A5): bin (value, hour-of-day) cells with
+# count + exact feature sum + majority label — the reference voxelizer's
+# groupBy(floor(coord/size)) + feature agg + mode label, on events space.
+# ---------------------------------------------------------------------------
+
+def q_events_voxelize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / F.lit(5.0)).alias("vbin"),
+        F.hour("ts").alias("hbin"),
+        "event_type",
+        "value",
+    )
+    cells = ev.groupBy("vbin", "hbin").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(money("value"))).alias("sum_value"),
+    )
+    label_counts = ev.groupBy("vbin", "hbin", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("vbin", "hbin").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    labels = (
+        label_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vbin", "hbin", F.col("event_type").alias("mode_type"))
+    )
+    return cells.join(labels, ["vbin", "hbin"])
+
+
+Q_EVENTS_VOXELIZE_SQL = """
+WITH pts AS (
+  SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS vbin,
+         EXTRACT(hour FROM ts) AS hbin,
+         event_type, value
+  FROM events
+), cells AS (
+  SELECT vbin, hbin, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM pts GROUP BY vbin, hbin
+), ranked AS (
+  SELECT vbin, hbin, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY vbin, hbin ORDER BY COUNT(*) DESC, event_type ASC
+         ) AS rn
+  FROM pts GROUP BY vbin, hbin, event_type
+)
+SELECT c.vbin, c.hbin, c.n, c.sum_value, r.event_type AS mode_type
+FROM cells c JOIN ranked r ON c.vbin = r.vbin AND c.hbin = r.hbin AND r.rn = 1
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
+    "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
+    "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
+    "q_events_json": (q_events_json, Q_EVENTS_JSON_SQL),
+    "q_events_user_mode": (q_events_user_mode, Q_EVENTS_USER_MODE_SQL),
+    "q_events_voxelize": (q_events_voxelize, Q_EVENTS_VOXELIZE_SQL),
+}

@@ -1,0 +1,431 @@
+"""Text analysis + deduplication over the ``documents`` table.
+
+The LLM-data-pipeline extension surface (BASELINE.json north star): token
+counting, quality scoring, language-ID heuristics, document fingerprinting,
+exact/prefix dedup, MinHash-LSH banding and SimHash — each expressed with
+JVM-side built-ins (``split``/``transform``/``filter``/``aggregate`` higher-
+order functions), no Python UDFs in the hot path.
+
+Determinism policy: every hash is md5 (identical across engines); shingle
+enumeration uses index ranges aligned between Spark ``sequence`` (inclusive)
+and DuckDB ``range`` (exclusive end); no transcendental functions (libm
+results can differ in the last ulp across engines).
+
+Scale notes: all plans are scan → narrow per-row array work → one partial-
+aggregatable shuffle. MinHash banding emits (band_key, doc) pairs and
+aggregates by key — the classic LSH bucket join shape that scales linearly;
+no O(n²) pair materialization happens outside bucket-local work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubparquet_spark.io import load_table
+from ubparquet_spark.plans.tpch import roundn
+
+STOPWORDS = ("the", "a", "of", "and")
+
+#: marker lexicon for the language-ID heuristic (token -> language)
+LANG_MARKERS = (("the", "en"), ("le", "fr"), ("der", "de"), ("el", "es"), ("de", "zh"))
+
+
+def tokens_col() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+# ---------------------------------------------------------------------------
+# Token statistics per language
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col())
+    return (
+        docs.select("lang", n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            roundn(F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            roundn(F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+Q_DOC_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       FLOOR((CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_tokens,
+       FLOOR((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-document quality scoring (length/stopword-ratio features)
+# ---------------------------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
+    stop_ratio = roundn(n_stop.cast("double") / n_tokens)
+    chars_per_token = roundn(F.col("n_chars").cast("double") / n_tokens)
+    quality = roundn(
+        stop_ratio * F.lit(0.5) + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(200.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        chars_per_token.alias("chars_per_token"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+Q_DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, n_tokens,
+       FLOOR((CAST(n_chars AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS chars_per_token,
+       FLOOR((CAST(n_stop AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS stop_ratio,
+       FLOOR(((FLOOR((CAST(n_stop AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000) * 0.5
+             + CAST(LEAST(n_tokens, 100) AS DOUBLE) / 200.0) * 10000 + 0.5) / 10000 AS quality_score
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic (marker-lexicon argmax, deterministic tie-break by
+# lexicon order) → confusion counts vs the labeled lang
+# ---------------------------------------------------------------------------
+
+def _marker_counts_spark() -> list[Column]:
+    return [
+        F.expr(f"size(filter(split(text, ' '), x -> x = '{tok}'))").alias(f"c_{lang}")
+        for tok, lang in LANG_MARKERS
+    ]
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("lang", *_marker_counts_spark())
+    langs = [lang for _tok, lang in LANG_MARKERS]
+    # argmax with ties broken by lexicon order; all-zero -> 'und'
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        cond = F.col(f"c_{lang}") > 0
+        for other in langs:
+            if other == lang:
+                continue
+            op = (
+                F.col(f"c_{lang}") >= F.col(f"c_{other}")
+                if langs.index(other) > langs.index(lang)
+                else F.col(f"c_{lang}") > F.col(f"c_{other}")
+            )
+            cond = cond & op
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_sql() -> str:
+    langs = [lang for _tok, lang in LANG_MARKERS]
+    counts = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{tok}')) AS c_{lang}"
+        for tok, lang in LANG_MARKERS
+    )
+    cases = []
+    for lang in langs:
+        conds = [f"c_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            conds.append(f"c_{lang} {op} c_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+WITH scored AS (
+  SELECT lang,
+         {counts}
+  FROM documents
+)
+SELECT lang, {case_sql} AS pred_lang, COUNT(*) AS n_docs
+FROM scored
+GROUP BY 1, 2
+"""
+
+
+Q_LANG_ID_SQL = _lang_id_sql()
+
+
+# ---------------------------------------------------------------------------
+# Prefix dedup (exact-dedup pattern on a normalized key)
+# ---------------------------------------------------------------------------
+
+def q_doc_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    prefix_hash = F.md5(F.array_join(F.slice(tokens_col(), 1, 5), " "))
+    return (
+        docs.select("doc_id", prefix_hash.alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+Q_DOC_PREFIX_DEDUP_SQL = """
+SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS prefix_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint (winnowing-style: min 4-token-shingle hash)
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fingerprint = F.expr(
+        "array_min(transform(sequence(1, size(split(text, ' ')) - 3),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 4), ' '))))"
+    )
+    return docs.select("doc_id", fingerprint.alias("fingerprint"))
+
+
+Q_DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       list_aggregate(
+         list_transform(range(1, len(string_split(text, ' ')) - 2),
+           i -> md5(array_to_string(list_slice(string_split(text, ' '), i, i + 3), ' '))),
+         'min') AS fingerprint
+FROM documents
+WHERE doc_id < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding: k=6 min-hashes over 3-token shingles, bands of 2 →
+# bucket histogram (band_key groups with >1 doc are near-dup candidates).
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 6
+LSH_BAND_ROWS = 2
+
+
+def _minhash_spark(j: int) -> Column:
+    return F.expr(
+        "array_min(transform(sequence(1, size(split(text, ' ')) - 2),"
+        f" i -> md5(concat('{j}|', array_join(slice(split(text, ' '), i, 3), ' ')))))"
+    ).alias(f"h{j}")
+
+
+def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select(
+        "doc_id", *[_minhash_spark(j) for j in range(MINHASH_K)]
+    )
+    bands = []
+    for b in range(MINHASH_K // LSH_BAND_ROWS):
+        cols = [f"h{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    return (
+        all_bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    hashes = ",\n         ".join(
+        "list_aggregate(list_transform(range(1, len(string_split(text, ' ')) - 1),"
+        f" i -> md5('{j}|' || array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),"
+        f" 'min') AS h{j}"
+        for j in range(MINHASH_K)
+    )
+    band_rows = []
+    for b in range(MINHASH_K // LSH_BAND_ROWS):
+        cols = " || '|' || ".join(
+            f"h{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sigs")
+    bands_sql = " UNION ALL ".join(band_rows)
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {hashes}
+  FROM documents
+), bands AS (
+  {bands_sql}
+)
+SELECT band_id, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+FROM bands
+GROUP BY band_id, band_key
+HAVING COUNT(*) > 1
+"""
+
+
+Q_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs via inverted-index join (no cross join):
+# explode distinct shingles → equi-join on shingle → pair intersection counts
+# → Jaccard = inter / (na + nb - inter).
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    shingles = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = roundn(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
+        .filter(F.col("jaccard") > 0.03)
+    )
+
+
+Q_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, UNNEST(list_distinct(
+           list_transform(range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
+         )) AS shingle
+  FROM documents WHERE doc_id < 150
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter,
+       FLOOR((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 10000 + 0.5) / 10000 AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE FLOOR((CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)) * 10000 + 0.5) / 10000 > 0.03
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble based) per document
+# ---------------------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bit_terms = []
+    for b in range(16):
+        bit_terms.append(
+            "(CASE WHEN aggregate(split(text, ' '), 0, (acc, t) -> acc + "
+            f"(CASE WHEN (CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) >> {b}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    simhash = F.expr(" + ".join(bit_terms)).cast("long")
+    return docs.select("doc_id", simhash.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_terms = []
+    for b in range(16):
+        bit_terms.append(
+            "(CASE WHEN list_sum(list_transform(string_split(text, ' '), t -> "
+            f"CASE WHEN (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER) >> {b}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return f"""
+SELECT doc_id, CAST({" + ".join(bit_terms)} AS BIGINT) AS simhash
+FROM documents WHERE doc_id < 300
+"""
+
+
+Q_SIMHASH_SQL = _simhash_sql()
+
+
+# ---------------------------------------------------------------------------
+# Token histogram (explode → group → deterministic top-k)
+# ---------------------------------------------------------------------------
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+Q_TOKEN_HIST_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
+    "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+    "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "q_doc_prefix_dedup": (q_doc_prefix_dedup, Q_DOC_PREFIX_DEDUP_SQL),
+    "q_doc_fingerprint": (q_doc_fingerprint, Q_DOC_FINGERPRINT_SQL),
+    "q_minhash_lsh_buckets": (q_minhash_lsh_buckets, Q_MINHASH_LSH_SQL),
+    "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
+    "q_simhash": (q_simhash, Q_SIMHASH_SQL),
+    "q_token_histogram": (q_token_histogram, Q_TOKEN_HIST_SQL),
+}

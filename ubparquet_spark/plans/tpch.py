@@ -44,6 +44,22 @@ def dbl(c: Column) -> Column:
     return c.cast("double")
 
 
+def roundn(c: Column, n: int = 4) -> Column:
+    """Cross-engine-stable rounding: ``floor(x*10^n + 0.5) / 10^n``.
+
+    Spark's ``round`` on doubles rounds the shortest decimal *string*
+    (Java HALF_UP on ``Double.toString``), while DuckDB rounds the binary
+    double numerically — near ``.xxx5`` boundaries they disagree. Floor on
+    identical double arithmetic is bit-identical in both engines."""
+    s = 10 ** n
+    return (F.floor(c.cast("double") * s + F.lit(0.5)) / s).cast("double")
+
+
+def sql_roundn(expr: str, n: int = 4) -> str:
+    s = 10 ** n
+    return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
+
+
 # ---------------------------------------------------------------------------
 # Q1 — pricing summary (flagship: scan → filter → groupBy agg)
 # ---------------------------------------------------------------------------
@@ -61,9 +77,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbl(F.sum(price)).alias("sum_base_price"),
             dbl(F.sum(price * (F.lit(1) - disc))).alias("sum_disc_price"),
             dbl(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax))).alias("sum_charge"),
-            F.round(dbl(F.sum(money("l_quantity"))) / F.count(F.lit(1)), 4).alias("avg_qty"),
-            F.round(dbl(F.sum(price)) / F.count(F.lit(1)), 4).alias("avg_price"),
-            F.round(dbl(F.sum(disc)) / F.count(F.lit(1)), 4).alias("avg_disc"),
+            roundn(dbl(F.sum(money("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty"),
+            roundn(dbl(F.sum(price)) / F.count(F.lit(1))).alias("avg_price"),
+            roundn(dbl(F.sum(disc)) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,9 +93,9 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+  FLOOR((CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+  FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_price,
+  FLOOR((CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
