@@ -1,0 +1,128 @@
+"""Ragged-tensor codec: round-trip exactness and invariants (FIXTURES.md C)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ubparquet_spark import codec
+
+from .fixtures import make_spacepoint_events, spacepoint_df
+
+
+def test_numpy_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for shape in [(5,), (4, 3), (2, 3, 4), (1, 7), (9, 1)]:
+        arr = rng.standard_normal(shape)
+        flat, s = codec.encode_ndarray(arr)
+        back = codec.decode_ndarray(flat, s)
+        np.testing.assert_array_equal(arr, back)
+        assert int(np.prod(s)) == len(flat)
+
+
+def test_numpy_roundtrip_int_dtypes():
+    arr = np.arange(24, dtype=np.int64).reshape(4, 6)
+    flat, s = codec.encode_ndarray(arr)
+    back = codec.decode_ndarray(flat, s, dtype=np.int64)
+    np.testing.assert_array_equal(arr, back)
+    assert back.dtype == np.int64
+
+
+def test_column_pairing(spark):
+    df = spacepoint_df(spark)
+    assert codec.tensor_columns(df) == [
+        "spacepoint_t",
+        "ssnet_label",
+        "truetriplet_t",
+    ]
+    assert "spacepoint_t_shape" not in codec.data_columns(df)
+
+
+def test_validate_tensors_clean(spark):
+    df = spacepoint_df(spark)
+    assert codec.validate_tensors(df).count() == 0
+
+
+def test_validate_tensors_catches_corruption(spark):
+    df = spacepoint_df(spark).withColumn(
+        "spacepoint_t", F.slice(F.col("spacepoint_t"), 1, 7)
+    )
+    bad = codec.validate_tensors(df)
+    assert bad.filter(F.col("column") == "spacepoint_t").count() > 0
+
+
+def test_explode_reassemble_roundtrip_exact(spark):
+    """decode(encode(tensor)) == tensor through the distributed path:
+    explode to per-point rows, reassemble, compare flat+shape exactly."""
+    df = spacepoint_df(spark)
+    keys = ["run", "subrun", "event"]
+    pts = codec.explode_tensor(df, "spacepoint_t", keys)
+    back = codec.reassemble_tensor(pts, "spacepoint_t_point", keys)
+    joined = df.select(
+        *keys,
+        F.col("spacepoint_t").alias("orig"),
+        F.col("spacepoint_t_shape").alias("orig_shape"),
+    ).join(back, keys)
+    mismatch = joined.filter(
+        (F.col("orig") != F.col("spacepoint_t"))
+        | (F.col("orig_shape") != F.col("spacepoint_t_shape"))
+    )
+    assert mismatch.count() == 0
+    assert joined.count() == df.count()
+
+
+def test_explode_point_values_match_numpy(spark):
+    rows = make_spacepoint_events(3)
+    df = spacepoint_df(spark, 3)
+    pts = (
+        codec.explode_tensor(df, "spacepoint_t", ["run", "subrun", "event"])
+        .orderBy("run", "subrun", "event", "idx")
+        .collect()
+    )
+    expected = {}
+    for r in rows:
+        arr = np.array(r["spacepoint_t"]).reshape(r["spacepoint_t_shape"])
+        expected[(r["run"], r["subrun"], r["event"])] = arr
+    for p in pts:
+        arr = expected[(p.run, p.subrun, p.event)]
+        np.testing.assert_array_equal(np.array(p.spacepoint_t_point), arr[p.idx])
+
+
+def test_explode_tensors_parallel_alignment(spark):
+    """Parallel tensors of one event share leading dim (C5): the co-exploded
+    view aligns point i of (N,4) spacepoints with label i of (N,)."""
+    rows = make_spacepoint_events(2)
+    df = spacepoint_df(spark, 2)
+    out = (
+        codec.explode_tensors(
+            df,
+            ["spacepoint_t", "ssnet_label"],
+            ["run", "subrun", "event"],
+        )
+        .orderBy("event", "idx")
+        .collect()
+    )
+    for r in rows:
+        labels = np.array(r["ssnet_label"])
+        pts = [o for o in out if o.event == r["event"]]
+        assert len(pts) == r["spacepoint_t_shape"][0]
+        for o in pts:
+            assert o.ssnet_label[0] == labels[o.idx]
+
+
+@pytest.mark.parametrize("shape", [(13, 1), (1, 5), (30, 4)])
+def test_roundtrip_parquet_edge_shapes(spark, tmp_path, shape):
+    """Write → read → decode round-trip through actual Parquet files."""
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal(shape)
+    flat, s = codec.encode_ndarray(arr)
+    df = spark.createDataFrame(
+        [{"event": 0, "x": flat, "x_shape": s}],
+        "event long, x array<double>, x_shape array<long>",
+    )
+    path = str(tmp_path / "t.parquet")
+    df.write.mode("overwrite").parquet(path)
+    row = spark.read.parquet(path).collect()[0]
+    back = codec.decode_ndarray(row.x, row.x_shape)
+    np.testing.assert_array_equal(arr, back)

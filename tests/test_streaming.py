@@ -1,0 +1,59 @@
+"""Streaming windows produce the same results as the batch plans
+(Trigger.AvailableNow batch-equivalence)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ubparquet_spark.io import load_table
+from ubparquet_spark.streaming import windows as sw
+
+
+def _stage_events(spark, sf_dir, tmp_path):
+    """Copy events (ts normalized to timestamp) into a stream source dir."""
+    src = str(tmp_path / "events_stream")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    return src
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = sw.read_event_stream(spark, src)
+    assert stream.isStreaming
+    result = sw.tumbling_counts(stream)
+    sw.run_available_now(result, str(tmp_path / "ckpt1"), "tumbling_test")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in spark.table("tumbling_test").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    expected = {(r.w.start, r.event_type): (r.n, round(r.s, 6)) for r in batch}
+    assert got == expected
+
+
+def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = sw.read_event_stream(spark, src).filter(F.col("user_id") < 20)
+    result = sw.session_aggregate(stream)
+    sw.run_available_now(result, str(tmp_path / "ckpt2"), "session_test")
+    got = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in spark.table("session_test").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {(r.user_id, r.w.start, r.w.end): r.n for r in batch}
+    assert got == expected
+    assert len(got) > 0

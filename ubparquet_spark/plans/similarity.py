@@ -1,0 +1,243 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d).
+
+The LLM-data-pipeline extension surface (BASELINE.json): brute-force cosine
+top-k as the correctness baseline, a sign-bit LSH-bucketed ANN variant as the
+scale path, bucket-local near-dup pair detection, and per-label norm stats.
+
+All vector math stays JVM-side via higher-order functions
+(``zip_with``/``aggregate``) — no Python UDFs. Each float element is cast to
+double before multiplying, so per-element products are exact in both engines;
+summation order differs across engines (Spark left-fold vs DuckDB group agg),
+so cosines are floor-rounded to 6 decimals (double error ~1e-15, far below
+the rounding grain).
+
+Scale notes (100 TB): brute-force is a broadcast of ONE query row against a
+linear scan — embarrassingly parallel, no shuffle. The LSH variant buckets
+every vector by sign bits (extendable to more planes), turning ANN into an
+equi-join on bucket id: candidates co-locate in one shuffle; bucket-local
+work is quadratic only within a bucket. For real workloads add more
+bits/bands to keep buckets bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubparquet_spark.io import load_table
+from ubparquet_spark.plans.tpch import roundn
+
+QUERY_VEC_ID = 0
+LSH_SIGN_BITS = 8
+
+
+def _dot(a: str, b: str) -> Column:
+    """Exact-per-element dot product, sequential left-fold sum."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _sq_norm(a: str) -> Column:
+    return _dot(a, a)
+
+
+def _sign_bucket(a: str) -> Column:
+    """Sign-bit LSH bucket from the first LSH_SIGN_BITS dimensions."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST(element_at({a}, {i + 1}) AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_SIGN_BITS)
+    )
+    return F.expr(terms).cast("long")
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """DuckDB dot product via list_transform over an index range (lateral
+    generate_series doesn't accept CTE columns in DuckDB 1.0; sum order may
+    differ from Spark's fold — rounded downstream)."""
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _sql_sign_bucket(a: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN CAST({a}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_SIGN_BITS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k (the correctness baseline ANN)
+# ---------------------------------------------------------------------------
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            roundn(
+                _dot("embedding", "qvec")
+                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+Q_KNN_SQL = f"""
+WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       FLOOR(({_sql_dot("e.embedding", "q.qvec")}
+              / SQRT({_sql_dot("e.embedding", "e.embedding")} * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM embeddings e, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: restrict the scan to the query's sign bucket
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket("embedding")
+    )
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qv), F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            roundn(
+                _dot("embedding", "qvec")
+                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+Q_ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_sql_sign_bucket("embedding")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT vec_id, label, bucket,
+       FLOOR(({_sql_dot("e.embedding", "q.qvec")}
+              / SQRT({_sql_dot("e.embedding", "e.embedding")} * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM b e, q
+WHERE e.vec_id != {QUERY_VEC_ID} AND e.bucket = q.qbucket
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, bucket-local (LSH candidates only)
+# ---------------------------------------------------------------------------
+
+NEARDUP_THRESHOLD = 0.35
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _sign_bucket("embedding").alias("bucket")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = roundn(
+        _dot("a.embedding", "b.embedding")
+        / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") > NEARDUP_THRESHOLD)
+    )
+
+
+Q_EMBEDDING_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_sign_bucket("embedding")} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         FLOOR(({_sql_dot("a.embedding", "b.embedding")}
+                / SQRT({_sql_dot("a.embedding", "a.embedding")} * {_sql_dot("b.embedding", "b.embedding")})) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, bucket, cosine FROM pairs WHERE cosine > {NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding norm stats (array aggregation + group-by)
+# ---------------------------------------------------------------------------
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = roundn(_sq_norm("embedding"), 6)
+    return (
+        emb.select("label", sq.alias("sq_norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            roundn(F.sum("sq_norm") / F.count(F.lit(1)), 4).alias("avg_sq_norm"),
+            F.max("sq_norm").alias("max_sq_norm"),
+        )
+    )
+
+
+Q_EMBEDDING_NORMS_SQL = f"""
+WITH n AS (
+  SELECT label,
+         FLOOR(({_sql_dot("embedding", "embedding")}) * 1000000 + 0.5) / 1000000 AS sq_norm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       FLOOR((SUM(sq_norm) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_sq_norm,
+       MAX(sq_norm) AS max_sq_norm
+FROM n
+GROUP BY label
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
+    "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),
+}

@@ -1,0 +1,96 @@
+"""Event-time streaming windows with watermarks.
+
+The reference is batch-only (SURVEY.md §2.8); this module defines the
+engine's streaming semantics on the driver's ``events`` surface so that the
+same window specs produce identical results in batch
+(``ubparquet_spark.plans.events``) and streaming (``Trigger.AvailableNow``)
+— the batch result is the ground truth the streaming test asserts against.
+
+Scale notes: watermarks bound state (late rows beyond the horizon are
+dropped); windowed aggregations are partial-aggregatable; session windows
+keep per-key state in the state store and merge on gap overlap. For
+continuous ingestion, ``readStream`` over a directory of Parquet files is
+the multi-file-arrival upgrade of the reference's re-glob pattern
+(``larmatch2d/larmatch_dataset.py:246``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    ),
+) -> DataFrame:
+    """File-source stream: picks up new Parquet files as they land."""
+    return spark.readStream.schema(schema_ddl).parquet(path)
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling window count+sum with a late-data watermark."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregate(
+    stream: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per key with gap semantics (state-store merged)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, checkpoint_dir: str, query_name: str
+) -> None:
+    """Run a streaming query to completion over all currently-available
+    input (batch-equivalent execution) into an in-memory sink table named
+    ``query_name``."""
+    q: DataStreamWriter = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+    sq = q.start()
+    sq.awaitTermination()
