@@ -1,0 +1,70 @@
+"""IO sources/sinks: multi-file scan, mergeSchema, manifest, compression."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ubparquet_spark import io as uio
+
+
+def test_multifile_scan_unions_rows(spark, sf_dir, tmp_path):
+    nation = uio.load_table(spark, sf_dir, "nation")
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    nation.filter(F.col("n_nationkey") < 10).write.parquet(p1)
+    nation.filter(F.col("n_nationkey") >= 10).write.parquet(p2)
+    df = uio.read_parquet(spark, p1, p2)
+    assert df.count() == nation.count()
+
+
+def test_merge_schema_reconciles_heterogeneous_files(spark, tmp_path):
+    p1, p2 = str(tmp_path / "m1.parquet"), str(tmp_path / "m2.parquet")
+    spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(p1)
+    spark.createDataFrame([(2, 3.5)], "id long, y double").write.parquet(p2)
+    df = uio.read_parquet(spark, p1, p2, merge_schema=True)
+    assert set(df.columns) == {"id", "x", "y"}
+    rows = {r.id: (r.x, r.y) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == (None, 3.5)
+
+
+def test_manifest_source(spark, sf_dir, tmp_path):
+    p1 = str(tmp_path / "part1.parquet")
+    p2 = str(tmp_path / "part2.parquet")
+    nation = uio.load_table(spark, sf_dir, "nation")
+    nation.limit(5).write.parquet(p1)
+    nation.limit(5).write.parquet(p2)
+    manifest = tmp_path / "files.txt"
+    manifest.write_text(f"# event files\n{p1}\n{p2}\n")
+    df = uio.read_manifest(spark, str(manifest))
+    assert df.count() == 10
+
+
+def test_write_compression_codecs(spark, sf_dir, tmp_path):
+    nation = uio.load_table(spark, sf_dir, "nation")
+    for codec in ["gzip", "zstd", "none"]:
+        path = str(tmp_path / f"out_{codec}")
+        uio.write_parquet(nation, path, compression=codec)
+        back = spark.read.parquet(path)
+        assert back.count() == nation.count()
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert files
+        ext = {"gzip": ".gz.", "zstd": ".zstd."}.get(codec)
+        if ext:
+            assert any(ext in f for f in files)
+
+
+def test_sorted_partitioned_write(spark, sf_dir, tmp_path):
+    orders = uio.load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_sorted")
+    uio.write_parquet(
+        orders,
+        path,
+        partition_by=["o_orderstatus"],
+        sort_within_partitions_by=["o_orderkey"],
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert set(r.o_orderstatus for r in back.select("o_orderstatus").distinct().collect()) == {
+        "P", "O", "F"
+    }

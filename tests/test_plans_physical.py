@@ -1,0 +1,63 @@
+"""Physical-plan checks: the scale properties we claim actually hold.
+
+- filters reach the Parquet scan (PushedFilters),
+- column pruning reaches the read schema (ReadSchema),
+- small dimensions broadcast (BroadcastHashJoin),
+- whole-stage codegen covers the aggregation pipeline.
+"""
+
+from __future__ import annotations
+
+from ubparquet_spark.plans import tpch
+
+
+def plan_text(df) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_text(tpch.q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    # only the 7 needed columns, not all 11
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+    # map-side combine: partial aggregation happens before the single exchange
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") - plan.count("Exchange (") <= 2
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = plan_text(tpch.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    plan = plan_text(tpch.q5_local_supplier(spark, sf_dir))
+    # supplier, nation, region all broadcast; only the fact-fact join shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    plan = plan_text(tpch.q_point_lookup(spark, sf_dir))
+    assert "GreaterThanOrEqual(o_orderkey,100)" in plan
+    assert "LessThan(o_orderkey,105)" in plan
+    # the filter also propagates to the fact side via the join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_distinct_prunes_to_single_column(spark, sf_dir):
+    plan = plan_text(tpch.q_distinct_segments(spark, sf_dir))
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "c_mktsegment" in read
+    assert "c_acctbal" not in read and "c_name" not in read
+
+
+def test_semi_and_anti_join_shapes(spark, sf_dir):
+    semi = plan_text(tpch.q_late_orders_semi(spark, sf_dir))
+    anti = plan_text(tpch.q_customers_without_orders(spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti

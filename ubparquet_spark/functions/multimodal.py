@@ -1,0 +1,172 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The LLM-data-pipeline extension surface (BASELINE.json): media payloads are
+``binary`` columns with a typed ``meta`` struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
+
+The actual codec step is STUBBED: the container has no image/audio libraries,
+so ``decode_media`` raises ``NotImplementedError`` unless
+``allow_fake=True`` selects the deterministic fake decoder (md5-seeded pixel
+stats). Everything around the stub — schema, batch iteration, UDF
+signatures, partition behavior, output shapes — is real and tested; swapping
+``_fake_decode`` for Pillow/librosa/pyav is a one-function change.
+
+Scale notes: ``mapInPandas`` streams Arrow batches through Python without
+collecting; binary payloads stay off the driver. Media tables should be
+written with moderate row-group sizes so a 100 TB corpus scans with bounded
+executor memory; feature extraction is embarrassingly parallel (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: media table schema: payload is opaque; meta is typed per modality
+MEDIA_DDL = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, channels:int,"
+    " sample_rate:int, n_frames:int, format:string>"
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 8
+        meta = {
+            "width": 64 + (i % 4) * 32 if kind != "audio" else None,
+            "height": 48 + (i % 3) * 16 if kind != "audio" else None,
+            "channels": 3 if kind == "image" else (1 if kind == "audio" else 3),
+            "sample_rate": 16000 if kind == "audio" else None,
+            "n_frames": 30 * (1 + i % 5) if kind == "video" else None,
+            "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+        }
+        rows.append({"media_id": i, "kind": kind, "payload": payload, "meta": meta})
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def _fake_decode(payload: bytes, n_values: int) -> np.ndarray:
+    """Deterministic stand-in for a real codec: expand payload bytes into
+    ``n_values`` floats in [0, 1). Same payload -> same 'pixels'."""
+    out = np.empty(n_values, dtype=np.float32)
+    h = payload
+    i = 0
+    while i < n_values:
+        h = hashlib.sha256(h).digest()
+        block = np.frombuffer(h, dtype=np.uint8).astype(np.float32) / 256.0
+        take = min(len(block), n_values - i)
+        out[i : i + take] = block[:take]
+        i += take
+    return out
+
+
+def decode_media(df: DataFrame, *, allow_fake: bool = False) -> DataFrame:
+    """Decode payloads into per-item pixel/sample statistics.
+
+    Real decoding requires codec libraries not present in this container:
+    raises ``NotImplementedError`` unless ``allow_fake`` enables the
+    deterministic fake decoder. The mapInPandas plumbing (Arrow batches in,
+    stable output schema out) is the production path either way."""
+    if not allow_fake:
+        raise NotImplementedError(
+            "media codecs (Pillow/librosa/pyav) not available in this "
+            "environment; pass allow_fake=True for the deterministic stub"
+        )
+
+    out_schema = (
+        "media_id long, kind string, n_values long, "
+        "mean_value double, min_value double, max_value double"
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                meta = row["meta"]
+                if row["kind"] == "image":
+                    n = int(meta["width"]) * int(meta["height"]) * int(meta["channels"])
+                elif row["kind"] == "audio":
+                    n = int(meta["sample_rate"])  # 1 second of samples
+                else:
+                    n = int(meta["n_frames"]) * 64
+                vals = _fake_decode(bytes(row["payload"]), n)
+                recs.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "n_values": n,
+                        "mean_value": float(vals.mean()),
+                        "min_value": float(vals.min()),
+                        "max_value": float(vals.max()),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
+def extract_features(df: DataFrame, *, dim: int = FEATURE_DIM) -> DataFrame:
+    """Pseudo-embedding per media item (deterministic, payload-derived) —
+    the feature-extraction stage's real Spark plumbing with a fake model.
+    Output: ``media_id, kind, feature array<float>``."""
+    out_schema = f"media_id long, kind string, feature array<float>"
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(feat_batches, out_schema)
+
+
+def frame_sample(df: DataFrame, every_k: int = 10) -> DataFrame:
+    """Video frame sampling plan: emit (media_id, frame_idx) for every k-th
+    frame — metadata-level logic (real), frame decode deferred to
+    :func:`decode_media`. JVM-side sequence, no Python."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.col("meta.n_frames") - 1,
+                    F.lit(every_k),
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Resize planning: compute scale factors + output dims per image from
+    typed metadata (JVM-side); the pixel resample itself belongs to the
+    stubbed codec stage."""
+    return df.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.col("meta.width").alias("src_w"),
+        F.col("meta.height").alias("src_h"),
+        F.lit(target_w).alias("dst_w"),
+        F.lit(target_h).alias("dst_h"),
+        (F.lit(target_w) / F.col("meta.width")).alias("scale_x"),
+        (F.lit(target_h) / F.col("meta.height")).alias("scale_y"),
+    )

@@ -226,23 +226,38 @@ WHERE doc_id < 200
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding: k=6 min-hashes over 3-token shingles, bands of 2 →
 # bucket histogram (band_key groups with >1 doc are near-dup candidates).
+#
+# One md5 per shingle; the k hash functions are affine transforms
+# h_j(s) = (a_j * base(s) + b_j) mod p over the md5-derived base — the
+# standard universal-hashing MinHash family. Integer arithmetic is
+# bit-identical across engines (no per-seed re-hashing: ~k× cheaper).
 # ---------------------------------------------------------------------------
 
 MINHASH_K = 6
 LSH_BAND_ROWS = 2
-
-
-def _minhash_spark(j: int) -> Column:
-    return F.expr(
-        "array_min(transform(sequence(1, size(split(text, ' ')) - 2),"
-        f" i -> md5(concat('{j}|', array_join(slice(split(text, ' '), i, 3), ' ')))))"
-    ).alias(f"h{j}")
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+_MH_A = (1103515245, 1566083941, 784588716, 1481765933, 1184016393, 920419823)
+_MH_B = (12345, 362436069, 521288629, 88675123, 5783321, 6615241)
 
 
 def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select(
-        "doc_id", *[_minhash_spark(j) for j in range(MINHASH_K)]
+    base = docs.withColumn(
+        "bases",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> pmod(CAST(conv(substring(md5(array_join(slice(split(text, ' '), i, 3), ' ')),"
+            f" 1, 15), 16, 10) AS BIGINT), {_MH_P}))"
+        ),
+    )
+    sigs = base.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(bases, h -> pmod({_MH_A[j]} * h + {_MH_B[j]}, {_MH_P})))"
+            ).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ],
     )
     bands = []
     for b in range(MINHASH_K // LSH_BAND_ROWS):
@@ -266,23 +281,28 @@ def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_lsh_sql() -> str:
     hashes = ",\n         ".join(
-        "list_aggregate(list_transform(range(1, len(string_split(text, ' ')) - 1),"
-        f" i -> md5('{j}|' || array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))),"
+        f"list_aggregate(list_transform(bases, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P}),"
         f" 'min') AS h{j}"
         for j in range(MINHASH_K)
     )
     band_rows = []
     for b in range(MINHASH_K // LSH_BAND_ROWS):
         cols = " || '|' || ".join(
-            f"h{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)
+            f"CAST(h{b * LSH_BAND_ROWS + r} AS VARCHAR)" for r in range(LSH_BAND_ROWS)
         )
         band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sigs")
     bands_sql = " UNION ALL ".join(band_rows)
     return f"""
-WITH sigs AS (
+WITH base AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15) AS BIGINT) % {_MH_P}
+         ) AS bases
+  FROM documents
+), sigs AS (
   SELECT doc_id,
          {hashes}
-  FROM documents
+  FROM base
 ), bands AS (
   {bands_sql}
 )

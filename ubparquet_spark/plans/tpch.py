@@ -352,8 +352,170 @@ WHERE o_custkey < 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi join (EXISTS): orders having a late-shipped lineitem, per priority
+# ---------------------------------------------------------------------------
+
+def q_late_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp"))
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1999-01-01'
+)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti join (NOT EXISTS): customers with no orders, per market segment
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dbl(F.sum(money("c_acctbal"))).alias("sum_acctbal"),
+        )
+    )
+
+
+Q_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchy totals (multi-level aggregation in one pass)
+# ---------------------------------------------------------------------------
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dbl(F.sum(money("l_extendedprice"))).alias("sum_price"),
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery filter: customers above global mean balance, per nation
+# ---------------------------------------------------------------------------
+
+def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    mean_bal = cust.agg(
+        (dbl(F.sum(money("c_acctbal"))) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(mean_bal))
+        .filter(money("c_acctbal").cast("double") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+
+
+Q_ABOVE_AVG_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_rich
+FROM customer
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+      (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer)
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Value remap (F9: dict/array lookup remap, notebooks cell-1/2) as CASE
+# ---------------------------------------------------------------------------
+
+def q_priority_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cls = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(0))
+        .when(F.col("o_orderpriority") == "3-MEDIUM", F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    return (
+        orders.select(cls.alias("priority_class"), money("o_totalprice").alias("p"))
+        .groupBy("priority_class")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dbl(F.sum("p")).alias("sum_price"))
+    )
+
+
+Q_REMAP_SQL = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0
+            WHEN o_orderpriority = '3-MEDIUM' THEN 1
+            ELSE 2 END AS priority_class,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic systematic sample (testable stand-in for seeded Bernoulli,
+# SURVEY.md §2.6 R1) — key-mod selection is reproducible in ANSI SQL
+# ---------------------------------------------------------------------------
+
+def q_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.pmod(F.col("l_orderkey"), F.lit(97)) == 3)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dbl(F.sum(money("l_quantity"))).alias("sum_qty"),
+        )
+    )
+
+
+Q_MOD_SAMPLE_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey % 97 = 3
+GROUP BY l_returnflag
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_late_orders_semi": (q_late_orders_semi, Q_SEMI_SQL),
+    "q_customers_without_orders": (q_customers_without_orders, Q_ANTI_SQL),
+    "q_rollup_revenue": (q_rollup_revenue, Q_ROLLUP_SQL),
+    "q_above_avg_balance": (q_above_avg_balance, Q_ABOVE_AVG_SQL),
+    "q_priority_remap": (q_priority_remap, Q_REMAP_SQL),
+    "q_mod_sample": (q_mod_sample, Q_MOD_SAMPLE_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
