@@ -1,0 +1,33 @@
+"""Results must not depend on the caller's session timezone — the driver
+runs queries with its own SparkSession, whose timezone we don't control."""
+
+from __future__ import annotations
+
+import pytest
+
+from ubparquet_spark.plans import events, tpch
+
+from .oracle import assert_matches_oracle
+
+
+@pytest.fixture
+def foreign_tz(spark):
+    original = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield spark
+    spark.conf.set("spark.sql.session.timeZone", original)
+
+
+def test_events_hourly_invariant_to_session_tz(foreign_tz, sf_dir):
+    fn, sql = events.QUERIES["q_events_hourly"]
+    assert_matches_oracle(fn(foreign_tz, sf_dir), sql, sf_dir)
+
+
+def test_sessionize_invariant_to_session_tz(foreign_tz, sf_dir):
+    fn, sql = events.QUERIES["q_events_sessionize"]
+    assert_matches_oracle(fn(foreign_tz, sf_dir), sql, sf_dir)
+
+
+def test_q1_invariant_to_session_tz(foreign_tz, sf_dir):
+    fn, sql = tpch.QUERIES["q1_pricing_summary"]
+    assert_matches_oracle(fn(foreign_tz, sf_dir), sql, sf_dir)

@@ -42,11 +42,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     comparisons agree."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # epoch-nanos -> naive-UTC wall time. timestamp_micros yields a
+        # session-tz-dependent LTZ value, so pin the session to UTC and cast
+        # to TIMESTAMP_NTZ: results are then independent of whatever timezone
+        # the caller's session was created with (the other tables read as NTZ
+        # directly from Parquet).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
