@@ -33,6 +33,12 @@ DRIVER_TABLES = (
 )
 
 
+#: (session id, sf_dir, table) -> DataFrame; avoids re-listing files and
+#: re-reading Parquet footers on every call (a multi-join query loads the
+#: same tables repeatedly — the logical plan is immutable, so sharing is safe)
+_table_cache: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table from a scale-factor directory.
 
@@ -40,6 +46,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default; we read it as long (``nanosAsLong``) and truncate to
     microseconds — the same conversion DuckDB applies, so oracle
     comparisons agree."""
+    key = (id(spark), sf_dir, name)
+    cached = _table_cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _table_cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # epoch-nanos -> naive-UTC wall time. timestamp_micros yields a

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
-from ubparquet_spark.plans.tpch import dbl, money, roundn
+from ubparquet_spark.plans.tpch import dbl, money, roundn, sum_money
 
 
 # ---------------------------------------------------------------------------
@@ -37,8 +37,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dbl(F.sum(money("value"))).alias("sum_value"),
-            roundn(dbl(F.sum(money("value"))) / F.count(F.lit(1))).alias("avg_value"),
+            sum_money("value").alias("sum_value"),
+            roundn(sum_money("value") / F.count(F.lit(1))).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -72,7 +72,7 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dbl(F.sum(money("value"))).alias("sum_value"),
+            sum_money("value").alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
@@ -102,7 +102,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dbl(F.sum(money("value"))).alias("sum_value"),
+            sum_money("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -223,7 +223,7 @@ def q_events_voxelize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = ev.groupBy("vbin", "hbin").agg(
         F.count(F.lit(1)).alias("n"),
-        dbl(F.sum(money("value"))).alias("sum_value"),
+        sum_money("value").alias("sum_value"),
     )
     label_counts = ev.groupBy("vbin", "hbin", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")

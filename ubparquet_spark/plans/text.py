@@ -242,11 +242,13 @@ _MH_B = (12345, 362436069, 521288629, 88675123, 5783321, 6615241)
 
 def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.withColumn(
+    # materialize the token array once — Spark does not eliminate the
+    # repeated split() inside lambda bodies, and tokenization dominates
+    base = docs.withColumn("toks", F.split("text", " ")).withColumn(
         "bases",
         F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2),"
-            " i -> pmod(CAST(conv(substring(md5(array_join(slice(split(text, ' '), i, 3), ' ')),"
+            "transform(sequence(1, size(toks) - 2),"
+            " i -> pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 3), ' ')),"
             f" 1, 15), 16, 10) AS BIGINT), {_MH_P}))"
         ),
     )
