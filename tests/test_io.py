@@ -54,6 +54,14 @@ def test_write_compression_codecs(spark, sf_dir, tmp_path):
             assert any(ext in f for f in files)
 
 
+def test_register_views_sql_surface(spark, sf_dir):
+    uio.register_views(spark, sf_dir)
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0].n
+    assert n == uio.load_table(spark, sf_dir, "lineitem").count()
+
+
 def test_sorted_partitioned_write(spark, sf_dir, tmp_path):
     orders = uio.load_table(spark, sf_dir, "orders")
     path = str(tmp_path / "orders_sorted")

@@ -82,6 +82,16 @@ def load_tables(
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def register_views(
+    spark: SparkSession, sf_dir: str, names: Iterable[str] = DRIVER_TABLES
+) -> None:
+    """Expose the tables as SQL temp views so the whole engine surface is
+    reachable through ``spark.sql(...)`` — schema-on-read, no catalog
+    service (the reference's dynamic-schema position, SURVEY.md §1.3)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 def read_parquet(
     spark: SparkSession,
     *paths: str,

@@ -534,8 +534,115 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Ragged-array profile per order: build an order-preserving array per group
+# (the relational analog of the codec's collect-reassemble, A4/F1) and fold
+# it back to scalars with higher-order functions.
+# ---------------------------------------------------------------------------
+
+def q_order_qty_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    qty = cents("l_quantity")
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("i"), qty.alias("q")))
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(arr.alias("_a"))
+        .select(
+            "l_orderkey",
+            F.size("_a").alias("n_items"),
+            (F.element_at("_a", 1)["q"] / F.lit(100.0)).alias("first_qty"),
+            (F.element_at("_a", -1)["q"] / F.lit(100.0)).alias("last_qty"),
+            (
+                F.aggregate(
+                    "_a", F.lit(0).cast("long"), lambda acc, s: acc + s["q"]
+                )
+                / F.lit(100.0)
+            ).alias("total_qty"),
+        )
+    )
+
+
+Q_ORDER_QTY_PROFILE_SQL = """
+WITH arrs AS (
+  SELECT l_orderkey,
+         list(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+              ORDER BY l_linenumber, CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS a
+  FROM lineitem
+  WHERE l_orderkey < 200
+  GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(a) AS n_items,
+       a[1] / 100.0 AS first_qty,
+       a[-1] / 100.0 AS last_qty,
+       list_sum(a) / 100.0 AS total_qty
+FROM arrs
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping combinations in one pass
+# ---------------------------------------------------------------------------
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+Q_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate filter (TPC-H Q17 shape): lineitems below 50% of
+# their part's average quantity
+# ---------------------------------------------------------------------------
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (sum_money("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            roundn(sum_money("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
+
+
+Q_SMALL_QTY_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_rows,
+       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+FROM lineitem JOIN part_avg USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_order_qty_profile": (q_order_qty_profile, Q_ORDER_QTY_PROFILE_SQL),
+    "q_cube_orders": (q_cube_orders, Q_CUBE_SQL),
+    "q_small_quantity_revenue": (q_small_quantity_revenue, Q_SMALL_QTY_SQL),
     "q_late_orders_semi": (q_late_orders_semi, Q_SEMI_SQL),
     "q_customers_without_orders": (q_customers_without_orders, Q_ANTI_SQL),
     "q_rollup_revenue": (q_rollup_revenue, Q_ROLLUP_SQL),

@@ -79,6 +79,22 @@ def session_aggregate(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    *,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup: drop duplicate ``keys`` tuples, keeping state
+    only within the watermark horizon — the unbounded-state-safe streaming
+    version of the batch dedup audit (A1). Uses Spark's
+    ``dropDuplicatesWithinWatermark`` so old keys age out of the state
+    store instead of accumulating forever (the 100 TB requirement for any
+    continuous dedup)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, query_name: str
 ) -> None:
