@@ -638,8 +638,44 @@ WHERE l_quantity < 0.5 * avg_qty
 """
 
 
+# ---------------------------------------------------------------------------
+# Q6 — forecasting revenue (pure filter+agg: the pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q_order_qty_profile": (q_order_qty_profile, Q_ORDER_QTY_PROFILE_SQL),
     "q_cube_orders": (q_cube_orders, Q_CUBE_SQL),
     "q_small_quantity_revenue": (q_small_quantity_revenue, Q_SMALL_QTY_SQL),
