@@ -235,8 +235,64 @@ GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# Batched ANN: top-3 neighbors for each of a batch of query vectors in ONE
+# join+window pass (how a serving pipeline issues ANN: per-batch, not
+# per-query jobs).
+# ---------------------------------------------------------------------------
+
+N_QUERY_BATCH = 5
+
+
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_BATCH).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            roundn(
+                _dot("embedding", "qvec")
+                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+Q_KNN_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < {N_QUERY_BATCH}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         FLOOR(({_sql_dot("e.embedding", "q.qvec")}
+                / SQRT({_sql_dot("e.embedding", "e.embedding")} * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
+    "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),

@@ -673,9 +673,152 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q10 shape — returned-items revenue per customer (join + filter + top-k)
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum_revenue("l_extendedprice", "l_discount").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — promo revenue share (LIKE predicate + conditional aggregation)
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (promo_rev / F.lit(10000.0)).alias("promo_revenue"),
+            (F.sum(rev) / F.lit(10000.0)).alias("total_revenue"),
+            roundn(
+                F.lit(100.0) * promo_rev.cast("double") / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q14_SQL = """
+WITH c AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+         * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+)
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+       CAST(SUM(rev) AS DOUBLE) / 10000.0 AS total_revenue,
+       FLOOR((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE)
+              / CAST(SUM(rev) AS DOUBLE)) * 10000 + 0.5) / 10000 AS promo_pct
+FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive multi-clause predicate (OR of conjunction groups)
+# ---------------------------------------------------------------------------
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#11")
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("p_size") <= 10)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#22")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+        & (F.col("p_size") <= 20)
+    )
+    clause3 = (F.col("p_type") == "LARGE") & (F.col("l_quantity") >= 25)
+    return joined.filter(clause1 | clause2 | clause3).agg(
+        sum_revenue("l_extendedprice", "l_discount").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
+   OR (p_brand = 'Brand#22' AND l_quantity BETWEEN 10 AND 30 AND p_size <= 20)
+   OR (p_type = 'LARGE' AND l_quantity >= 25)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction (F-table "regex" row): parse the numeric id out of the
+# document source tag and aggregate per bucket
+# ---------------------------------------------------------------------------
+
+def q_regex_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("long")
+    return (
+        docs.select((src_num % 10).alias("source_bucket"), "n_chars")
+        .groupBy("source_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+Q_REGEX_SQL = """
+SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 10 AS source_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q19_disjunctive": (q19_disjunctive, Q19_SQL),
+    "q_regex_source_buckets": (q_regex_source_buckets, Q_REGEX_SQL),
     "q_order_qty_profile": (q_order_qty_profile, Q_ORDER_QTY_PROFILE_SQL),
     "q_cube_orders": (q_cube_orders, Q_CUBE_SQL),
     "q_small_quantity_revenue": (q_small_quantity_revenue, Q_SMALL_QTY_SQL),
