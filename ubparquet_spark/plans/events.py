@@ -261,7 +261,99 @@ FROM cells c JOIN ranked r ON c.vbin = r.vbin AND c.hbin = r.hbin AND r.rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Pivot (F11 sparse->wide): event_type counts as columns per user
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+Q_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(f"COUNT(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events
+WHERE user_id < 50
+GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (F12 wide->long): melt numeric metrics into (metric, value) rows
+# ---------------------------------------------------------------------------
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.plans.tpch import cents
+
+    li = load_table(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_orderkey",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        ).alias("metric", "value"),
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+Q_UNPIVOT_SQL = """
+WITH m AS (
+  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+)
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM m
+GROUP BY metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week profile (date-part functions; Spark dayofweek is 1=Sunday,
+# DuckDB isodow is 1=Monday — aligned via (isodow % 7) + 1)
+# ---------------------------------------------------------------------------
+
+def q_events_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.dayofweek("ts").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_money("value").alias("sum_value"),
+        )
+    )
+
+
+Q_EVENTS_DOW_SQL = """
+SELECT CAST(date_part('isodow', ts) % 7 + 1 AS BIGINT) AS dow,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_pivot_user_events": (q_pivot_user_events, Q_PIVOT_SQL),
+    "q_unpivot_metrics": (q_unpivot_metrics, Q_UNPIVOT_SQL),
+    "q_events_dow": (q_events_dow, Q_EVENTS_DOW_SQL),
     "q_events_hourly": (q_events_hourly, Q_EVENTS_HOURLY_SQL),
     "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
     "q_events_sessionize": (q_events_sessionize, Q_EVENTS_SESSIONIZE_SQL),
