@@ -56,6 +56,19 @@ def test_distinct_prunes_to_single_column(spark, sf_dir):
     assert "c_acctbal" not in read and "c_name" not in read
 
 
+def test_partition_pruning_on_partitioned_write(spark, sf_dir, tmp_path):
+    """Writes partitioned by a column are pruned at the directory level."""
+    from ubparquet_spark.io import load_table, write_parquet
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orders_part")
+    write_parquet(load_table(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"])
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = plan_text(df)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan[plan.index("PartitionFilters"):].splitlines()[0]
+
+
 def test_semi_and_anti_join_shapes(spark, sf_dir):
     semi = plan_text(tpch.q_late_orders_semi(spark, sf_dir))
     anti = plan_text(tpch.q_customers_without_orders(spark, sf_dir))

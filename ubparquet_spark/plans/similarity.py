@@ -290,9 +290,47 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-label centroids (the IVF coarse-quantizer building block): element-wise
+# mean vector per label via positional explode — one shuffle keyed by
+# (label, dim), linear in N x dims.
+# ---------------------------------------------------------------------------
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .filter(F.col("dim") < 8)  # first 8 dims keep the result compact
+        .groupBy("label", "dim")
+        .agg(
+            roundn(
+                F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+Q_LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS centroid_v,
+       COUNT(*) AS n_vecs
+FROM e
+WHERE dim < 8
+GROUP BY label, dim
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
     "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),
+    "q_label_centroids": (q_label_centroids, Q_LABEL_CENTROIDS_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),

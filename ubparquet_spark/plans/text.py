@@ -440,7 +440,61 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF (rational idf = N/df to stay transcendental-free): top term per
+# document by tf * N/df, deterministic tie-breaks.
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_docs = docs.count()  # tiny driver-side scalar; fixed per sf
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_counts, "token").select(
+        "doc_id",
+        "token",
+        roundn(F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), "tfidf")
+    )
+
+
+Q_TFIDF_SQL = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM d)
+  GROUP BY doc_id, token
+), dfc AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM d
+), scored AS (
+  SELECT doc_id, token,
+         FLOOR((tf * CAST(n_docs AS DOUBLE) / df) * 10000 + 0.5) / 10000 AS tfidf
+  FROM tf JOIN dfc USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_tfidf_top_term": (q_tfidf_top_term, Q_TFIDF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
