@@ -111,6 +111,20 @@ def test_explode_tensors_parallel_alignment(spark):
             assert o.ssnet_label[0] == labels[o.idx]
 
 
+def test_map_view_lookup(spark):
+    """Parallel-list map -> MapType -> element_at lookup (J1 probe side)."""
+    df = spark.createDataFrame(
+        [([101, 205, 333], [1, 2, 3])],
+        "voxinstancelist array<long>, voxidlist array<long>",
+    )
+    out = codec.map_view(df, "voxinstancelist", "voxidlist", "inst2id")
+    row = out.select(
+        F.element_at("inst2id", F.lit(205)).alias("hit"),
+        F.element_at("inst2id", F.lit(999)).alias("miss"),
+    ).collect()[0]
+    assert row.hit == 2 and row.miss is None
+
+
 @pytest.mark.parametrize("shape", [(13, 1), (1, 5), (30, 4)])
 def test_roundtrip_parquet_edge_shapes(spark, tmp_path, shape):
     """Write → read → decode round-trip through actual Parquet files."""

@@ -177,6 +177,19 @@ def explode_tensors(
     )
 
 
+def map_view(
+    df: DataFrame, keys_col: str, vals_col: str, out_col: str = "map"
+) -> DataFrame:
+    """MapType view over the parallel-list map encoding (SURVEY.md §7 hard
+    part 6): the reference stores a key-value map as two parallel list
+    columns (``voxinstancelist``/``voxidlist``,
+    ``dlmerged2parquet.py:253-261``) and re-zips a dict at read time
+    (``view_voxel_data.ipynb:cell-5``). Storage keeps the parallel lists
+    (file fidelity); this adds the queryable map for lookups with
+    ``element_at`` — the J1 hash-map lookup join surface."""
+    return df.withColumn(out_col, F.map_from_arrays(F.col(keys_col), F.col(vals_col)))
+
+
 def reassemble_tensor(
     df: DataFrame,
     point_col: str,

@@ -1,0 +1,93 @@
+"""Near-duplicate clustering: connected components over candidate pairs.
+
+After MinHash-LSH banding (``plans.text.q_minhash_lsh_buckets``) or
+embedding near-dup pairing (``plans.similarity.q_embedding_neardup``), a
+dedup pipeline must group transitively-connected documents and pick one
+canonical representative per group. This is connected components on the
+candidate-pair graph — an iterative algorithm (no single SQL expression),
+implemented as label propagation:
+
+  every node starts labeled with its own id; each round, every node adopts
+  the minimum label in its neighborhood; stop when no label changes.
+
+Rounds needed = graph diameter (small for near-dup clusters); each round is
+two shuffles (join + groupBy-min). At 100 TB scale this is the standard
+map-reduce CC ("hash-to-min"): state is one (node, label) pair per node,
+convergence is detected with a cheap count of changed labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Return (node, component) where component = min node id reachable.
+
+    ``edges`` is an undirected pair list; isolated nodes absent from it are
+    their own components by definition (callers union them in)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    edges: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Full dedup decision table: every id mapped to its canonical
+    representative (min id of its component; singletons map to themselves)
+    plus an ``is_canonical`` flag — the keep/drop list of a dedup job."""
+    comps = connected_components(edges, src, dst)
+    out = (
+        all_ids.select(F.col(id_col).alias("node"))
+        .join(comps, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+    return out
