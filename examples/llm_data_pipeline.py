@@ -1,0 +1,76 @@
+"""End-to-end LLM training-data pipeline demo on this engine.
+
+The extension-surface workflow (BASELINE.json north star), one script:
+  1. quality-score and filter documents (token/stopword heuristics),
+  2. MinHash near-dup candidates -> connected components -> canonical
+     keep/drop dedup decision,
+  3. language-ID the survivors,
+  4. embedding side: LSH-bucketed near-dup pairs + batched top-k ANN,
+  5. emit the final curated set as sorted Parquet.
+
+Run: python examples/llm_data_pipeline.py [sf_dir] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from ubparquet_spark.functions.dedup_clusters import dedup_groups
+from ubparquet_spark.io import load_table, write_parquet
+from ubparquet_spark.plans.similarity import q_embedding_neardup, q_knn_batch
+from ubparquet_spark.plans.text import (
+    q_doc_quality,
+    q_lang_id,
+    q_ngram_jaccard_pairs,
+)
+from ubparquet_spark.session import get_session
+
+
+def main(sf_dir: str, workdir: str) -> None:
+    spark = get_session("llm-data-pipeline")
+
+    # 1. quality filter (keep docs with enough stopword signal + length)
+    quality = q_doc_quality(spark, sf_dir)
+    keep_quality = quality.filter(F.col("quality_score") > 0.15).select("doc_id")
+    print(f"quality gate: {keep_quality.count()} / {quality.count()} docs pass")
+
+    # 2. near-dup dedup: candidates -> components -> canonical decision
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    decisions = dedup_groups(pairs, docs.filter(F.col("doc_id") < 150), "doc_id")
+    n_drop = decisions.filter(~F.col("is_canonical")).count()
+    print(f"dedup: dropping {n_drop} near-duplicate docs")
+
+    # 3. language distribution of the curated set
+    langs = q_lang_id(spark, sf_dir)
+    print("lang-ID confusion rows:", langs.count())
+
+    # 4. embeddings: near-dup audit + batched ANN
+    emb_dups = q_embedding_neardup(spark, sf_dir)
+    knn = q_knn_batch(spark, sf_dir)
+    print(f"embedding near-dup pairs: {emb_dups.count()}; ANN rows: {knn.count()}")
+
+    # 5. final curated output: quality-passing, canonical docs
+    curated = (
+        docs.join(keep_quality, "doc_id")
+        .join(decisions.filter(F.col("is_canonical")).select("doc_id"), "doc_id")
+    )
+    out = f"{workdir}/curated_documents"
+    write_parquet(curated, out, sort_within_partitions_by=["doc_id"])
+    n = spark.read.parquet(out).count()
+    print(f"curated set written: {n} docs -> {out}")
+    print("pipeline OK")
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
+    main(sf, wd)

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
-from ubparquet_spark.plans.tpch import dbl, money, roundn, sum_money
+from ubparquet_spark.plans.tpch import roundn, sum_money
 
 
 # ---------------------------------------------------------------------------
@@ -292,8 +292,6 @@ GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ubparquet_spark.plans.tpch import cents
-
     li = load_table(spark, sf_dir, "lineitem")
     melted = li.select(
         "l_orderkey",
