@@ -1,0 +1,107 @@
+"""Data-quality checks: the reference's inline invariants as queries.
+
+The reference asserts correctness ad-hoc inside loading code — duplicate
+voxel coords (``larvoxel_dataset.py:101-110``), plane-index bounds
+(``make_larmatch_parquet_data.py:94-97``), round-trip prints
+(``readparquet.py:37-42``). Here each invariant is a DataFrame query that
+returns its VIOLATIONS (empty result = healthy), so the same checks run as
+unit tests, as batch audits over a whole 100 TB lake, or as streaming
+monitors — they're plans, not procedural asserts.
+
+Corresponds to FIXTURES.md §C invariants C2-C6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ubparquet_spark.codec import shape_column, tensor_columns
+
+
+def check_unique_key(df: DataFrame, keys: list[str]) -> DataFrame:
+    """C6: the composite key is unique — returns duplicated key tuples."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def check_shape_products(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """C2: ``product(X_shape) == size(X)`` for every tensor pair."""
+    from ubparquet_spark.codec import validate_tensors
+
+    return validate_tensors(df, cols)
+
+
+def check_parallel_leading_dims(
+    df: DataFrame, cols: list[str], keys: list[str]
+) -> DataFrame:
+    """C5: parallel tensors of one event share the leading dimension N —
+    returns rows where any listed tensor disagrees with the first."""
+    first = F.element_at(F.col(shape_column(cols[0])), 1)
+    conds = [
+        F.element_at(F.col(shape_column(c)), 1) != first for c in cols[1:]
+    ]
+    bad = conds[0]
+    for c in conds[1:]:
+        bad = bad | c
+    return df.filter(bad).select(
+        *keys,
+        *[F.element_at(F.col(shape_column(c)), 1).alias(f"n_{c}") for c in cols],
+    )
+
+
+def check_value_bounds(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float | None = None,
+    hi: float | None = None,
+    keys: list[str] = (),
+) -> DataFrame:
+    """C4-style bounds over a flattened array column (e.g. plane indices
+    below image width): returns per-row min/max where any element is out
+    of [lo, hi]."""
+    arr_min = F.array_min(F.col(col))
+    arr_max = F.array_max(F.col(col))
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (arr_min < lo)
+    if hi is not None:
+        cond = cond | (arr_max > hi)
+    return df.filter(cond).select(
+        *keys, arr_min.alias(f"min_{col}"), arr_max.alias(f"max_{col}")
+    )
+
+
+def check_no_duplicate_points(
+    df: DataFrame, coord_col: str, keys: list[str]
+) -> DataFrame:
+    """C3: no duplicate coordinate rows within an event (the voxel-coord
+    invariant) — operates directly on flattened storage via the per-point
+    view."""
+    from ubparquet_spark.codec import explode_tensor
+
+    pts = explode_tensor(df, coord_col, list(keys))
+    return (
+        pts.groupBy(*keys, f"{coord_col}_point")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def audit(df: DataFrame, keys: list[str]) -> dict[str, int]:
+    """Run the generic checks and return violation counts per check —
+    the whole-lake health report."""
+    out = {
+        "unique_key": check_unique_key(df, keys).count(),
+        "shape_products": check_shape_products(df).count(),
+    }
+    tcols = tensor_columns(df)
+    if len(tcols) >= 2:
+        out["parallel_leading_dims"] = check_parallel_leading_dims(
+            df, tcols, keys
+        ).count()
+    return out
