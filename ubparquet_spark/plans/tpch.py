@@ -812,8 +812,133 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# RANGE window frame: rolling 7-day order revenue per customer. Range frames
+# aggregate over a VALUE interval, so equal-timestamp ties need no
+# tie-break — deterministic by construction.
+# ---------------------------------------------------------------------------
+
+def q_rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 10)
+    # day counts, not epochs: datediff is timezone-free (unix_timestamp would
+    # shift with the caller's session tz, incl. DST-dependent offsets)
+    days = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day_n")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_n")
+        .rangeBetween(-7, 0)
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", days, cents("o_totalprice").alias("_c"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum("_c").over(w) / F.lit(100.0)).alias("rolling_7d_total"),
+            F.count(F.lit(1)).over(w).alias("rolling_7d_orders"),
+        )
+    )
+
+
+Q_ROLLING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100.0 AS rolling_7d_total,
+       COUNT(*) OVER w AS rolling_7d_orders
+FROM orders
+WHERE o_custkey < 10
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+  RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# LAG: days between consecutive orders per customer -> mean gap per segment
+# ---------------------------------------------------------------------------
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn(
+            "gap_days",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).cast("double"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            roundn(F.sum("gap_days") / F.count(F.lit(1))).alias("avg_gap_days"),
+        )
+    )
+
+
+Q_ORDER_GAPS_SQL = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', LAG(o_orderdate) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS DOUBLE) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment, COUNT(*) AS n_gaps,
+       FLOOR((SUM(gap_days) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_gap_days
+FROM g JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact cross-engine stddev: from integer sums (sum, sum of squares) so the
+# intermediate is an exact rational; only the final sqrt runs in double
+# (IEEE sqrt is correctly rounded — identical in both engines).
+# ---------------------------------------------------------------------------
+
+def q_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # whole-dollar ints for the squared sum: v^2 ~ 1e10 keeps sum(v*v) within
+    # BIGINT at any realistic scale factor (cents^2 would overflow at sf>=0.1)
+    v = F.expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)")
+    n = F.count(F.lit(1)).cast("double")
+    s = F.sum(v).cast("double")
+    sq = F.sum(v * v).cast("double")
+    var = (n * sq - s * s) / (n * (n - F.lit(1.0)))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        roundn(F.sum(cents("l_extendedprice")).cast("double") / n / F.lit(100.0)).alias("mean_price"),
+        roundn(F.sqrt(var), 2).alias("stddev_price"),
+    )
+
+
+Q_PRICE_STATS_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS v,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS vc
+  FROM lineitem
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       FLOOR((CAST(SUM(vc) AS DOUBLE) / COUNT(*) / 100.0) * 10000 + 0.5) / 10000 AS mean_price,
+       FLOOR(SQRT((COUNT(*) * CAST(SUM(v*v) AS DOUBLE) - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE))
+                  / (COUNT(*) * (COUNT(*) - 1.0))) * 100 + 0.5) / 100 AS stddev_price
+FROM c
+GROUP BY l_returnflag
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_rolling_7day_revenue": (q_rolling_7day_revenue, Q_ROLLING_SQL),
+    "q_order_gaps": (q_order_gaps, Q_ORDER_GAPS_SQL),
+    "q_price_stats": (q_price_stats, Q_PRICE_STATS_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
