@@ -46,6 +46,24 @@ def test_radius_join_distance_values(spark):
     assert abs(pairs[(0, 1)] - 5.0) < 1e-12
 
 
+def test_scatter_add_vector_elementwise(spark):
+    """Vector scatter-add: element-wise sums per destination vs numpy."""
+    edges = spark.createDataFrame(
+        [
+            (1, 0, 0, 10, [1.0, 2.0, 3.0]),
+            (1, 0, 0, 10, [0.5, 0.5, 0.5]),
+            (1, 0, 0, 20, [2.0, 0.0, -1.0]),
+        ],
+        "run long, subrun long, event long, b_id long, feat array<double>",
+    )
+    out = {
+        r.b_id: r.sum_feat
+        for r in spatial.scatter_add_vector(edges, "feat").collect()
+    }
+    assert out[10] == [1.5, 2.5, 3.5]
+    assert out[20] == [2.0, 0.0, -1.0]
+
+
 def test_neighbor_degree_and_scatter_add(spark):
     df = spark.createDataFrame(
         [

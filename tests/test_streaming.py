@@ -38,6 +38,17 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = sw.read_event_stream(spark, src).select("event_id", "event_type")
+    out_dir = str(tmp_path / "sink_out")
+    sw.run_foreach_batch_parquet(stream, out_dir, str(tmp_path / "ckpt_fb"))
+    written = spark.read.parquet(out_dir)
+    n_src = spark.read.parquet(src).count()
+    assert written.count() == n_src
+    assert "_batch_id" in written.columns
+
+
 def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
     src = _stage_events(spark, sf_dir, tmp_path)
     stream = sw.read_event_stream(spark, src).filter(F.col("user_id") < 20)

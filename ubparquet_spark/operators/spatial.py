@@ -111,3 +111,29 @@ def scatter_add(
     """A9: group-sum by destination node
     (``larennet/larennet.py:91,99,106``: ``scatter(edge_features, edge_dst)``)."""
     return edges.groupBy(*keys, dst_col).agg(F.sum(value_col).alias(f"sum_{value_col}"))
+
+
+def scatter_add_vector(
+    edges: DataFrame,
+    vec_col: str,
+    dst_col: str = "b_id",
+    keys: list[str] = EVENT_KEY,
+) -> DataFrame:
+    """A9 for VECTOR features: element-wise sum of array columns per
+    destination (the reference scatters k-dim edge features, not scalars).
+
+    Positional explode → scalar partial-aggregatable sum per (dst, dim) →
+    re-collect ordered by dim. Scales as a single shuffle keyed by
+    (dst, dim); no Python, no per-group quadratic work."""
+    dims = (
+        edges.select(*keys, dst_col, F.posexplode(vec_col).alias("_dim", "_v"))
+        .groupBy(*keys, dst_col, "_dim")
+        .agg(F.sum("_v").alias("_s"))
+    )
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("_dim").alias("d"), F.col("_s").alias("s")))
+    )
+    return (
+        dims.groupBy(*keys, dst_col)
+        .agg(F.transform(ordered, lambda x: x["s"]).alias(f"sum_{vec_col}"))
+    )

@@ -95,6 +95,32 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def run_foreach_batch_parquet(
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink pattern: each micro-batch lands as Parquet with the
+    batch id as a provenance column — the idempotent-append production sink
+    (exactly-once per batch id under checkpointing)."""
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, query_name: str
 ) -> None:
