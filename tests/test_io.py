@@ -54,6 +54,17 @@ def test_write_compression_codecs(spark, sf_dir, tmp_path):
             assert any(ext in f for f in files)
 
 
+def test_save_npz_roundtrip(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    nation = uio.load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation.npz")
+    uio.save_npz(nation, path)
+    back = np.load(path, allow_pickle=True)
+    assert set(back.files) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert len(back["n_nationkey"]) == nation.count()
+
+
 def test_register_views_sql_surface(spark, sf_dir):
     uio.register_views(spark, sf_dir)
     n = spark.sql(

@@ -145,6 +145,18 @@ def write_parquet(
     writer.parquet(path)
 
 
+def save_npz(df: DataFrame, path: str, *, compressed: bool = True) -> None:
+    """NPZ edge sink (S8, reference ``root2npyz.py:49``): materialize a
+    (small, already-reduced) DataFrame as a dict-of-arrays ``.npz``. This is
+    a driver-edge utility for handing results to numpy consumers — NOT a
+    distributed sink; use Parquet for anything large."""
+    import numpy as np
+
+    table = df.toArrow()
+    arrays = {name: table.column(name).to_numpy(zero_copy_only=False) for name in table.column_names}
+    (np.savez_compressed if compressed else np.savez)(path, **arrays)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -934,8 +934,86 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Set operations: customers active in both years (INTERSECT) and early-only
+# customers (EXCEPT)
+# ---------------------------------------------------------------------------
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active_in(year: int):
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    both = active_in(1996).intersect(active_in(1999)).withColumn(
+        "cohort", F.lit("both_96_99")
+    )
+    only96 = active_in(1996).exceptAll(active_in(1999)).withColumn(
+        "cohort", F.lit("only_96")
+    )
+    return (
+        both.unionByName(only96)
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q_SET_OPS_SQL = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+), y99 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1999
+), cohorts AS (
+  SELECT o_custkey, 'both_96_99' AS cohort FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y99)
+  UNION ALL
+  SELECT o_custkey, 'only_96' AS cohort FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y99)
+)
+SELECT cohort, COUNT(*) AS n_customers FROM cohorts GROUP BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# String functions (F10 + general string surface): substring / upper /
+# trim / format_string with printf semantics shared by both engines
+# ---------------------------------------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    first_word = F.upper(F.trim(F.substring_index("p_name", " ", 1)))
+    tag = F.format_string("%s#%d", F.lower("p_brand"), (F.col("p_size") % 5))
+    return (
+        part.select(first_word.alias("first_word"), tag.alias("brand_tag"))
+        .groupBy("first_word")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.countDistinct("brand_tag").alias("n_tags"),
+            F.min("brand_tag").alias("min_tag"),
+        )
+    )
+
+
+Q_STRING_FUNCS_SQL = """
+WITH s AS (
+  SELECT UPPER(TRIM(string_split(p_name, ' ')[1])) AS first_word,
+         printf('%s#%d', LOWER(p_brand), p_size % 5) AS brand_tag
+  FROM part
+)
+SELECT first_word, COUNT(*) AS n_parts,
+       COUNT(DISTINCT brand_tag) AS n_tags,
+       MIN(brand_tag) AS min_tag
+FROM s
+GROUP BY first_word
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_set_ops_customers": (q_set_ops_customers, Q_SET_OPS_SQL),
+    "q_string_funcs": (q_string_funcs, Q_STRING_FUNCS_SQL),
     "q_rolling_7day_revenue": (q_rolling_7day_revenue, Q_ROLLING_SQL),
     "q_order_gaps": (q_order_gaps, Q_ORDER_GAPS_SQL),
     "q_price_stats": (q_price_stats, Q_PRICE_STATS_SQL),
