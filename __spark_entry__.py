@@ -21,21 +21,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
-    """name -> (fn, oracle_sql | None), collected from plan modules."""
+    """name -> (fn, oracle_sql | None), collected from plan modules.
+
+    Imports are deliberately NOT wrapped in try/except: a broken plan module
+    must fail loudly here rather than silently shrinking the registry."""
+    from ubparquet_spark.plans import events, similarity, text, tpch
+
     reg: dict[str, tuple] = {}
-
-    from ubparquet_spark.plans import tpch
-
-    reg.update(tpch.QUERIES)
-
-    for modname in ("events", "text", "similarity"):
-        try:
-            import importlib
-
-            mod = importlib.import_module(f"ubparquet_spark.plans.{modname}")
-            reg.update(mod.QUERIES)
-        except ImportError:
-            pass
+    for mod in (tpch, events, text, similarity):
+        overlap = reg.keys() & mod.QUERIES.keys()
+        assert not overlap, f"duplicate query names: {overlap}"
+        reg.update(mod.QUERIES)
     return reg
 
 
