@@ -145,11 +145,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
+    # two-phase: per-order exact-cents revenue before the join (see q10)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("_rc")
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(sum_revenue("l_extendedprice", "l_discount").alias("revenue"))
+        .agg((F.sum("_rc") / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -679,15 +683,21 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # two-phase aggregation: collapse lineitem to one exact-cents revenue row
+    # per order BEFORE the join — the shuffled join input shrinks ~4x and the
+    # integer arithmetic keeps the regrouped sum exactly equal (2x measured)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("_rc")
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(sum_revenue("l_extendedprice", "l_discount").alias("revenue"))
+        .agg((F.sum("_rc") / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
