@@ -18,7 +18,6 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,8 +68,8 @@ def array_subsample(
     )
 
 
-def iter_arrow_batches(df: DataFrame) -> Iterator["np.ndarray"]:
-    """U3 serving edge: iterate Arrow record batches (replaces the
+def iter_arrow_batches(df: DataFrame) -> Iterator["object"]:
+    """U3 serving edge: iterate pyarrow RecordBatch objects (replaces the
     per-row ``.rdd.collect()`` pickle path the reference flags as slow,
     ``larmatch_dataset.py:188-192``)."""
     for batch in df.toArrow().to_batches():
