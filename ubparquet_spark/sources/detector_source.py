@@ -30,7 +30,12 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA_DDL = (
     "run bigint, subrun bigint, event bigint, "
@@ -85,8 +90,40 @@ class DetectorEventReader(DataSourceReader):
         )
 
 
+class DetectorEventStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: each micro-batch delivers the next ``files_per_batch``
+    'files' of events — the continuous-arrival upgrade of the reference's
+    re-glob pattern (``larmatch2d/larmatch_dataset.py:246``). Offsets are
+    file indices, so restarts resume exactly at the committed file."""
+
+    def __init__(self, options: dict):
+        self.events_per_file = int(options.get("events_per_file", "4"))
+        self.files_per_batch = int(options.get("files_per_batch", "2"))
+        self.max_files = int(options.get("max_files", "6"))
+
+    def initialOffset(self) -> dict:
+        return {"file_index": 0}
+
+    def read(self, start: dict):
+        i = start["file_index"]
+        if i >= self.max_files:
+            return iter([]), {"file_index": i}
+        end = min(i + self.files_per_batch, self.max_files)
+        rows = []
+        for f in range(i, end):
+            rows.extend(synthetic_file_events(f"stream_{f}", f, self.events_per_file))
+        return iter(rows), {"file_index": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for f in range(start["file_index"], end["file_index"]):
+            rows.extend(synthetic_file_events(f"stream_{f}", f, self.events_per_file))
+        return iter(rows)
+
+
 class DetectorEventDataSource(DataSource):
-    """``spark.read.format("detector_events")`` source."""
+    """``spark.read.format("detector_events")`` (batch) and
+    ``spark.readStream.format("detector_events")`` (micro-batch) source."""
 
     @classmethod
     def name(cls) -> str:
@@ -97,3 +134,6 @@ class DetectorEventDataSource(DataSource):
 
     def reader(self, schema) -> DetectorEventReader:
         return DetectorEventReader(self.options)
+
+    def simpleStreamReader(self, schema) -> DetectorEventStreamReader:
+        return DetectorEventStreamReader(self.options)
