@@ -131,8 +131,12 @@ def explode_tensor(
     point_col = point_col or col + "_point"
     k = row_width(F.col(shape_column(col)))
     n = F.element_at(F.col(shape_column(col)), 1)
+    # guard n == 0: sequence(0, -1) would infer step -1 and emit phantom rows
+    idx = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
     pairs = F.transform(
-        F.sequence(F.lit(0).cast("long"), n - 1),
+        idx,
         lambda i: F.struct(
             i.alias("i"),
             F.slice(F.col(col), (i * k + 1).cast("int"), k.cast("int")).alias("pt"),
@@ -157,8 +161,11 @@ def explode_tensors(
     first = cols[0]
     k_exprs = {c: row_width(F.col(shape_column(c))) for c in cols}
     n = F.element_at(F.col(shape_column(first)), 1)
+    idx = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
     pairs = F.transform(
-        F.sequence(F.lit(0).cast("long"), n - 1),
+        idx,
         lambda i: F.struct(
             i.alias("i"),
             *[
