@@ -1,0 +1,52 @@
+"""As-of join operator semantics: inclusivity, ties, missing priors."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from ubparquet_spark.operators.asof import as_of_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # prior right at 09:00
+            (2, 10, _ts("2024-01-01 09:00:00")),  # exactly equal ts -> inclusive
+            (3, 10, _ts("2024-01-01 08:00:00")),  # no prior right -> null
+            (4, 20, _ts("2024-01-01 12:00:00")),  # other key
+        ],
+        "id long, k long, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:00:00"), 100.0),
+            (10, _ts("2024-01-01 09:30:00"), 200.0),
+            (20, _ts("2024-01-01 11:00:00"), 300.0),
+        ],
+        "k long, rts timestamp_ntz, v double",
+    )
+    out = {
+        r.id: (r.asof_rts, r.asof_v)
+        for r in as_of_join(
+            left, right, ["k"], left_ts="ts", right_ts="rts", right_payload=["rts", "v"]
+        ).collect()
+    }
+    assert out[1] == (_ts("2024-01-01 09:30:00"), 200.0)  # latest prior
+    assert out[2] == (_ts("2024-01-01 09:00:00"), 100.0)  # equal ts inclusive
+    assert out[3] == (None, None)                          # nothing prior
+    assert out[4] == (_ts("2024-01-01 11:00:00"), 300.0)  # keys isolated
+
+
+def test_asof_preserves_left_rowcount(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from ubparquet_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    out = as_of_join(purchases, clicks, ["user_id"], left_ts="ts", right_ts="cts", right_payload=["cts"])
+    assert out.count() == purchases.count()

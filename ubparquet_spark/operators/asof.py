@@ -1,0 +1,70 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively.
+
+For every left row, find the single most recent right row with
+``right_ts <= left_ts`` within the same key (inclusive, matching DuckDB /
+kdb+ ASOF semantics). The classic implementation choices are a range join
+(O(n·m) per key) or a sort-merge; Spark-first, we use the union+window
+technique:
+
+  1. tag and union both sides,
+  2. one window per key ordered by (ts, side) — right rows sort before
+     left rows at equal timestamps so ties are inclusive,
+  3. ``last(right_payload, ignoreNulls=True)`` over the unbounded-preceding
+     frame carries the latest right row forward,
+  4. keep the left rows.
+
+Cost: ONE shuffle on the key + a linear window pass — the same shape as a
+sort-merge join, no per-key quadratic work, no skew beyond what the key
+distribution already has. At 100 TB this is the right plan: both inputs
+co-partition on the key and stream through the window in timestamp order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left rows + the latest right payload at or before each left row's
+    timestamp. Left rows with no prior right row carry nulls."""
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("_side"),
+        F.col(left_ts).alias("_ts"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_payload],
+    )
+    tagged_right = right.select(
+        *[
+            F.col(c) if c in on else F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc("_ts"), F.asc("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -348,7 +348,48 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join: each purchase paired with the user's most recent prior click
+# (inclusive <=, DuckDB/kdb ASOF semantics). Spark has no native ASOF —
+# operators.asof implements it as union + ordered window (one shuffle).
+# ---------------------------------------------------------------------------
+
+def q_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.asof import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = as_of_join(
+        purchases,
+        clicks,
+        ["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_payload=["click_ts"],
+    )
+    return out.filter(F.col("asof_click_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_click_ts").alias("prev_click_ts"),
+    )
+
+
+Q_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS prev_click_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_asof_prev_click": (q_asof_prev_click, Q_ASOF_SQL),
     "q_pivot_user_events": (q_pivot_user_events, Q_PIVOT_SQL),
     "q_unpivot_metrics": (q_unpivot_metrics, Q_UNPIVOT_SQL),
     "q_events_dow": (q_events_dow, Q_EVENTS_DOW_SQL),

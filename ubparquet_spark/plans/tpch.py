@@ -1020,8 +1020,26 @@ GROUP BY first_word
 """
 
 
+# ---------------------------------------------------------------------------
+# Sketch aggregates (HLL distinct + quantile sketch): approximate by design,
+# so there is NO cross-engine oracle — the driver records a rows-only check.
+# At 100 TB these replace exact countDistinct/percentile when a bounded
+# error beats a full shuffle of all distinct values.
+# ---------------------------------------------------------------------------
+
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_sketch_stats": (q_sketch_stats, None),
     "q_set_ops_customers": (q_set_ops_customers, Q_SET_OPS_SQL),
     "q_string_funcs": (q_string_funcs, Q_STRING_FUNCS_SQL),
     "q_rolling_7day_revenue": (q_rolling_7day_revenue, Q_ROLLING_SQL),
