@@ -21,7 +21,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].dt.tz_localize(None)
+            # normalize tz and unit: Spark yields ns, DuckDB us — same values
+            df[c] = df[c].dt.tz_localize(None).astype("datetime64[ns]")
         elif df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v

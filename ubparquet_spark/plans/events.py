@@ -388,7 +388,40 @@ ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
 """
 
 
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution time rollup: one pass produces the
+# per-(day, hour) leaves AND the per-day and grand-total continuous
+# aggregates via ROLLUP on the time hierarchy.
+# ---------------------------------------------------------------------------
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.hour("ts").cast("long").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_money("value").alias("sum_value"),
+        )
+    )
+
+
+Q_TIME_ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (1, 2)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_events_time_rollup": (q_events_time_rollup, Q_TIME_ROLLUP_SQL),
     "q_asof_prev_click": (q_asof_prev_click, Q_ASOF_SQL),
     "q_pivot_user_events": (q_pivot_user_events, Q_PIVOT_SQL),
     "q_unpivot_metrics": (q_unpivot_metrics, Q_UNPIVOT_SQL),
