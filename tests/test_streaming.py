@@ -38,6 +38,53 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Rows arriving behind the watermark are discarded from the aggregate:
+    batch 1 advances the watermark far ahead; batch 2 delivers a stale row;
+    the stale row's window never appears in the append-mode output."""
+    import datetime as dt
+
+    src = str(tmp_path / "late_src")
+    ddl = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    fresh = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=10), 1, "click", 1.0, "{}"),  # watermark -> ~08:00
+    ]
+    spark.createDataFrame(fresh, ddl).write.mode("overwrite").parquet(src)
+
+    out_dir = str(tmp_path / "late_out")
+    ck = str(tmp_path / "ckpt_late")
+
+    def run_once():
+        (
+            sw.tumbling_counts(
+                sw.read_event_stream(spark, src), window="1 hour", watermark="2 hours"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    # batch 2: one stale row at t0+1h — far behind the 08:00 watermark
+    late = [(3, t0 + dt.timedelta(hours=1), 1, "click", 99.0, "{}")]
+    spark.createDataFrame(late, ddl).write.mode("append").parquet(src)
+    run_once()
+
+    out = spark.read.parquet(out_dir).collect()
+    windows = {r.window_start.hour for r in out}
+    # the 01:00 window of the stale row must NOT have been emitted
+    assert 1 not in windows
+    # the watermark-closed 00:00 window WAS emitted, unpolluted
+    w0 = [r for r in out if r.window_start.hour == 0]
+    assert len(w0) == 1 and w0[0].n_events == 1
+
+
 def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     src = _stage_events(spark, sf_dir, tmp_path)
     stream = sw.read_event_stream(spark, src).select("event_id", "event_type")
