@@ -74,3 +74,13 @@ def test_semi_and_anti_join_shapes(spark, sf_dir):
     anti = plan_text(tpch.q_customers_without_orders(spark, sf_dir))
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_time_range_join_is_equi_join(spark, sf_dir):
+    """The bucketed temporal join must plan as a hash/sort-merge equi-join on
+    (keys, cell) — never the nested-loop join a raw range predicate yields."""
+    from ubparquet_spark.plans.events import q_event_pairs_10min
+
+    plan = plan_text(q_event_pairs_10min(spark, sf_dir))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -420,7 +420,38 @@ GROUP BY ROLLUP (1, 2)
 """
 
 
+# ---------------------------------------------------------------------------
+# Temporal proximity join: ordered pairs of same-user events <= 10 min apart.
+# A range predicate alone would plan as a nested-loop join; operators.interval
+# buckets time into gap-sized cells so it runs as one shuffle equi-join
+# (1-D analog of the reference's spatial radius join, larennet.py:55).
+# ---------------------------------------------------------------------------
+
+def q_event_pairs_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.interval import event_pairs_within
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return event_pairs_within(
+        ev, ts_col="ts", id_col="event_id", keys=["user_id"],
+        max_gap_seconds=600,
+    )
+
+
+Q_EVENT_PAIRS_SQL = """
+SELECT a.user_id,
+       a.event_id AS event_id_a,
+       b.event_id AS event_id_b,
+       date_diff('microsecond', a.ts, b.ts) AS gap_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 10 MINUTE
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_event_pairs_10min": (q_event_pairs_10min, Q_EVENT_PAIRS_SQL),
     "q_events_time_rollup": (q_events_time_rollup, Q_TIME_ROLLUP_SQL),
     "q_asof_prev_click": (q_asof_prev_click, Q_ASOF_SQL),
     "q_pivot_user_events": (q_pivot_user_events, Q_PIVOT_SQL),

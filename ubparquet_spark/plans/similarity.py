@@ -327,7 +327,100 @@ GROUP BY label, dim
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-probe ANN: coarse quantizer = per-label centroid vectors; the query
+# probes only its nearest cell, so the fine scan touches ~1/n_cells of the
+# data. Centroid coordinates are floor-rounded to 6 decimals BEFORE scoring,
+# making the cell assignment identical across engines despite differing
+# float-summation orders. At 100 TB: centroids are a tiny broadcast table;
+# cell assignment is a map-side broadcast join (no shuffle of the vectors);
+# with data written partitioned by cell, the probe prunes whole files.
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(roundn(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+            ).alias("centroid")
+        )
+    )
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    best = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "label",
+            "qvec",
+            roundn(
+                _dot("centroid", "qvec")
+                / F.sqrt(_sq_norm("centroid") * _sq_norm("qvec")),
+                6,
+            ).alias("cscore"),
+        )
+        .orderBy(F.desc("cscore"), F.asc("label"))
+        .limit(1)
+        .select("label", "qvec")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(best), on="label")
+        .select(
+            "vec_id",
+            "label",
+            roundn(
+                _dot("embedding", "qvec")
+                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+Q_ANN_IVF_SQL = f"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+best AS (
+  SELECT label FROM carr, q
+  ORDER BY FLOOR(({_sql_dot("centroid", "qvec")}
+                  / SQRT({_sql_dot("centroid", "centroid")} * {_sql_dot("qvec", "qvec")})) * 1000000 + 0.5) / 1000000 DESC,
+           label ASC
+  LIMIT 1
+)
+SELECT vec_id, e2.label,
+       FLOOR(({_sql_dot("e2.embedding", "q.qvec")}
+              / SQRT({_sql_dot("e2.embedding", "e2.embedding")} * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM embeddings e2 JOIN best ON e2.label = best.label, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
     "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),
     "q_label_centroids": (q_label_centroids, Q_LABEL_CENTROIDS_SQL),

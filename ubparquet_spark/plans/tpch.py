@@ -1037,8 +1037,226 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Q13 shape — customer order-count distribution: LEFT OUTER join preserving
+# zero-order customers, then a histogram over the per-customer counts. Two
+# chained aggregations with different grains; the second one is tiny (one
+# row per distinct count), so at 100 TB all the work is the first shuffle.
+# ---------------------------------------------------------------------------
+
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape — large-volume orders: HAVING-filtered aggregate used as an IN
+# subquery. The aggregate is computed ONCE and reused both as the filter and
+# as the output column (vs. the naive plan that aggregates lineitem twice).
+# l_quantity is integer-valued, so a double sum is exact.
+# ---------------------------------------------------------------------------
+
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING SUM(l_quantity) > 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — part/supplier variety: COUNT(DISTINCT) per attribute group with
+# a NOT IN exclusion (broadcast anti join). The schema has no partsupp table;
+# lineitem's (l_partkey, l_suppkey) pairs are the association. The exclusion
+# set (negative-balance suppliers) is tiny -> broadcast left_anti, no shuffle
+# of the fact side for the exclusion.
+# ---------------------------------------------------------------------------
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    rel = li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        rel.join(part, rel.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — top supplier: aggregate revenue view + scalar-max subquery.
+# The max is computed as a 1-row aggregate and broadcast back onto the view
+# (equality on exact integer 1e-4 units, never on a divided double), instead
+# of a global window that would collapse the view to one partition.
+# ---------------------------------------------------------------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))).alias("_rc")
+    )
+    mx = rev.agg(F.max("_rc").alias("_max"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev._rc == mx._max)
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("_rc") / F.lit(10000.0)).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE rev = (SELECT MAX(rev) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — bilateral nation volume: the fact table joined through BOTH
+# dimension paths (supplier-side nation and customer-side nation) with a
+# symmetric pair predicate, grouped by shipping year. Both nation filters
+# push below the joins, so only rows from the two nations ever shuffle; the
+# disjunctive pair condition reduces to supp_nation != cust_nation once each
+# side is pre-filtered to the pair.
+# ---------------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("NATION_1", "NATION_2")
+    nation = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(*pair))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(sum_revenue("l_extendedprice", "l_discount").alias("volume"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(vol) AS DOUBLE) AS volume
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q13_order_count_histogram": (q13_order_count_histogram, Q13_SQL),
+    "q18_large_volume_orders": (q18_large_volume_orders, Q18_SQL),
+    "q16_part_supplier_variety": (q16_part_supplier_variety, Q16_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q_sketch_stats": (q_sketch_stats, None),
     "q_set_ops_customers": (q_set_ops_customers, Q_SET_OPS_SQL),
     "q_string_funcs": (q_string_funcs, Q_STRING_FUNCS_SQL),
