@@ -115,3 +115,50 @@ def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
     expected = {(r.user_id, r.w.start, r.w.end): r.n for r in batch}
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Inner stream-stream join (watermarked, time-bounded) emits exactly the
+    pairs the equivalent batch join produces."""
+    src = _stage_events(spark, sf_dir, tmp_path)
+    stream = sw.read_event_stream(spark, src)
+    joined = sw.click_purchase_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    # inner stream-stream joins emit in append mode (complete unsupported)
+    (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("ss_join_test").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            F.expr(
+                "user_id = p_user_id AND purchase_ts > click_ts"
+                " AND purchase_ts <= click_ts + INTERVAL 1 hour"
+            ),
+        ).collect()
+    }
+    assert len(expected) > 0
+    assert got == expected

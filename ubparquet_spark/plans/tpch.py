@@ -1250,8 +1250,38 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact percentiles (vs the sketch approximations in q_sketch_stats): Spark
+# `percentile` and DuckDB `quantile_cont` both linearly interpolate; the
+# interpolation arithmetic can differ in the last double bit, so results are
+# floor-rounded to 4 decimals. Exact percentiles shuffle all values of each
+# group — at 100 TB use q_sketch_stats unless exactness is required.
+# ---------------------------------------------------------------------------
+
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        roundn(F.expr("percentile(l_extendedprice, 0.5)")).alias("median_price"),
+        roundn(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90_price"),
+        roundn(F.expr("percentile(l_discount, 0.25)")).alias("q1_discount"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q_EXACT_QUANTILES_SQL = """
+SELECT l_returnflag,
+       FLOOR(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS median_price,
+       FLOOR(quantile_cont(l_extendedprice, 0.9) * 10000 + 0.5) / 10000 AS p90_price,
+       FLOOR(quantile_cont(l_discount, 0.25) * 10000 + 0.5) / 10000 AS q1_discount,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_exact_quantiles": (q_exact_quantiles, Q_EXACT_QUANTILES_SQL),
     "q13_order_count_histogram": (q13_order_count_histogram, Q13_SQL),
     "q18_large_volume_orders": (q18_large_volume_orders, Q18_SQL),
     "q16_part_supplier_variety": (q16_part_supplier_variety, Q16_SQL),

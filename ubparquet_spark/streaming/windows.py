@@ -136,3 +136,40 @@ def run_available_now(
     )
     sq = q.start()
     sq.awaitTermination()
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with every click by the
+    same user in the preceding ``max_gap``.
+
+    Both inputs carry watermarks and the join condition bounds event time on
+    BOTH sides, so Spark can evict join state: a buffered click is dropped
+    once the purchase-side watermark passes ``click_ts + max_gap``. Without
+    the time bound the state store would grow forever — the condition is
+    load-bearing at scale, not an optimization. State is partitioned by the
+    equi-key (``user_id``), so throughput scales with executors."""
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = F.expr(
+        "user_id = p_user_id AND purchase_ts > click_ts"
+        f" AND purchase_ts <= click_ts + INTERVAL {max_gap}"
+    )
+    return c.join(p, cond).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        "purchase_value",
+    )
