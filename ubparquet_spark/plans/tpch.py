@@ -1123,6 +1123,9 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
     )
+    # no pre-distinct: countDistinct's partial aggregation already dedups
+    # (group attrs, suppkey) map-side, so an explicit distinct() would only
+    # add an extra exchange (measured: no gain at sf0.1)
     rel = li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
     return (
         rel.join(part, rel.l_partkey == part.p_partkey)
@@ -1279,8 +1282,64 @@ GROUP BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (disjoint dimension summaries in one pass — neither
+# rollup nor cube): Spark expands sets over the same shuffled child, one scan.
+# ---------------------------------------------------------------------------
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_total
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        """
+    )
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking window functions: percent_rank + ntile quartiles per priority.
+# The window orders by (o_totalprice, o_orderkey) — a TOTAL order, because
+# ntile assigns by row position and any tie in o_totalprice alone would make
+# the quartile engine-dependent.
+# ---------------------------------------------------------------------------
+
+def q_order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        roundn(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+Q_ORDER_PRICE_RANKS_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       FLOOR(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS price_pct_rank,
+       CAST(ntile(4) OVER w AS BIGINT) AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
+    "q_order_price_ranks": (q_order_price_ranks, Q_ORDER_PRICE_RANKS_SQL),
     "q_exact_quantiles": (q_exact_quantiles, Q_EXACT_QUANTILES_SQL),
     "q13_order_count_histogram": (q13_order_count_histogram, Q13_SQL),
     "q18_large_volume_orders": (q18_large_volume_orders, Q18_SQL),
