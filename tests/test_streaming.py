@@ -162,3 +162,38 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join enriches every row; result equals the
+    batch join (stateless, so append mode needs no watermark)."""
+    src = _stage_events(spark, sf_dir, tmp_path)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = sw.enrich_stream_with_dim(
+        sw.read_event_stream(spark, src).select("event_id", "user_id"),
+        dim, stream_key="user_id", dim_key="c_custkey",
+    ).select("event_id", "user_id", "c_mktsegment")
+    (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r.event_id, r.user_id, r.c_mktsegment)
+        for r in spark.table("enrich_test").collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    expected = {
+        (r.event_id, r.user_id, r.c_mktsegment)
+        for r in ev.join(
+            dim, ev.user_id == dim.c_custkey, "left"
+        ).collect()
+    }
+    assert len(got) == ev.count()
+    assert got == expected

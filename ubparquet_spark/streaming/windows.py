@@ -173,3 +173,22 @@ def click_purchase_stream_join(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
         "purchase_value",
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    *,
+    stream_key: str,
+    dim_key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) static dimension.
+
+    The static side is broadcast, so enrichment is stateless map-side work —
+    no streaming state at all, unlike a stream-stream join. The static
+    DataFrame is re-evaluated per micro-batch, so a dimension backed by a
+    table picks up slowly-changing updates between batches."""
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], how
+    )
