@@ -197,3 +197,59 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     }
     assert len(got) == ev.count()
     assert got == expected
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: a click with no purchase in its match
+    horizon is emitted with null purchase columns — but only after the
+    watermark passes the horizon (forced here by a second batch far ahead)."""
+    import datetime as dt
+
+    src = str(tmp_path / "so_src")
+    ddl = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    first = [
+        (1, t0, 1, "click", 1.0, "{}"),  # converts 30 min later
+        (2, t0 + dt.timedelta(minutes=30), 1, "purchase", 5.0, "{}"),
+        (3, t0, 2, "click", 1.0, "{}"),  # never converts
+    ]
+    spark.createDataFrame(first, ddl).write.mode("overwrite").parquet(src)
+
+    out = str(tmp_path / "so_out")
+    ck = str(tmp_path / "so_ckpt")
+
+    def run_once():
+        joined = sw.click_purchase_stream_join(
+            sw.read_event_stream(spark, src).filter(F.col("event_type") == "click"),
+            sw.read_event_stream(spark, src).filter(F.col("event_type") == "purchase"),
+            how="left_outer",
+        )
+        (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    # push the watermark far past click 3's match horizon (1h gap + 2h
+    # delay). The join watermark is the MIN across both inputs, so the
+    # future batch must advance clicks AND purchases.
+    future = [
+        (9, t0 + dt.timedelta(hours=100), 3, "click", 1.0, "{}"),
+        (10, t0 + dt.timedelta(hours=100), 99, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(future, ddl).write.mode("append").parquet(src)
+    run_once()
+    run_once()  # one more cycle so the post-watermark eviction batch runs
+
+    rows = {(r.click_id, r.purchase_id) for r in spark.read.parquet(out).collect()}
+    assert (1, 2) in rows        # matched pair emitted
+    assert (3, None) in rows     # expired unmatched click emitted with nulls
+    assert (9, None) not in rows  # horizon not yet passed for the new click

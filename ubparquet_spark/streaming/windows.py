@@ -144,9 +144,15 @@ def click_purchase_stream_join(
     *,
     max_gap: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase paired with every click by the
+    """Stream-stream join: each purchase paired with every click by the
     same user in the preceding ``max_gap``.
+
+    ``how="left_outer"`` additionally emits unconverted clicks (null
+    purchase columns) — but only once the watermark passes the click's match
+    horizon, since until then a matching purchase could still arrive. Outer
+    results therefore trail the inner ones by the watermark delay.
 
     Both inputs carry watermarks and the join condition bounds event time on
     BOTH sides, so Spark can evict join state: a buffered click is dropped
@@ -169,7 +175,7 @@ def click_purchase_stream_join(
         "user_id = p_user_id AND purchase_ts > click_ts"
         f" AND purchase_ts <= click_ts + INTERVAL {max_gap}"
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
         "purchase_value",
     )
