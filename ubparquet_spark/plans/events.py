@@ -450,7 +450,70 @@ JOIN events b
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series gap fill: hourly per-user totals on a dense hour spine (built
+# with sequence/explode — no driver loop), missing hours forward-filled with
+# an ignore-nulls running last(). The spine starts at each user's first
+# active hour, so fills are always defined. Users capped to bound output.
+# At 100 TB the spine is generated, not stored — its cost is the explode of
+# one row per (user, hour), partitioned on the same key as the fill window.
+# ---------------------------------------------------------------------------
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(sum_money("value").alias("hour_value"))
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("hour_value").isNotNull().alias("observed"),
+    )
+
+
+Q_GAP_FILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_value
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+         date_trunc('hour', MAX(ts)) AS h1
+  FROM events WHERE user_id < 30 GROUP BY 1
+),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.user_id, s.hour,
+       last_value(h.hour_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       h.hour_value IS NOT NULL AS observed
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_events_gap_fill": (q_events_gap_fill, Q_GAP_FILL_SQL),
     "q_event_pairs_10min": (q_event_pairs_10min, Q_EVENT_PAIRS_SQL),
     "q_events_time_rollup": (q_events_time_rollup, Q_TIME_ROLLUP_SQL),
     "q_asof_prev_click": (q_asof_prev_click, Q_ASOF_SQL),
