@@ -21,7 +21,7 @@ co-partition on the key and stream through the window in timestamp order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -17,7 +17,7 @@ skewed **aggregations** and **broadcast-infeasible skewed joins**.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

@@ -512,7 +512,44 @@ LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
 """
 
 
+# ---------------------------------------------------------------------------
+# Stratified sampling (the deterministic analog of df.sampleBy): each stratum
+# keeps 1/k of its rows chosen by an md5 hash of the row key, so the sample
+# is reproducible, seed-free, and cross-engine identical — unlike Bernoulli
+# sampleBy, whose RNG stream is engine-private. A pure scan predicate: no
+# shuffle, fully pushdown-friendly, embarrassingly parallel at 100 TB.
+# ---------------------------------------------------------------------------
+
+_STRATA_CASE = (
+    "CASE event_type WHEN 'click' THEN 2 WHEN 'view' THEN 10"
+    " WHEN 'purchase' THEN 1 WHEN 'error' THEN 5 ELSE 4 END"
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keep = F.expr(
+        "pmod(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 15), 16, 10)"
+        f" AS BIGINT), {_STRATA_CASE}) = 0"
+    )
+    return ev.filter(keep).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        sum_money("value").alias("sum_value"),
+    )
+
+
+Q_STRATIFIED_SQL = f"""
+SELECT event_type, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % ({_STRATA_CASE}) = 0
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
     "q_events_gap_fill": (q_events_gap_fill, Q_GAP_FILL_SQL),
     "q_event_pairs_10min": (q_event_pairs_10min, Q_EVENT_PAIRS_SQL),
     "q_events_time_rollup": (q_events_time_rollup, Q_TIME_ROLLUP_SQL),
