@@ -1,0 +1,50 @@
+"""operators.quantiles matches Spark's exact `percentile` aggregate
+(quantile_cont interpolation), including on tied values and tiny groups."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from ubparquet_spark.operators.quantiles import exact_quantiles
+
+PROBS = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+
+
+def _reference(spark, df):
+    return df.groupBy("k").agg(
+        *[F.expr(f"percentile(v, {p})").alias(name) for name, p in PROBS.items()],
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _assert_equal(spark, df):
+    got = {r.k: r.asDict() for r in exact_quantiles(df, ["k"], "v", PROBS).collect()}
+    exp = {r.k: r.asDict() for r in _reference(spark, df).collect()}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k]["n_rows"] == exp[k]["n_rows"]
+        for name in PROBS:
+            assert abs(got[k][name] - exp[k][name]) < 1e-9, (k, name, got[k], exp[k])
+
+
+def test_matches_percentile_random(spark):
+    rng = random.Random(7)
+    rows = [
+        (f"g{rng.randint(0, 3)}", round(rng.uniform(0, 1000), 2))
+        for _ in range(5000)
+    ]
+    _assert_equal(spark, spark.createDataFrame(rows, "k string, v double"))
+
+
+def test_matches_percentile_heavy_ties(spark):
+    rng = random.Random(11)
+    # only 7 distinct values -> every quantile lands on or between ties
+    rows = [(f"g{rng.randint(0, 2)}", float(rng.randint(0, 6))) for _ in range(3000)]
+    _assert_equal(spark, spark.createDataFrame(rows, "k string, v double"))
+
+
+def test_tiny_groups(spark):
+    rows = [("a", 1.0), ("b", 1.0), ("b", 2.0), ("c", 5.0), ("c", 1.0), ("c", 3.0)]
+    _assert_equal(spark, spark.createDataFrame(rows, "k string, v double"))
