@@ -200,6 +200,36 @@ HAVING COUNT(*) > 1
 
 
 # ---------------------------------------------------------------------------
+# Exact full-text dedup: hash-groupBy over md5(text) with a canonical-keep
+# decision (min doc_id) and per-group drop count. The md5 is computed
+# map-side, so the shuffle carries 32-byte keys, never document bodies — at
+# 100 TB the shuffle volume is O(docs), independent of document length.
+# ---------------------------------------------------------------------------
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+        )
+    )
+
+
+Q_DOC_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) - 1 AS n_dropped
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Document fingerprint (winnowing-style: min 4-token-shingle hash)
 # ---------------------------------------------------------------------------
 
@@ -498,6 +528,7 @@ QUERIES: dict[str, tuple] = {
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "q_lang_id": (q_lang_id, Q_LANG_ID_SQL),
+    "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
     "q_doc_prefix_dedup": (q_doc_prefix_dedup, Q_DOC_PREFIX_DEDUP_SQL),
     "q_doc_fingerprint": (q_doc_fingerprint, Q_DOC_FINGERPRINT_SQL),
     "q_minhash_lsh_buckets": (q_minhash_lsh_buckets, Q_MINHASH_LSH_SQL),
