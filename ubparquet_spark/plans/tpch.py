@@ -1345,8 +1345,37 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 shape — correlated per-group minimum: parts priced at the minimum of
+# their type. The correlated subquery (one min per outer row's group) is
+# planned as a window min over a single shuffle on the group key — Spark
+# never re-executes the subquery per row, and the decimal comparison is
+# exact so no epsilon is needed.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_type")
+    return (
+        part.withColumn("_min_price", F.min(money("p_retailprice")).over(w))
+        .filter(money("p_retailprice") == F.col("_min_price"))
+        .select("p_partkey", "p_name", "p_type", "p_retailprice")
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_name, p_type, p_retailprice
+FROM part p
+WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
+  SELECT MIN(CAST(p2.p_retailprice AS DECIMAL(18,2)))
+  FROM part p2 WHERE p2.p_type = p.p_type
+)
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q2_min_cost_parts": (q2_min_cost_parts, Q2_SQL),
     "q_grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
     "q_order_price_ranks": (q_order_price_ranks, Q_ORDER_PRICE_RANKS_SQL),
     "q_exact_quantiles": (q_exact_quantiles, Q_EXACT_QUANTILES_SQL),
