@@ -548,7 +548,39 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Latest-row-per-key (snapshot dedup): each user's most recent event via
+# row_number over (ts DESC, event_id DESC) — the event_id tiebreak makes the
+# winner deterministic under equal timestamps. One shuffle on the key; at
+# 100 TB this is the standard CDC-compaction plan.
+# ---------------------------------------------------------------------------
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+Q_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_latest_event_per_user": (q_latest_event_per_user, Q_LATEST_EVENT_SQL),
     "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
     "q_events_gap_fill": (q_events_gap_fill, Q_GAP_FILL_SQL),
     "q_event_pairs_10min": (q_event_pairs_10min, Q_EVENT_PAIRS_SQL),

@@ -1373,8 +1373,41 @@ WHERE CAST(p_retailprice AS DECIMAL(18,2)) = (
 """
 
 
+# ---------------------------------------------------------------------------
+# Q11 shape — groups exceeding a fraction of the GLOBAL total: per-part
+# revenue kept only when above 0.05% of all revenue. The global total is a
+# 1-row aggregate broadcast onto the per-group frame (never a re-scan per
+# group); comparison is on exact integer 1e-4 units.
+# ---------------------------------------------------------------------------
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rc = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(rc).alias("_rc"))
+    total = per_part.agg(F.sum("_rc").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_rc") * 2000 > F.col("_total"))
+        .select("l_partkey", (F.col("_rc") / F.lit(10000.0)).alias("part_revenue"))
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(rev AS DOUBLE) AS part_revenue
+FROM per_part
+WHERE rev * 2000 > (SELECT SUM(rev) FROM per_part)
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q2_min_cost_parts": (q2_min_cost_parts, Q2_SQL),
     "q_grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
     "q_order_price_ranks": (q_order_price_ranks, Q_ORDER_PRICE_RANKS_SQL),
