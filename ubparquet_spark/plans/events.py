@@ -579,7 +579,67 @@ WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Funnel analysis: users who signed up, then clicked AFTER the signup, then
+# purchased AFTER that click (strict event-time ordering, not mere
+# co-occurrence). Each stage is a conditional-min aggregation joined to the
+# previous stage's timestamps — per-stage one groupBy on user_id, reusing
+# the same shuffle key throughout, no window over full history.
+# ---------------------------------------------------------------------------
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage_a = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_a")
+    )
+    stage_b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(stage_a, "user_id")
+        .filter(F.col("ts") > F.col("t_a"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_b"))
+    )
+    stage_c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(stage_b, "user_id")
+        .filter(F.col("ts") > F.col("t_b"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    # one lazy plan, no driver-side counts: each stage collapses to a 1-row
+    # aggregate and the cross joins of 1-row frames are free
+    return (
+        stage_a.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(stage_b.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(stage_c.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+Q_EVENTS_FUNNEL_SQL = """
+WITH a AS (
+  SELECT user_id, MIN(ts) AS t_a FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+b AS (
+  SELECT e.user_id, MIN(e.ts) AS t_b
+  FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.t_a
+  GROUP BY e.user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_c
+  FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > b.t_b
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM a) AS n_signup,
+       (SELECT COUNT(*) FROM b) AS n_click_after,
+       (SELECT COUNT(*) FROM c) AS n_purchase_after
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
     "q_latest_event_per_user": (q_latest_event_per_user, Q_LATEST_EVENT_SQL),
     "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
     "q_events_gap_fill": (q_events_gap_fill, Q_GAP_FILL_SQL),
