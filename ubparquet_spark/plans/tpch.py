@@ -1405,8 +1405,41 @@ WHERE rev * 2000 > (SELECT SUM(rev) FROM per_part)
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-width histogram (width_bucket semantics, 20 buckets over [0, 600000),
+# 0/21 overflow buckets): single partial-aggregated scan — the bucket id is
+# computed map-side, so the shuffle carries at most 22 keys. The bucket
+# arithmetic is spelled identically in both engines (DuckDB 1.x has no
+# width_bucket, and engine-private bucket formulas can disagree at
+# boundaries anyway).
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = "GREATEST(0, LEAST(21, CAST(floor(o_totalprice / 30000) AS BIGINT) + 1))"
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.expr(_HIST_BUCKET).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            sum_money("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+Q_PRICE_HISTOGRAM_SQL = f"""
+SELECT CAST({_HIST_BUCKET} AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY 1
+"""
+
+
 #: name -> (query fn, oracle sql) for the driver contract
 QUERIES: dict[str, tuple] = {
+    "q_price_histogram": (q_price_histogram, Q_PRICE_HISTOGRAM_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q2_min_cost_parts": (q2_min_cost_parts, Q2_SQL),
     "q_grouping_sets": (q_grouping_sets, Q_GROUPING_SETS_SQL),
