@@ -41,6 +41,30 @@ def test_asof_semantics(spark):
     assert out[4] == (_ts("2024-01-01 11:00:00"), 300.0)  # keys isolated
 
 
+def test_asof_null_payload_in_latest_right_row(spark):
+    """A NULL payload value in the most recent right row must be carried
+    as-is (match the latest ROW), not skipped in favor of an older non-null
+    value — DuckDB/kdb ASOF semantics."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01 10:00:00"))], "id long, k long, ts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 09:00:00"), 100.0, "old"),
+            (10, _ts("2024-01-01 09:30:00"), None, "new"),  # latest: v is NULL
+        ],
+        "k long, rts timestamp_ntz, v double, tag string",
+    )
+    row = as_of_join(
+        left, right, ["k"], left_ts="ts", right_ts="rts",
+        right_payload=["rts", "v", "tag"],
+    ).collect()[0]
+    # latest row matched wholesale: NULL v carried, no column stitching
+    assert row.asof_rts == _ts("2024-01-01 09:30:00")
+    assert row.asof_v is None
+    assert row.asof_tag == "new"
+
+
 def test_asof_preserves_left_rowcount(spark, sf_dir):
     from pyspark.sql import functions as F
     from ubparquet_spark.io import load_table

@@ -13,3 +13,39 @@ from .oracle import assert_matches_oracle
 def test_text_query_matches_oracle(spark, sf_dir, name):
     fn, sql = text.QUERIES[name]
     assert_matches_oracle(fn(spark, sf_dir), sql, sf_dir)
+
+
+def test_shingle_queries_handle_short_docs(spark, tmp_path):
+    """Docs shorter than the shingle width must yield NO phantom shingles:
+    Spark's sequence(1, n<=0) infers step -1 and emits [1, 0] unless
+    guarded (ADVICE r01). Build a tiny sf_dir whose documents table is all
+    short docs and check the three shingle-based queries behave like the
+    DuckDB oracle (whose range() is empty for n<=0)."""
+    import duckdb
+
+    rows = [
+        (1, "one", "en", "web", 3),
+        (2, "two words", "en", "web", 9),
+        (3, "now three words", "en", "web", 15),
+        (4, "finally four whole words", "en", "web", 24),
+        (5, "", "en", "web", 0),
+    ]
+    sf = str(tmp_path / "sf_short")
+    (tmp_path / "sf_short").mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}', {r[4]})" for r in rows)
+        + ") t(doc_id, text, lang, source, n_chars)) TO '"
+        + sf
+        + "/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    # 4-token fingerprint: only doc 4 has >= 4 tokens
+    fp = {r.doc_id: r.fingerprint for r in text.q_doc_fingerprint(spark, sf).collect()}
+    assert fp[4] is not None
+    assert fp[1] is None and fp[2] is None and fp[3] is None
+
+    # 3-token shingles: docs 3 and 4 produce candidates, never an error
+    text.q_minhash_lsh_buckets(spark, sf).collect()  # must not throw
+    pairs = text.q_ngram_jaccard_pairs(spark, sf).collect()
+    assert all({r.doc_a, r.doc_b} <= {3, 4} for r in pairs)

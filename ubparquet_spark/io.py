@@ -46,7 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default; we read it as long (``nanosAsLong``) and truncate to
     microseconds — the same conversion DuckDB applies, so oracle
     comparisons agree."""
-    key = (id(spark), sf_dir, name)
+    # applicationId is unique per SparkContext (embeds start time) —
+    # id(spark) could be reused by CPython after a stopped session is GC'd,
+    # handing out cached DataFrames bound to a dead session
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _table_cache.get(key)
     if cached is not None:
         return cached

@@ -38,11 +38,22 @@ def as_of_join(
     """Left rows + the latest right payload at or before each left row's
     timestamp. Left rows with no prior right row carry nulls."""
     lcols = left.columns
+    # Carry ONE struct per right row (never-null on the right side) rather
+    # than last(col, ignoreNulls) per payload column: per-column carry would
+    # treat a NULL payload value in the latest right row as "no row" and
+    # reach back to an older row's value — diverging from DuckDB/kdb ASOF
+    # semantics (match the latest row regardless of payload nullness) and
+    # potentially stitching columns from DIFFERENT right rows.
+    right_struct_t = (
+        "struct<"
+        + ",".join(f"`{c}`:{dict(right.dtypes)[c]}" for c in right_payload)
+        + ">"
+    )
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("_side"),
         F.col(left_ts).alias("_ts"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_payload],
+        F.lit(None).cast(right_struct_t).alias("_r"),
     )
     tagged_right = right.select(
         *[
@@ -51,7 +62,7 @@ def as_of_join(
         ],
         F.lit(0).alias("_side"),
         F.col(right_ts).alias("_ts"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.struct(*[F.col(c) for c in right_payload]).alias("_r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     w = (
@@ -62,9 +73,12 @@ def as_of_join(
     carried = unioned.select(
         *lcols,
         "_side",
+        F.last("_r", ignorenulls=True).over(w).alias("_r_latest"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            F.col(f"_r_latest.{c}").alias(f"{prefix}{c}")
             for c in right_payload
         ],
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")

@@ -235,9 +235,14 @@ GROUP BY 1
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # Guard the sequence upper bound: for docs shorter than the shingle
+    # width, sequence(1, n) with n <= 0 infers step -1 and yields [1, 0],
+    # producing phantom shingles (DuckDB's range() yields [] instead).
     fingerprint = F.expr(
-        "array_min(transform(sequence(1, size(split(text, ' ')) - 3),"
-        " i -> md5(array_join(slice(split(text, ' '), i, 4), ' '))))"
+        "array_min(if(size(split(text, ' ')) >= 4,"
+        " transform(sequence(1, size(split(text, ' ')) - 3),"
+        " i -> md5(array_join(slice(split(text, ' '), i, 4), ' '))),"
+        " array()))"
     )
     return docs.select("doc_id", fingerprint.alias("fingerprint"))
 
@@ -276,10 +281,13 @@ def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated split() inside lambda bodies, and tokenization dominates
     base = docs.withColumn("toks", F.split("text", " ")).withColumn(
         "bases",
+        # size >= 3 guard: sequence(1, n<=0) would yield [1, 0] (step -1)
         F.expr(
-            "transform(sequence(1, size(toks) - 2),"
+            "if(size(toks) >= 3,"
+            " transform(sequence(1, size(toks) - 2),"
             " i -> pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 3), ' ')),"
-            f" 1, 15), 16, 10) AS BIGINT), {_MH_P}))"
+            f" 1, 15), 16, 10) AS BIGINT), {_MH_P})),"
+            " array())"
         ),
     )
     sigs = base.select(
@@ -360,9 +368,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(
             F.array_distinct(
+                # size >= 3 guard: sequence(1, n<=0) would yield [1, 0]
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> array_join(slice(split(text, ' '), i, 3), ' '))"
+                    "if(size(split(text, ' ')) >= 3,"
+                    " transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> array_join(slice(split(text, ' '), i, 3), ' ')),"
+                    " array())"
                 )
             )
         ).alias("shingle"),

@@ -27,6 +27,7 @@ state. 100 TB of detector files scan with full cluster parallelism.
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -51,8 +52,13 @@ class _FilePartition(InputPartition):
 
 
 def synthetic_file_events(path: str, file_index: int, n_events: int):
-    """Deterministic synthetic events for one 'file' (ROOT stand-in)."""
-    rng = np.random.default_rng(hash(path) % (2**31) + file_index)
+    """Deterministic synthetic events for one 'file' (ROOT stand-in).
+
+    Seeded with a process-stable hash (crc32), NOT builtin ``hash()``:
+    str hashing is randomized per interpreter (PYTHONHASHSEED), and the
+    stream reader runs driver-side — a driver restart must replay the
+    SAME rows for committed offsets (exact-resume contract)."""
+    rng = np.random.default_rng(zlib.crc32(path.encode("utf-8")) + file_index)
     for ev in range(n_events):
         n = int(rng.integers(50, 200))
         spt = np.column_stack(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -35,7 +36,10 @@ def _update_user_stats(
         n, sum_cents, max_v = 0, 0, float("-inf")
     for pdf in pdfs:
         n += len(pdf)
-        sum_cents += int((pdf["value"] * 100).round().sum())
+        # floor(x*100 + 0.5): match the engine's batch money convention
+        # (cents() in plans/tpch.py, half-up) — numpy .round() is half-even
+        # and would drift 1 cent per .xx5 tie from batch equivalents
+        sum_cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
         if len(pdf):
             max_v = max(max_v, float(pdf["value"].max()))
     state.update((n, sum_cents, max_v))
