@@ -21,14 +21,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from pyspark.sql import functions as F
 
-from ubparquet_spark.functions.dedup_clusters import dedup_groups
+from ubparquet_spark.functions.minhash_dedup import minhash_dedup
 from ubparquet_spark.io import load_table, write_parquet
 from ubparquet_spark.plans.similarity import q_embedding_neardup, q_knn_batch
-from ubparquet_spark.plans.text import (
-    q_doc_quality,
-    q_lang_id,
-    q_ngram_jaccard_pairs,
-)
+from ubparquet_spark.plans.text import q_doc_quality, q_lang_id
 from ubparquet_spark.session import get_session
 
 
@@ -40,12 +36,11 @@ def main(sf_dir: str, workdir: str) -> None:
     keep_quality = quality.filter(F.col("quality_score") > 0.15).select("doc_id")
     print(f"quality gate: {keep_quality.count()} / {quality.count()} docs pass")
 
-    # 2. near-dup dedup: candidates -> components -> canonical decision
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    # 2. near-dup dedup, the 100 TB-shaped route: MinHash band keys ->
+    #    within-bucket candidate pairs (capped) -> exact-Jaccard verify of
+    #    candidates only -> connected components -> canonical keep/drop
     docs = load_table(spark, sf_dir, "documents")
-    decisions = dedup_groups(pairs, docs.filter(F.col("doc_id") < 150), "doc_id")
+    decisions = minhash_dedup(docs, jaccard_threshold=0.5)
     n_drop = decisions.filter(~F.col("is_canonical")).count()
     print(f"dedup: dropping {n_drop} near-duplicate docs")
 

@@ -140,3 +140,53 @@ def test_roundtrip_parquet_edge_shapes(spark, tmp_path, shape):
     row = spark.read.parquet(path).collect()[0]
     back = codec.decode_ndarray(row.x, row.x_shape)
     np.testing.assert_array_equal(arr, back)
+
+
+def test_explode_axis1_matches_numpy_columns(spark):
+    """voxkplabel-style (k, N) tensors (dlmerged2parquet.py:100-120): the
+    axis=1 per-point view must equal the numpy column arr[:, j]."""
+    rng = np.random.default_rng(11)
+    arr = rng.standard_normal((6, 9))  # (k=6 features, V=9 points)
+    flat, shape = codec.encode_ndarray(arr)
+    df = spark.createDataFrame(
+        [(1, flat, shape)], "event long, kp array<double>, kp_shape array<long>"
+    )
+    pts = codec.explode_tensor(df, "kp", ["event"], axis=1).collect()
+    assert len(pts) == 9
+    for r in pts:
+        np.testing.assert_array_equal(np.array(r.kp_point), arr[:, r.idx])
+
+
+def test_transpose_then_axis0_roundtrip(spark):
+    """transpose_tensor((k,N)) -> (N,k) layout; the default axis-0 explode
+    over the transposed tensor equals the axis-1 explode of the original,
+    and reassembly round-trips the transposed tensor exactly."""
+    rng = np.random.default_rng(12)
+    arr = rng.standard_normal((6, 7))
+    flat, shape = codec.encode_ndarray(arr)
+    df = spark.createDataFrame(
+        [(1, flat, shape)], "event long, kp array<double>, kp_shape array<long>"
+    )
+    t = codec.transpose_tensor(df, "kp")
+    row = t.collect()[0]
+    np.testing.assert_array_equal(
+        codec.decode_ndarray(row.kp, row.kp_shape), arr.T
+    )
+    pts = codec.explode_tensor(t, "kp", ["event"]).collect()  # axis=0 now
+    for r in pts:
+        np.testing.assert_array_equal(np.array(r.kp_point), arr[:, r.idx])
+    back = codec.reassemble_tensor(
+        codec.explode_tensor(t, "kp", ["event"]), "kp_point", ["event"]
+    ).collect()[0]
+    np.testing.assert_array_equal(
+        codec.decode_ndarray(back.kp, back.kp_shape), arr.T
+    )
+
+
+def test_explode_axis1_empty_tensor(spark):
+    """V = 0 (empty event): no phantom rows from either axis."""
+    df = spark.createDataFrame(
+        [(1, [], [6, 0])], "event long, kp array<double>, kp_shape array<long>"
+    )
+    assert codec.explode_tensor(df, "kp", ["event"], axis=1).count() == 0
+    assert codec.transpose_tensor(df, "kp").collect()[0].kp == []

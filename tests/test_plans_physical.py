@@ -84,3 +84,17 @@ def test_time_range_join_is_equi_join(spark, sf_dir):
     plan = plan_text(q_event_pairs_10min(spark, sf_dir))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_rank_windows_have_no_whole_group_partition(spark, sf_dir):
+    """q_order_price_ranks must never sort a whole priority group in one
+    window task: every Window over the full orders table must be
+    partitioned by the range-partition slice id (_pid), so its partitions
+    are bounded by one task's data. (The offsets window partitions by
+    priority alone, but runs over n_tasks rows, not n_rows.)"""
+    plan = plan_text(tpch.q_order_price_ranks(spark, sf_dir))
+    # every row_number window spec in the plan carries _pid
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "_pid" in line, f"unbounded window partition: {line}"
+    assert "row_number()" in plan  # the local-rank window exists

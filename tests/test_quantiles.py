@@ -48,3 +48,35 @@ def test_matches_percentile_heavy_ties(spark):
 def test_tiny_groups(spark):
     rows = [("a", 1.0), ("b", 1.0), ("b", 2.0), ("c", 5.0), ("c", 1.0), ("c", 3.0)]
     _assert_equal(spark, spark.createDataFrame(rows, "k string, v double"))
+
+
+def test_distributed_rank_matches_window_functions(spark):
+    """ranked()/percent_rank_col()/ntile_col() are bit-identical to the
+    single-window builtins across group sizes, including n < k ntiles."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import ntile_col, percent_rank_col, ranked
+
+    rows = [(g, i * 7 % 23, i) for g in ("a", "b", "c") for i in range(g != "c" and 17 or 2)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    expected = {
+        (r.g, r.id): (r.pr, r.nt)
+        for r in df.select(
+            "g", "id",
+            F.percent_rank().over(w).alias("pr"),
+            F.ntile(4).over(w).alias("nt"),
+        ).collect()
+    }
+    got = {
+        (r.g, r.id): (r.pr, r.nt)
+        for r in ranked(df, ["g"], ["v", "id"], rank_col="_r", n_col="_n")
+        .select(
+            "g", "id",
+            percent_rank_col("_r", "_n").alias("pr"),
+            ntile_col("_r", "_n", 4).cast("int").alias("nt"),
+        )
+        .collect()
+    }
+    assert got == expected

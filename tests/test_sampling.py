@@ -63,3 +63,29 @@ def test_iter_arrow_batches(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     total = sum(b.num_rows for b in sampling.iter_arrow_batches(nation))
     assert total == nation.count()
+
+
+def test_iter_arrow_batches_streams_without_full_materialize(spark):
+    """Consuming the FIRST batch must not compute the whole table: a poison
+    pass-through that throws on the last partitions proves the driver pulls
+    partitions lazily (toLocalIterator), not via a full-table toArrow()."""
+    import pyarrow.compute as pc
+
+    df = spark.range(0, 50_000, 1, 50)  # 50 partitions of 1000 rows
+
+    def poison(batches):
+        for b in batches:
+            if pc.max(b.column("id")).as_py() >= 40_000:
+                raise RuntimeError("late partition was computed")
+            yield b
+
+    poisoned = df.mapInArrow(poison, df.schema)
+    it = sampling.iter_arrow_batches(poisoned)
+    first = next(it)
+    assert first.num_rows > 0
+    # sanity: draining the iterator DOES reach the poison partitions
+    import pytest
+
+    with pytest.raises(Exception):
+        for _ in it:
+            pass

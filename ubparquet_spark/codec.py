@@ -121,33 +121,88 @@ def explode_tensor(
     *,
     point_col: str | None = None,
     idx_col: str = "idx",
+    axis: int = 0,
 ) -> DataFrame:
-    """One row per leading-dim slice of a flattened ``(N, ...)`` tensor.
+    """One row per point of a flattened 2-d (or (N, ...)) tensor.
 
-    Output: ``keys + [idx_col, point_col]`` where ``point_col`` is the
-    length-k ``array`` slice ``data[i*k : (i+1)*k]`` (row-major, matching
-    ``root2parquet.py:73``). ``idx_col`` preserves order for exact
-    reassembly."""
+    ``axis=0`` (default): points along the LEADING dim — one row per slice
+    ``data[i*k : (i+1)*k]`` of an ``(N, k)`` tensor (row-major, matching
+    ``root2parquet.py:73``).
+
+    ``axis=1``: points along the TRAILING dim of a 2-d ``(k, N)`` tensor —
+    the reference's transposed families, e.g. ``voxkplabel (6, V)``
+    (``dlmerged2parquet.py:100-120``): point j is the strided gather
+    ``[flat[j], flat[N+j], ..., flat[(k-1)N+j]]``, so the per-point view is
+    a length-k array exactly like the axis-0 case.
+
+    ``idx_col`` preserves order for exact reassembly. Both forms are
+    narrow, JVM-side transforms — no shuffle."""
     point_col = point_col or col + "_point"
-    k = row_width(F.col(shape_column(col)))
-    n = F.element_at(F.col(shape_column(col)), 1)
-    # guard n == 0: sequence(0, -1) would infer step -1 and emit phantom rows
-    idx = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
-        F.array().cast("array<long>")
-    )
-    pairs = F.transform(
-        idx,
-        lambda i: F.struct(
-            i.alias("i"),
-            F.slice(F.col(col), (i * k + 1).cast("int"), k.cast("int")).alias("pt"),
-        ),
-    )
+    shape = F.col(shape_column(col))
+    if axis == 0:
+        k = row_width(shape)
+        n = F.element_at(shape, 1)
+        # guard n == 0: sequence(0, -1) infers step -1, phantom rows
+        idx = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+            F.array().cast("array<long>")
+        )
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                i.alias("i"),
+                F.slice(F.col(col), (i * k + 1).cast("int"), k.cast("int")).alias("pt"),
+            ),
+        )
+    elif axis == 1:
+        k = F.element_at(shape, 1)
+        n = F.element_at(shape, 2)
+        idx = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n - 1)).otherwise(
+            F.array().cast("array<long>")
+        )
+        pairs = F.transform(
+            idx,
+            lambda j: F.struct(
+                j.alias("i"),
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), k - 1),
+                    lambda f: F.element_at(F.col(col), (f * n + j + 1).cast("int")),
+                ).alias("pt"),
+            ),
+        )
+    else:
+        raise ValueError(f"axis must be 0 or 1, got {axis}")
     return df.select(
         *keys, F.explode(pairs).alias("_e")
     ).select(
         *keys,
         F.col("_e.i").alias(idx_col),
         F.col("_e.pt").alias(point_col),
+    )
+
+
+def transpose_tensor(df: DataFrame, col: str, *, out_col: str | None = None) -> DataFrame:
+    """Canonicalize a flattened 2-d ``(k, N)`` tensor to ``(N, k)`` layout
+    (flat + shape both rewritten), so downstream per-point operators can use
+    the default axis-0 view. Pure JVM gather — no shuffle, no UDF."""
+    out_col = out_col or col
+    shape = F.col(shape_column(col))
+    k = F.element_at(shape, 1)
+    n = F.element_at(shape, 2)
+    total = (k * n).cast("long")
+    elem_type = dict(df.dtypes)[col]
+    flat = F.when(
+        total > 0,
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), total - 1),
+            # new index i = (point j = i div k, feature f = i mod k)
+            # -> original element (f, j) at f*N + j
+            lambda i: F.element_at(
+                F.col(col), ((i % k) * n + F.floor(i / k) + 1).cast("int")
+            ),
+        ),
+    ).otherwise(F.array().cast(elem_type))
+    return df.withColumn(out_col, flat).withColumn(
+        shape_column(out_col), F.array(n, k)
     )
 
 

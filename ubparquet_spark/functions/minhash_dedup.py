@@ -1,0 +1,111 @@
+"""End-to-end MinHash-LSH dedup: documents → keep/drop decision table.
+
+Glues the pieces that already exist into the canonical large-scale text
+dedup flow (the MinHash-LSH pipeline of Broder '97 / Leskovec-Rajaraman-
+Ullman ch. 3, as run over web-scale training corpora):
+
+  1. per-doc LSH band keys        (``plans.text.minhash_band_keys``)
+  2. within-bucket candidate pairs (equi-join on (band_id, band_key) —
+     never all-pairs; bucket cap drops degenerate buckets)
+  3. optional exact-Jaccard verification of candidates only (3-token
+     shingle sets, ``array_intersect``/``array_union`` — JVM-side)
+  4. transitive grouping + canonical pick
+     (``functions.dedup_clusters.dedup_groups``)
+
+Scale shape: step 2's shuffle carries (doc_id, 16-byte band key); the
+quadratic work is per-bucket and capped. Step 3 re-joins only candidate
+doc ids back to text — at real dedup rates (<10 % dups) that's a small
+fraction of the corpus. Step 4 is hash-to-min connected components:
+rounds = cluster diameter, which for near-dup clusters is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ubparquet_spark.functions.dedup_clusters import dedup_groups
+from ubparquet_spark.plans.text import minhash_band_keys
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame, *, bucket_cap: int = 10_000
+) -> DataFrame:
+    """Distinct (src, dst) doc-id pairs sharing ≥1 LSH band bucket.
+
+    ``bucket_cap`` drops over-full buckets (an all-identical-boilerplate
+    bucket at 100 TB would otherwise go quadratic); dropped buckets are
+    the uninformative ones, and true near-dup pairs typically co-occur in
+    several buckets."""
+    sizes = band_keys.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    ok = band_keys.join(
+        sizes.filter(F.col("_n") <= bucket_cap).drop("_n"),
+        ["band_id", "band_key"],
+    )
+    a, b = ok.alias("a"), ok.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles): the distinct 3-token shingle set per doc."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "if(size(split(text, ' ')) >= 3,"
+                " transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> array_join(slice(split(text, ' '), i, 3), ' ')),"
+                " array())"
+            )
+        ).alias("shingles"),
+    )
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame, docs: DataFrame, *, threshold: float
+) -> DataFrame:
+    """Keep only candidate pairs whose EXACT 3-shingle Jaccard ≥ threshold
+    — removes LSH false positives. Joins text back for candidate ids only."""
+    sh = _shingle_sets(docs)
+    a = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
+    union = F.size(F.array_union("_sa", "_sb")).cast("double")
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .withColumn(
+            "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    *,
+    jaccard_threshold: float | None = 0.5,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Full decision table for ``docs`` (needs ``doc_id``, ``text``):
+    (doc_id, canonical_id, is_canonical). Drop rows where
+    ``is_canonical`` is false to dedup the corpus.
+
+    ``jaccard_threshold=None`` skips verification (pure-LSH dedup:
+    cheaper, admits LSH false positives into groups)."""
+    cands = lsh_candidate_pairs(minhash_band_keys(docs), bucket_cap=bucket_cap)
+    if jaccard_threshold is not None:
+        cands = verify_pairs_jaccard(cands, docs, threshold=jaccard_threshold)
+    return dedup_groups(cands.select("src", "dst"), docs, "doc_id")

@@ -100,15 +100,43 @@ def convert_and_write(
     )
 
 
-def root_reader(*_args, **_kwargs):  # pragma: no cover - env-gated
-    """Real ROOT reader — requires ``uproot``, not present in this
-    environment. Plug your own ``EventReader`` built on
-    ``uproot.open(path)[tree].iterate(...)``."""
-    try:
-        import uproot  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "uproot is not installed; supply a custom EventReader to "
-            "convert_files()/convert_and_write()"
-        ) from e
-    raise NotImplementedError("wire uproot tree iteration here")
+def root_reader(
+    tree: str,
+    branches: list[str] | None = None,
+    *,
+    step_size: str | int = "100 MB",
+) -> EventReader:
+    """ROOT-file ``EventReader`` factory over ``uproot`` (pure-Python ROOT
+    I/O — no PyROOT/C++ needed on executors).
+
+    Returns a ``path -> iterator of event dicts`` callable for
+    :func:`convert_files`: one dict per tree entry, jagged branches as
+    per-entry numpy arrays (which :func:`encode_event` turns into the
+    flat+shape column pair), scalar branches passed through. This is the
+    reference's entry loop (``root2parquet.py:39-42``:
+    ``for ientry in range(nentries): kploader.load_entry(ientry)``) minus
+    the single-process cap — each executor task streams its own file in
+    ``step_size`` chunks, so memory is bounded per task.
+
+    The ``uproot`` import happens inside the returned reader (executor
+    side) and is environment-gated: this container ships without uproot,
+    so calling the reader raises ``NotImplementedError`` — the Spark
+    plumbing around it is exercised with synthetic readers in tests."""
+
+    def read(path: str) -> Iterator[dict]:
+        try:
+            import uproot
+        except ImportError as e:  # pragma: no cover - env-gated
+            raise NotImplementedError(
+                "uproot is not installed; supply a custom EventReader to "
+                "convert_files()/convert_and_write()"
+            ) from e
+        with uproot.open(path) as f:
+            t = f[tree]
+            names = list(branches) if branches else list(t.keys())
+            for batch in t.iterate(names, library="np", step_size=step_size):
+                n = len(batch[names[0]])
+                for i in range(n):
+                    yield {k: batch[k][i] for k in names}
+
+    return read

@@ -68,9 +68,26 @@ def array_subsample(
     )
 
 
-def iter_arrow_batches(df: DataFrame) -> Iterator["object"]:
+def iter_arrow_batches(df: DataFrame, batch_rows: int = 1024) -> Iterator["object"]:
     """U3 serving edge: iterate pyarrow RecordBatch objects (replaces the
     per-row ``.rdd.collect()`` pickle path the reference flags as slow,
-    ``larmatch_dataset.py:188-192``)."""
-    for batch in df.toArrow().to_batches():
-        yield batch
+    ``larmatch_dataset.py:188-192``).
+
+    Streams via ``toLocalIterator(prefetchPartitions=True)`` — driver
+    memory is bounded by ONE partition (+ one prefetched), not the whole
+    table. The previous ``df.toArrow()`` form collected the entire
+    DataFrame into driver memory before yielding the first batch — the
+    modern form of the reference's full-materialize path, and the thing
+    that would OOM the driver first at 100 TB."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    schema = to_arrow_schema(df.schema)
+    buf: list[dict] = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        buf.append(row.asDict(recursive=True))
+        if len(buf) >= batch_rows:
+            yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            buf = []
+    if buf:
+        yield pa.RecordBatch.from_pylist(buf, schema=schema)

@@ -43,11 +43,11 @@ def _sq_norm(a: str) -> Column:
     return _dot(a, a)
 
 
-def _sign_bucket(a: str) -> Column:
-    """Sign-bit LSH bucket from the first LSH_SIGN_BITS dimensions."""
+def _sign_bucket(a: str, bits: int = LSH_SIGN_BITS, offset: int = 0) -> Column:
+    """Sign-bit LSH bucket from ``bits`` dimensions starting at ``offset``."""
     terms = " + ".join(
-        f"(CASE WHEN CAST(element_at({a}, {i + 1}) AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(LSH_SIGN_BITS)
+        f"(CASE WHEN CAST(element_at({a}, {offset + i + 1}) AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
     )
     return F.expr(terms).cast("long")
 
@@ -62,10 +62,10 @@ def _sql_dot(a: str, b: str) -> str:
     )
 
 
-def _sql_sign_bucket(a: str) -> str:
+def _sql_sign_bucket(a: str, bits: int = LSH_SIGN_BITS, offset: int = 0) -> str:
     terms = " + ".join(
-        f"(CASE WHEN CAST({a}[{i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(LSH_SIGN_BITS)
+        f"(CASE WHEN CAST({a}[{offset + i + 1}] AS DOUBLE) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
     )
     return f"CAST({terms} AS BIGINT)"
 
@@ -160,14 +160,53 @@ LIMIT 5
 # ---------------------------------------------------------------------------
 
 NEARDUP_THRESHOLD = 0.35
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 16
+NEARDUP_BUCKET_CAP = 1000
 
 
-def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", _sign_bucket("embedding").alias("bucket")
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    *,
+    bands: int = NEARDUP_BANDS,
+    band_bits: int = NEARDUP_BAND_BITS,
+    bucket_cap: int = NEARDUP_BUCKET_CAP,
+    threshold: float = NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs via multi-band sign-LSH: a pair is a candidate if it
+    agrees on the signs of ANY band's ``band_bits`` consecutive dimensions.
+
+    Scale shape: one explode (``bands``× rows) → equi-join on
+    (band, bucket) → within-bucket pairs → distinct. With b bands of k bits
+    the quadratic work is O(bands · n²/2^k) instead of the single-8-bit
+    bucket's O(n²/256), and ``bucket_cap`` drops degenerate buckets (e.g.
+    all-zero embeddings or dead dimensions at 100 TB) instead of letting
+    one hot bucket go quadratic — standard LSH practice: an over-full
+    bucket carries no discriminating signal."""
+    emb = emb.select("vec_id", "embedding")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                _sign_bucket(
+                    "embedding", band_bits, b * band_bits
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
+    e = emb.select("vec_id", "embedding", F.explode(band_structs).alias("_b")).select(
+        "vec_id", "embedding", "_b.band", "_b.bucket"
+    )
+    ok_buckets = (
+        e.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= bucket_cap)
+        .drop("_n")
+    )
+    e = e.join(ok_buckets, ["band", "bucket"])
+    a = e.alias("a")
+    b = e.alias("b")
     cos = roundn(
         _dot("a.embedding", "b.embedding")
         / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
@@ -176,30 +215,52 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.bucket").alias("bucket"),
             cos.alias("cosine"),
         )
-        .filter(F.col("cosine") > NEARDUP_THRESHOLD)
+        .filter(F.col("cosine") > threshold)
+        .distinct()  # a pair can agree in more than one band
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb)
+
+
+def _neardup_band_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {b} THEN {_sql_sign_bucket(col, NEARDUP_BAND_BITS, b * NEARDUP_BAND_BITS)}"
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"CASE band {whens} END"
+
+
 Q_EMBEDDING_NEARDUP_SQL = f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_sql_sign_bucket("embedding")} AS bucket
-  FROM embeddings
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+), banded AS (
+  SELECT vec_id, embedding, band, {_neardup_band_case("embedding")} AS bucket
+  FROM e, range(0, {NEARDUP_BANDS}) t(band)
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2
+  HAVING COUNT(*) <= {NEARDUP_BUCKET_CAP}
+), bx AS (
+  SELECT banded.* FROM banded JOIN ok USING (band, bucket)
 ), pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          FLOOR(({_sql_dot("a.embedding", "b.embedding")}
                 / SQRT({_sql_dot("a.embedding", "a.embedding")} * {_sql_dot("b.embedding", "b.embedding")})) * 1000000 + 0.5) / 1000000 AS cosine
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM bx a JOIN bx b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, bucket, cosine FROM pairs WHERE cosine > {NEARDUP_THRESHOLD}
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine > {NEARDUP_THRESHOLD}
 """
 
 

@@ -275,8 +275,12 @@ _MH_A = (1103515245, 1566083941, 784588716, 1481765933, 1184016393, 920419823)
 _MH_B = (12345, 362436069, 521288629, 88675123, 5783321, 6615241)
 
 
-def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def minhash_band_keys(docs: DataFrame) -> DataFrame:
+    """Per-doc LSH band keys: (doc_id, band_id, band_key) — one row per
+    (doc, band). The reusable first stage of a dedup pipeline: group on
+    (band_id, band_key) for bucket stats (``q_minhash_lsh_buckets``) or
+    self-join on it for candidate pairs
+    (``functions.minhash_dedup.lsh_candidate_pairs``)."""
     # materialize the token array once — Spark does not eliminate the
     # repeated split() inside lambda bodies, and tokenization dominates
     base = docs.withColumn("toks", F.split("text", " ")).withColumn(
@@ -299,21 +303,38 @@ def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(MINHASH_K)
         ],
     )
-    bands = []
-    for b in range(MINHASH_K // LSH_BAND_ROWS):
-        cols = [f"h{b * LSH_BAND_ROWS + r}" for r in range(LSH_BAND_ROWS)]
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(b).alias("band_id"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+    # Single pass: emit every band as one struct in an array and explode.
+    # A unionByName of per-band selects would re-execute the shared
+    # base/sigs subplan once PER BAND (Spark does not deduplicate common
+    # subtrees across union branches) — tokenize + per-shingle md5 + k
+    # affine mins are the dominant cost, so that's ~n_bands× the work.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{b * LSH_BAND_ROWS + r}")
+                            for r in range(LSH_BAND_ROWS)
+                        ],
+                    )
+                ).alias("band_key"),
             )
-        )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
+            for b in range(MINHASH_K // LSH_BAND_ROWS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.explode(band_structs).alias("_band")
+    ).select("doc_id", "_band.band_id", "_band.band_key")
+
+
+def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        all_bands.groupBy("band_id", "band_key")
+        minhash_band_keys(docs)
+        .groupBy("band_id", "band_key")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
@@ -490,17 +511,25 @@ def q_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    n_docs = docs.count()  # tiny driver-side scalar; fixed per sf
+    # N as a broadcast 1-row aggregate, not docs.count(): a driver-side
+    # action during plan construction runs a full extra scan before the
+    # real query starts — at 100 TB that is a job, not "a tiny scalar".
+    # Same technique as q_above_avg_balance (plans/tpch.py).
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = (
         docs.select("doc_id", F.explode(tokens_col()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_counts = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_counts, "token").select(
-        "doc_id",
-        "token",
-        roundn(F.col("tf") * F.lit(float(n_docs)) / F.col("df")).alias("tfidf"),
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            roundn(F.col("tf") * F.col("n_docs") / F.col("df")).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (

@@ -1326,13 +1326,26 @@ GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
 # ---------------------------------------------------------------------------
 
 def q_order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT percent_rank()/ntile() over Window.partitionBy(o_orderpriority):
+    # ~5 priorities would push 20 % of the table through one task's sort.
+    # Two-pass distributed ranking (operators/ranks.py) bounds every window
+    # partition by one range-partition slice; percent_rank and ntile are
+    # then pure arithmetic on (rank, group size) — bit-identical output.
+    from ubparquet_spark.operators.ranks import ntile_col, percent_rank_col, ranked
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return orders.select(
+    r = ranked(
+        orders,
+        ["o_orderpriority"],
+        ["o_totalprice", "o_orderkey"],
+        rank_col="_r",
+        n_col="_n",
+    )
+    return r.select(
         "o_orderkey",
         "o_orderpriority",
-        roundn(F.percent_rank().over(w), 6).alias("price_pct_rank"),
-        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        roundn(percent_rank_col("_r", "_n"), 6).alias("price_pct_rank"),
+        ntile_col("_r", "_n", 4).cast("long").alias("price_quartile"),
     )
 
 

@@ -10,9 +10,11 @@ per-row ``.rdd.collect()`` pickle path (noted "SLOW ASF" at ``:188-192``)
 replaced by Arrow batch transfer, the retry-sampling loop replaced by a
 single rand-keyed top-n job, and all randomness seeded.
 
-Scale notes: epoch iteration runs ONE Spark job per epoch (not one per item);
-decode happens driver-side per Arrow batch, or can be pushed into executors
-via ``mapInArrow`` for distributed consumers. Point lookups push the
+Scale notes: epoch iteration streams partition-at-a-time to the driver via
+``toLocalIterator`` (one small job per partition, never one per item, and
+never a full-table driver materialize); decode happens driver-side per row
+batch, or can be pushed into executors via ``mapInArrow`` for distributed
+consumers. Point lookups push the
 conjunctive key predicate into Parquet row-group pruning — write event files
 sorted by the key (``io.write_parquet(sort_within_partitions_by=...)``) to
 keep them fast.
@@ -115,13 +117,15 @@ class EventDataset:
             i, n = partition
             df = partition_slice(df, i, n, EVENT_KEY)
         df = epoch_order(df, epoch, seed)
+        # toLocalIterator streams one partition at a time to the driver
+        # (plus one prefetched) — unlike toArrow(), which materialized the
+        # ENTIRE epoch in driver memory before the first batch came out.
         batch: list[dict[str, np.ndarray]] = []
-        for arrow_batch in df.toArrow().to_batches():
-            for r in arrow_batch.to_pylist():
-                batch.append(_decode_pandas_row(r, self.tensor_cols))
-                if len(batch) == batch_size:
-                    yield batch
-                    batch = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            batch.append(_decode_pandas_row(row.asDict(), self.tensor_cols))
+            if len(batch) == batch_size:
+                yield batch
+                batch = []
         if batch:
             yield batch
 
