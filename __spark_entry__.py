@@ -37,6 +37,7 @@ _CHECK_FIRST = [
     "q_doc_prefix_dedup",
     "q_doc_fingerprint",
     "q_minhash_lsh_buckets",
+    "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",
     "q_simhash",
     "q_token_histogram",

@@ -88,13 +88,16 @@ def test_time_range_join_is_equi_join(spark, sf_dir):
 
 def test_rank_windows_have_no_whole_group_partition(spark, sf_dir):
     """q_order_price_ranks must never sort a whole priority group in one
-    window task: every Window over the full orders table must be
-    partitioned by the range-partition slice id (_pid), so its partitions
-    are bounded by one task's data. (The offsets window partitions by
-    priority alone, but runs over n_tasks rows, not n_rows.)"""
+    window task, and must shuffle the orders table exactly once (the range
+    partition): no rank/row_number window over the full table, and no
+    second exchange keyed on the slice id. (The offsets windows partition
+    by priority alone, but run over n_tasks rows, not n_rows.)"""
     plan = plan_text(tpch.q_order_price_ranks(spark, sf_dir))
-    # every row_number window spec in the plan carries _pid
+    assert "rangepartitioning" in plan
+    # no per-row ranking window exists anywhere in the plan
+    assert "row_number()" not in plan and "percent_rank()" not in plan
+    # no Window sorts rows by the value column (windows exist only on the
+    # tiny per-(task, group) counts frame, ordered by task id)
     for line in plan.splitlines():
-        if "row_number()" in line:
-            assert "_pid" in line, f"unbounded window partition: {line}"
-    assert "row_number()" in plan  # the local-rank window exists
+        if "windowspecdefinition" in line:
+            assert "o_totalprice" not in line, f"per-row window: {line}"

@@ -37,6 +37,10 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: sym is joined every round — without this, the
+        # whole upstream candidate-pair pipeline (e.g. MinHash banding +
+        # Jaccard verification) re-executes per iteration
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -58,13 +62,17 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # checkpoint FIRST, then count changes from the materialized frame
+        # — counting from `updated` directly would execute its join+agg
+        # lineage once for the count and again for the checkpoint
+        new_labels = updated.localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
+            new_labels.alias("u")
             .join(labels.alias("l"), "node")
             .filter(F.col("u.component") != F.col("l.component"))
             .count()
         )
-        labels = updated.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels

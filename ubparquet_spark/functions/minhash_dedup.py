@@ -21,7 +21,7 @@ rounds = cluster diameter, which for near-dup clusters is tiny.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.functions.dedup_clusters import dedup_groups
@@ -37,12 +37,17 @@ def lsh_candidate_pairs(
     bucket at 100 TB would otherwise go quadratic); dropped buckets are
     the uninformative ones, and true near-dup pairs typically co-occur in
     several buckets."""
-    sizes = band_keys.groupBy("band_id", "band_key").agg(
-        F.count(F.lit(1)).alias("_n")
-    )
-    ok = band_keys.join(
-        sizes.filter(F.col("_n") <= bucket_cap).drop("_n"),
-        ["band_id", "band_key"],
+    # bucket sizes via a window count over the SAME (band_id, band_key)
+    # shuffle the join needs — not a separate groupBy branch, which would
+    # re-execute the expensive signature subplan a third time; with the
+    # window, the a/b join sides are identical subplans and Spark reuses
+    # one exchange (signatures computed once). Window partitions are
+    # single buckets — bounded by construction.
+    w = Window.partitionBy("band_id", "band_key")
+    ok = (
+        band_keys.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= bucket_cap)
+        .drop("_n")
     )
     a, b = ok.alias("a"), ok.alias("b")
     return (

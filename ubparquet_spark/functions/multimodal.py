@@ -89,29 +89,34 @@ def decode_media(df: DataFrame, *, allow_fake: bool = False) -> DataFrame:
         "mean_value double, min_value double, max_value double"
     )
 
+    def _n_values(kind: str, meta) -> int:
+        if kind == "image":
+            return int(meta["width"]) * int(meta["height"]) * int(meta["channels"])
+        if kind == "audio":
+            return int(meta["sample_rate"])  # 1 second of samples
+        return int(meta["n_frames"]) * 64
+
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
-                if row["kind"] == "image":
-                    n = int(meta["width"]) * int(meta["height"]) * int(meta["channels"])
-                elif row["kind"] == "audio":
-                    n = int(meta["sample_rate"])  # 1 second of samples
-                else:
-                    n = int(meta["n_frames"]) * 64
-                vals = _fake_decode(bytes(row["payload"]), n)
-                recs.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "n_values": n,
-                        "mean_value": float(vals.mean()),
-                        "min_value": float(vals.min()),
-                        "max_value": float(vals.max()),
-                    }
-                )
-            yield pd.DataFrame(recs)
+            # columnar zip, not iterrows: the per-item decode is inherently
+            # per-payload (the real codec call is too), but batch assembly
+            # and the stat reductions stay numpy-side
+            ns = [
+                _n_values(k, m) for k, m in zip(pdf["kind"], pdf["meta"])
+            ]
+            vals = [
+                _fake_decode(bytes(p), n) for p, n in zip(pdf["payload"], ns)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "n_values": np.asarray(ns, dtype=np.int64),
+                    "mean_value": np.asarray([v.mean() for v in vals]),
+                    "min_value": np.asarray([v.min() for v in vals]),
+                    "max_value": np.asarray([v.max() for v in vals]),
+                }
+            )
 
     return df.mapInPandas(decode_batches, out_schema)
 

@@ -76,3 +76,74 @@ def exact_quantiles(
         cols.append((lo + (hi - lo) * frac).alias(name))
     cols.append(F.col("_n").alias("n_rows"))
     return out.select(*cols)
+
+
+def exact_quantiles_multi(
+    df: DataFrame,
+    keys: Sequence[str],
+    specs: Mapping[str, Mapping[str, float]],
+) -> DataFrame:
+    """Exact quantiles of SEVERAL value columns in ONE scan.
+
+    ``specs`` maps value column -> {output name: probability}. Equivalent
+    to joining one :func:`exact_quantiles` per column, but reads the input
+    once: the columns are unpivoted (explode of (var, value) structs — a
+    narrow transform), the distribution groupBy keys on (keys, var, value),
+    and the window partitions by (keys, var). ``n_rows`` reports the first
+    column's non-null count. Output names must be globally unique."""
+    keys = list(keys)
+    cols = list(specs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("_var"), F.col(c).cast("double").alias("_v")
+        )
+        for c in cols
+    ]
+    base = df.select(*keys, F.explode(F.array(*structs)).alias("_e")).select(
+        *keys, "_e._var", "_e._v"
+    )
+    dist = base.groupBy(*keys, "_var", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(*keys, "_var").orderBy("_v")
+    dist = dist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(*keys, "_var"))
+    )
+    # quantiles at the (keys, var) grain — h uses that var's own n
+    aggs = [F.max("_n").alias("_n")]
+    for c, probs in specs.items():
+        for name, p in probs.items():
+            h = (F.col("_n") - 1) * F.lit(float(p))
+            aggs.append(
+                F.min(
+                    F.when(F.col("_cum") >= F.floor(h) + 1, F.col("_v"))
+                ).alias(f"_lo_{name}")
+            )
+            aggs.append(
+                F.min(
+                    F.when(F.col("_cum") >= F.ceil(h) + 1, F.col("_v"))
+                ).alias(f"_hi_{name}")
+            )
+    lvl = dist.groupBy(*keys, "_var").agg(*aggs)
+    value_cols = []
+    for c, probs in specs.items():
+        for name, p in probs.items():
+            h = (F.col("_n") - 1) * F.lit(float(p))
+            frac = h - F.floor(h)
+            lo, hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+            value_cols.append(
+                F.when(F.col("_var") == c, lo + (hi - lo) * frac).alias(name)
+            )
+    lvl = lvl.select(
+        *keys,
+        "_var",
+        *value_cols,
+        F.when(F.col("_var") == cols[0], F.col("_n")).alias("_n0"),
+    )
+    # collapse the var rows: each output name is non-null on exactly one row
+    return lvl.groupBy(*keys).agg(
+        *[
+            F.min(name).alias(name)
+            for c, probs in specs.items()
+            for name in probs
+        ],
+        F.max("_n0").alias("n_rows"),
+    )

@@ -5,18 +5,29 @@ low-cardinality column (e.g. 5 order priorities) forces each partition —
 20 % of the table — through ONE task's sort: correct at sf0.1, a
 scale-killer at 100 TB.
 
-Technique (classic two-pass distributed ranking):
+Technique (classic two-pass distributed ranking, one big-table shuffle):
 
-  1. range-partition rows by (group, order) keys — each task holds a
-     contiguous slice of the global sort order, sized ~table/partitions,
-  2. rank locally per (task, group) — the window partition is bounded by
-     one task's slice, never by a whole group,
+  1. range-partition rows by (group, order) keys and sort WITHIN each
+     partition — each task holds a contiguous, sorted slice of the global
+     order, sized ~table/partitions,
+  2. tag rows with ``monotonically_increasing_id()`` — consecutive within
+     a partition in sort order, so ``id - min(id within (task, group))``
+     IS the local rank, with no window and (crucially) no second
+     exchange: a ``row_number() over (partition by task_id)`` window
+     would force a full re-shuffle on task_id because Catalyst cannot
+     know the data is already partitioned that way,
   3. shift local ranks by the count of rows in earlier tasks of the same
-     group — a tiny (n_tasks × n_groups)-row offset table, broadcast back.
+     group — a tiny (n_tasks × n_groups)-row min/count table, broadcast
+     back.
 
 The offset table's own window IS partitioned per group, but over n_tasks
 rows, not n_rows. Requires a total order: ``order_cols`` must be unique
 within a group (include a row key) so ``row_number == rank``.
+
+Assumption (asserted by the oracle tests): ``monotonically_increasing_id``
+is consecutive within a partition — true of Spark's implementation
+(partition_index << 33 | row offset) even though the API contract only
+promises monotonicity.
 """
 
 from __future__ import annotations
@@ -44,32 +55,29 @@ def ranked(
         )
     local = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_lrn",
-            F.row_number().over(
-                Window.partitionBy("_pid", *part_cols).orderBy(
-                    *[F.asc(c) for c in order_cols]
-                )
-            ),
-        )
+        .withColumn("_g", F.monotonically_increasing_id())
     )
-    counts = local.groupBy("_pid", *part_cols).agg(F.count(F.lit(1)).alias("_cnt"))
+    per_task_group = local.groupBy("_pid", *part_cols).agg(
+        F.min("_g").alias("_min_g"), F.count(F.lit(1)).alias("_cnt")
+    )
     w_before = (
         Window.partitionBy(*part_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
+    offsets = per_task_group.select(
         "_pid",
         *part_cols,
+        "_min_g",
         F.coalesce(F.sum("_cnt").over(w_before), F.lit(0)).alias("_off"),
         F.sum("_cnt").over(Window.partitionBy(*part_cols)).alias(n_col),
     )
     return (
         local.join(F.broadcast(offsets), ["_pid", *part_cols])
-        .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+        .withColumn(rank_col, F.col("_g") - F.col("_min_g") + 1 + F.col("_off"))
+        .drop("_pid", "_g", "_min_g", "_off")
     )
 
 

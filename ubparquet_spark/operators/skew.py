@@ -53,7 +53,7 @@ def salted_aggregate(
             stage2.append(F.max(f"_p_{name}").alias(name))
         else:
             raise ValueError(f"unsupported aggregate kind: {kind}")
-    partial = df.withColumn("_salt", F.pmod(F.xxhash64(F.rand(seed)), F.lit(n_salts))) \
+    partial = df.withColumn("_salt", F.floor(F.rand(seed) * n_salts)) \
         .groupBy(*keys, "_salt").agg(*stage1)
     return partial.groupBy(*keys).agg(*stage2)
 

@@ -198,13 +198,17 @@ def embedding_neardup_pairs(
     e = emb.select("vec_id", "embedding", F.explode(band_structs).alias("_b")).select(
         "vec_id", "embedding", "_b.band", "_b.bucket"
     )
-    ok_buckets = (
-        e.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("_n"))
+    # window count over the same (band, bucket) shuffle the join needs —
+    # a separate groupBy branch would re-execute the banding subplan; with
+    # the window the a/b sides are identical and the exchange is reused
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    e = (
+        e.withColumn("_n", F.count(F.lit(1)).over(w))
         .filter(F.col("_n") <= bucket_cap)
         .drop("_n")
     )
-    e = e.join(ok_buckets, ["band", "bucket"])
     a = e.alias("a")
     b = e.alias("b")
     cos = roundn(

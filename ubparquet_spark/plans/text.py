@@ -340,7 +340,8 @@ def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_sql() -> str:
+def _minhash_band_ctes() -> str:
+    """Shared DuckDB CTE prefix: documents -> per-doc (band_id, band_key)."""
     hashes = ",\n         ".join(
         f"list_aggregate(list_transform(bases, h -> ({_MH_A[j]} * h + {_MH_B[j]}) % {_MH_P}),"
         f" 'min') AS h{j}"
@@ -353,8 +354,7 @@ def _minhash_lsh_sql() -> str:
         )
         band_rows.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sigs")
     bands_sql = " UNION ALL ".join(band_rows)
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id,
          list_transform(range(1, len(string_split(text, ' ')) - 1),
            i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15) AS BIGINT) % {_MH_P}
@@ -366,7 +366,12 @@ WITH base AS (
   FROM base
 ), bands AS (
   {bands_sql}
-)
+)"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+WITH {_minhash_band_ctes()}
 SELECT band_id, band_key, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
 FROM bands
 GROUP BY band_id, band_key
@@ -375,6 +380,77 @@ HAVING COUNT(*) > 1
 
 
 Q_MINHASH_LSH_SQL = _minhash_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# Full dedup decision table: LSH candidates -> exact-Jaccard verify ->
+# transitive groups -> canonical keep/drop. The Spark side is iterative
+# hash-to-min connected components (functions/dedup_clusters.py); the
+# oracle expresses the same transitive closure with a recursive CTE, so
+# even the iterative stage gets a full value-hash correctness gate.
+# ---------------------------------------------------------------------------
+
+DEDUP_JACCARD_THRESHOLD = 0.5
+DEDUP_BUCKET_CAP = 10_000
+
+
+def q_doc_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # imported here: functions.minhash_dedup imports this module's
+    # minhash_band_keys (module-level import would be circular)
+    from ubparquet_spark.functions.minhash_dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(
+        docs,
+        jaccard_threshold=DEDUP_JACCARD_THRESHOLD,
+        bucket_cap=DEDUP_BUCKET_CAP,
+    )
+
+
+def _dedup_decisions_sql() -> str:
+    shingle = (
+        "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),"
+        " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_band_ctes()}, ok AS (
+  SELECT band_id, band_key FROM bands GROUP BY 1, 2
+  HAVING COUNT(*) <= {DEDUP_BUCKET_CAP}
+), bx AS (
+  SELECT bands.* FROM bands JOIN ok USING (band_id, band_key)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bx a JOIN bx b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), sh AS (
+  SELECT doc_id, {shingle} AS shingles FROM documents
+), ver AS (
+  SELECT src, dst
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.src
+  JOIN sh sb ON sb.doc_id = cand.dst
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / NULLIF(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 0)
+        >= {DEDUP_JACCARD_THRESHOLD}
+), edges AS (
+  SELECT src AS a, dst AS b FROM ver
+  UNION
+  SELECT dst, src FROM ver
+), reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.src, e.b FROM reach JOIN edges e ON reach.dst = e.a
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS canonical_id,
+       d.doc_id = LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS is_canonical
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+Q_DOC_DEDUP_DECISIONS_SQL = _dedup_decisions_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -572,6 +648,7 @@ QUERIES: dict[str, tuple] = {
     "q_doc_prefix_dedup": (q_doc_prefix_dedup, Q_DOC_PREFIX_DEDUP_SQL),
     "q_doc_fingerprint": (q_doc_fingerprint, Q_DOC_FINGERPRINT_SQL),
     "q_minhash_lsh_buckets": (q_minhash_lsh_buckets, Q_MINHASH_LSH_SQL),
+    "q_doc_dedup_decisions": (q_doc_dedup_decisions, Q_DOC_DEDUP_DECISIONS_SQL),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_token_histogram": (q_token_histogram, Q_TOKEN_HIST_SQL),

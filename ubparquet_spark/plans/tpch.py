@@ -1263,15 +1263,20 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ubparquet_spark.operators.quantiles import exact_quantiles
+    # one fused scan for both value columns (price + discount) — the
+    # two-pass-plus-join form read lineitem twice for the same answer
+    from ubparquet_spark.operators.quantiles import exact_quantiles_multi
 
     li = load_table(spark, sf_dir, "lineitem")
-    price = exact_quantiles(
-        li, ["l_returnflag"], "l_extendedprice",
-        {"median_price": 0.5, "p90_price": 0.9},
+    q = exact_quantiles_multi(
+        li,
+        ["l_returnflag"],
+        {
+            "l_extendedprice": {"median_price": 0.5, "p90_price": 0.9},
+            "l_discount": {"q1_discount": 0.25},
+        },
     )
-    disc = exact_quantiles(li, ["l_returnflag"], "l_discount", {"q1_discount": 0.25})
-    return price.join(disc.select("l_returnflag", "q1_discount"), "l_returnflag").select(
+    return q.select(
         "l_returnflag",
         roundn(F.col("median_price")).alias("median_price"),
         roundn(F.col("p90_price")).alias("p90_price"),
