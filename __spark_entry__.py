@@ -41,6 +41,8 @@ _CHECK_FIRST = [
     "q_ngram_jaccard_pairs",
     "q_simhash",
     "q_token_histogram",
+    "q_bpe_token_stats",
+    "q_doc_rolling_hash",
     # -- no driver row in round 1: plans/similarity.py
     "q_ann_ivf",
     "q_knn_bruteforce",

@@ -639,6 +639,91 @@ SELECT doc_id, token AS top_term, tfidf FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish tokenization (regex pre-tokenizer, GPT-2 style classes): runs
+# per-token counts a training-data pipeline uses for budget estimation.
+# Whitespace split undercounts real BPE tokens; the regex splits letter
+# runs, digit runs and individual punctuation — the standard pre-tokenize
+# grain. JVM regexp, one scan, no shuffle before the final projection.
+# ---------------------------------------------------------------------------
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_RE}', 0)")
+    n_word = F.expr(
+        f"size(filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
+        " t -> t RLIKE '^[a-zA-Z]+$'))"
+    )
+    n_num = F.expr(
+        f"size(filter(regexp_extract_all(text, '{_BPE_RE}', 0),"
+        " t -> t RLIKE '^[0-9]+$'))"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        n_word.cast("long").alias("n_word_tokens"),
+        n_num.cast("long").alias("n_num_tokens"),
+        (F.size(toks) - n_word - n_num).cast("long").alias("n_punct_tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+Q_BPE_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe_tokens,
+       len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+           t -> regexp_full_match(t, '[a-zA-Z]+'))) AS n_word_tokens,
+       len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+           t -> regexp_full_match(t, '[0-9]+'))) AS n_num_tokens,
+       len(regexp_extract_all(text, '{_BPE_RE}'))
+         - len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+               t -> regexp_full_match(t, '[a-zA-Z]+')))
+         - len(list_filter(regexp_extract_all(text, '{_BPE_RE}'),
+               t -> regexp_full_match(t, '[0-9]+'))) AS n_punct_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint (Rabin-Karp polynomial fold): unlike
+# the set-based min-shingle fingerprint (q_doc_fingerprint), this is
+# ORDER-SENSITIVE — token reordering changes the hash. One fold per doc,
+# integer arithmetic bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_RH_B = 1103515245  # multiplier; acc*B < 2^31 * 2^31 = 2^62 — no overflow
+_RH_P = 2147483647
+
+
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bases = (
+        "transform(split(text, ' '),"
+        " t -> pmod(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT),"
+        f" {_RH_P}))"
+    )
+    rolling = F.expr(
+        f"aggregate({bases}, CAST(0 AS BIGINT),"
+        f" (acc, h) -> pmod(acc * {_RH_B} + h, {_RH_P}))"
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash"))
+
+
+Q_DOC_ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+             t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {_RH_P})),
+         (acc, h) -> (acc * {_RH_B} + h) % {_RH_P}) AS rolling_hash
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_tfidf_top_term": (q_tfidf_top_term, Q_TFIDF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
@@ -652,4 +737,6 @@ QUERIES: dict[str, tuple] = {
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_token_histogram": (q_token_histogram, Q_TOKEN_HIST_SQL),
+    "q_bpe_token_stats": (q_bpe_token_stats, Q_BPE_TOKEN_STATS_SQL),
+    "q_doc_rolling_hash": (q_doc_rolling_hash, Q_DOC_ROLLING_HASH_SQL),
 }
