@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "q_ann_lsh",
     "q_embedding_neardup",
     "q_embedding_norms",
+    "q_kmeans_clusters",
     # -- no driver row in round 1: plans/events.py
     "q_events_hourly",
     "q_events_sliding",

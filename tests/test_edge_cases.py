@@ -82,3 +82,32 @@ def test_dedup_groups_no_edges(spark):
     no_edges = spark.createDataFrame([], "src long, dst long")
     out = dedup_groups(no_edges, ids, "doc_id")
     assert out.filter("is_canonical").count() == 5
+
+
+def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
+    """A 100 TB lake has empty partitions somewhere every day: every
+    registered query must plan and execute (0 rows is fine, throwing is
+    not) against a fully empty, schema-identical dataset. Guards the
+    sequence(1, n<=0) class of hazards for good."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_empty"))
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0)"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            assert fn(spark, dst).count() >= 0
+        except Exception as e:  # collect all, report once
+            failures.append(f"{name}: {str(e).splitlines()[0][:100]}")
+    assert not failures, failures

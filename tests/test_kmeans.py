@@ -1,0 +1,77 @@
+"""Distributed Lloyd's k-means vs an independent numpy implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ubparquet_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+    update_centroids,
+)
+
+
+def _numpy_lloyd(X, k, rounds):
+    cents = X[:k].astype(float).copy()  # same init: lowest-id rows
+    for _ in range(rounds):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes lowest index on ties
+        for c in range(k):
+            if (assign == c).any():
+                cents[c] = X[assign == c].mean(axis=0)
+    return cents, assign
+
+
+def _fixture(n=60, dim=8, k=4, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim)) * 5
+    X = np.concatenate(
+        [centers[i] + rng.standard_normal((n // k, dim)) for i in range(k)]
+    )
+    return X
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    X = _fixture()
+    k, rounds = 4, 4
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = np.array(kmeans_fit(df, k, rounds=rounds))
+    want, _ = _numpy_lloyd(X, k, rounds)
+    # distributed mean sums in partial-aggregation order; tolerance only
+    # for that, the assignment structure must be identical
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9)
+
+    assigned = assign_clusters(df, [list(c) for c in got])
+    got_assign = np.array(
+        [r.cluster for r in assigned.orderBy("vec_id").collect()]
+    )
+    # golden assignment against the FINAL centroids (the loop's last
+    # E-step ran before the last M-step)
+    final_assign = ((X[:, None, :] - want[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    np.testing.assert_array_equal(got_assign, final_assign)
+
+
+def test_kmeans_empty_cluster_keeps_old_centroid(spark):
+    """If a centroid captures no points its previous value survives the
+    round (standard Lloyd degenerate-case handling)."""
+    rows = [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [10.0, 10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # k=3 init = the three points; points 0,1 both nearest their own
+    # centroids, but after one round centroid 1 may lose its point to 0's
+    # mean — run several rounds and just require 3 finite centroids back
+    cents = kmeans_fit(df, 3, rounds=3)
+    assert len(cents) == 3
+    assert all(len(c) == 2 and all(np.isfinite(c)) for c in cents)
+
+
+def test_update_centroids_is_exact_mean(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (0, [3.0, 5.0]), (1, [10.0, 0.0])],
+        "cluster int, embedding array<double>",
+    )
+    out = dict(update_centroids(df))
+    assert out[0] == [2.0, 4.0]
+    assert out[1] == [10.0, 0.0]

@@ -269,6 +269,133 @@ SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine > {NEARDUP_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# K-means IVF quantizer training (Lloyd's, unrolled): train k centroids on
+# a bounded sample, assign the whole table, report the cluster histogram.
+# The Spark side drives operators/kmeans.py (assign via broadcast-literal
+# argmin, update via one (cluster, dim) shuffle); the oracle unrolls the
+# SAME fixed number of rounds as chained CTEs. Centroid means are rounded
+# to 6 dp each round in BOTH engines so summation order can never flip an
+# argmin — the rounded-centroid determinism trick q_ann_ivf already uses.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ROUNDS = 2
+KMEANS_TRAIN_LIMIT = 256  # train on a bounded id-range sample
+
+
+def _rounded_update(assigned: DataFrame, prev: list[list[float]]) -> list[list[float]]:
+    """Per-cluster mean, rounded 6 dp; empty clusters keep ``prev``."""
+    rows = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(roundn(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    updated = {r.cluster: list(r.centroid) for r in rows}
+    return [updated.get(i, prev[i]) for i in range(len(prev))]
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.kmeans import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < KMEANS_TRAIN_LIMIT)
+    init = train.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [[float(v) for v in r.embedding] for r in init]
+    if not cents:  # empty training set -> no clusters, typed empty result
+        return spark.createDataFrame(
+            [], "cluster int, n_vecs long, avg_sq_norm double"
+        )
+    for _ in range(KMEANS_ROUNDS):
+        cents = _rounded_update(assign_clusters(train, cents), cents)
+    return (
+        assign_clusters(emb, cents)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            roundn(F.avg(_sq_norm("embedding")), 4).alias("avg_sq_norm"),
+        )
+    )
+
+
+def _kmeans_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, len({v}) + 1),"
+        " i -> (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])"
+        " * (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])))"
+    )
+
+    def assign_cte(name: str, src: str, cents: str) -> str:
+        d = dist.format(v=f"{src}.embedding", c=cents)
+        return f"""{name} AS (
+  SELECT vec_id, embedding, c AS cluster FROM (
+    SELECT {src}.vec_id, {src}.embedding, {cents}.c,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d} ASC, {cents}.c ASC) AS rn
+    FROM {src}, {cents}
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT p.c,
+         COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster AS c,
+           list_transform(
+             list_sort(list(struct_pack(dim := dim, m := m))), s -> s.m) AS cvec
+    FROM (
+      SELECT cluster, dim,
+             FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+      FROM (
+        SELECT cluster,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM {assigned}
+      )
+      GROUP BY cluster, dim
+    )
+    GROUP BY cluster
+  ) u ON u.c = p.c
+)"""
+
+    ctes = [
+        f"train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {KMEANS_TRAIN_LIMIT})",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM (SELECT * FROM train ORDER BY vec_id LIMIT {KMEANS_K})
+)""",
+    ]
+    prev = "c0"
+    for r in range(KMEANS_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", "train", prev))
+        ctes.append(update_cte(f"c{r + 1}", f"a{r}", prev))
+        prev = f"c{r + 1}"
+    ctes.append(assign_cte("afinal", "embeddings", prev))
+    sq = _sql_dot("afinal.embedding", "afinal.embedding")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cluster, COUNT(*) AS n_vecs,
+       FLOOR(AVG({sq}) * 10000 + 0.5) / 10000 AS avg_sq_norm
+FROM afinal
+GROUP BY cluster
+"""
+    )
+
+
+Q_KMEANS_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
 # Per-label embedding norm stats (array aggregation + group-by)
 # ---------------------------------------------------------------------------
 
@@ -492,4 +619,5 @@ QUERIES: dict[str, tuple] = {
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),
+    "q_kmeans_clusters": (q_kmeans_clusters, Q_KMEANS_SQL),
 }
