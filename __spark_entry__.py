@@ -43,6 +43,7 @@ _CHECK_FIRST = [
     "q_token_histogram",
     "q_bpe_token_stats",
     "q_doc_rolling_hash",
+    "q_doc_repetition",
     # -- no driver row in round 1: plans/similarity.py
     "q_ann_ivf",
     "q_knn_bruteforce",

@@ -49,3 +49,10 @@ def test_shingle_queries_handle_short_docs(spark, tmp_path):
     text.q_minhash_lsh_buckets(spark, sf).collect()  # must not throw
     pairs = text.q_ngram_jaccard_pairs(spark, sf).collect()
     assert all({r.doc_a, r.doc_b} <= {3, 4} for r in pairs)
+
+    # repetition: short docs get n_trigrams=0 and dup fractions 0 (not NaN
+    # or phantom counts), so they default to keep
+    rep = {r.doc_id: r for r in text.q_doc_repetition(spark, sf).collect()}
+    assert rep[1].n_trigrams == 0 and rep[1].dup_trigram_frac == 0.0
+    assert rep[5].dup_token_frac == 0.0 and rep[5].keep == 1
+    assert rep[3].n_trigrams == 1 and rep[4].n_trigrams == 2

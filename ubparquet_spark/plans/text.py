@@ -724,6 +724,78 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Within-document repetition signal (Gopher/MassiveText-style quality
+# filter: "fraction of duplicate n-grams"): a doc whose trigrams repeat
+# heavily is boilerplate/spam. Pure per-row map — no shuffle at any scale;
+# the filter decision is a scan-level predicate downstream.
+# ---------------------------------------------------------------------------
+
+DUP_TRIGRAM_MAX = 0.2  # keep docs below these thresholds
+DUP_TOKEN_MAX = 0.5
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", F.split("text", " ")).withColumn(
+        "grams",
+        # size >= 3 guard: sequence(1, n<=0) yields [1, 0] (step -1)
+        F.expr(
+            "if(size(toks) >= 3,"
+            " transform(sequence(1, size(toks) - 2),"
+            " i -> array_join(slice(toks, i, 3), ' ')),"
+            " array())"
+        ),
+    )
+    dup_tri = F.expr(
+        "if(size(grams) > 0,"
+        " CAST(1 AS DOUBLE) - CAST(size(array_distinct(grams)) AS DOUBLE)"
+        " / CAST(size(grams) AS DOUBLE),"
+        " CAST(0 AS DOUBLE))"
+    )
+    dup_tok = F.expr(
+        "CAST(1 AS DOUBLE) - CAST(size(array_distinct(toks)) AS DOUBLE)"
+        " / CAST(size(toks) AS DOUBLE)"
+    )
+    return d.select(
+        "doc_id",
+        F.size("grams").alias("n_trigrams"),
+        dup_tri.alias("dup_trigram_frac"),
+        dup_tok.alias("dup_token_frac"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            f"CAST(dup_trigram_frac < {DUP_TRIGRAM_MAX}"
+            f" AND dup_token_frac < {DUP_TOKEN_MAX} AS INT)"
+        ),
+    )
+
+
+Q_DOC_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) AS grams
+  FROM documents
+), fr AS (
+  SELECT doc_id,
+         len(grams) AS n_trigrams,
+         CASE WHEN len(grams) > 0
+              THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE)
+                   / CAST(len(grams) AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac,
+         CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS dup_token_frac
+  FROM base
+)
+SELECT doc_id, n_trigrams, dup_trigram_frac, dup_token_frac,
+       CAST(dup_trigram_frac < {DUP_TRIGRAM_MAX}
+            AND dup_token_frac < {DUP_TOKEN_MAX} AS INT) AS keep
+FROM fr
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_tfidf_top_term": (q_tfidf_top_term, Q_TFIDF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
@@ -739,4 +811,5 @@ QUERIES: dict[str, tuple] = {
     "q_token_histogram": (q_token_histogram, Q_TOKEN_HIST_SQL),
     "q_bpe_token_stats": (q_bpe_token_stats, Q_BPE_TOKEN_STATS_SQL),
     "q_doc_rolling_hash": (q_doc_rolling_hash, Q_DOC_ROLLING_HASH_SQL),
+    "q_doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
 }
