@@ -44,6 +44,8 @@ _CHECK_FIRST = [
     "q_bpe_token_stats",
     "q_doc_rolling_hash",
     "q_doc_repetition",
+    "q_contamination",
+    "q_domain_cap",
     # -- no driver row in round 1: plans/similarity.py
     "q_ann_ivf",
     "q_knn_bruteforce",

@@ -101,3 +101,26 @@ def test_rank_windows_have_no_whole_group_partition(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "o_totalprice" not in line, f"per-row window: {line}"
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast: shuffling the exploded
+    corpus shingles to co-locate with a tiny eval set would be the
+    100 TB-scale mistake this plan exists to avoid."""
+    from ubparquet_spark.plans import text
+
+    plan = plan_text(text.q_contamination(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the doc_id % 97 slice predicates reach both parquet scans
+    assert "PushedFilters" in plan
+
+
+def test_domain_cap_uses_window_group_limit(spark, sf_dir):
+    """row_number() <= cap must trigger Spark's WindowGroupLimit rewrite:
+    each map task keeps only its local top-cap rows per source BEFORE the
+    shuffle, so the exchange carries O(cap x partitions) per group, not the
+    whole corpus."""
+    from ubparquet_spark.plans import text
+
+    plan = plan_text(text.q_domain_cap(spark, sf_dir))
+    assert "WindowGroupLimit" in plan

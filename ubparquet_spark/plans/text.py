@@ -796,6 +796,128 @@ FROM fr
 """
 
 
+# ---------------------------------------------------------------------------
+# Benchmark-contamination check: fraction of a candidate doc's distinct
+# shingles that appear in a held-out benchmark set. Standard pre-training
+# hygiene (the GPT-3/PaLM "n-gram overlap" decontamination shape). The
+# benchmark side is tiny by construction, so it becomes a BROADCAST inner
+# join against the exploded candidate shingles — no shuffle of the corpus,
+# which is what makes this viable at 100 TB. Here the benchmark set is a
+# deterministic slice of `documents` (doc_id % 97 == 0) standing in for a
+# real eval-suite table; production would read a separate small table.
+# Real decontamination uses wider shingles (8-13 tokens); width 3 matches
+# this synthetic corpus's overlap structure (wider -> empty result).
+# ---------------------------------------------------------------------------
+
+CONTAM_FRAC_MIN = 0.05  # flag docs with >= 5% benchmark-shingle overlap
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("toks", F.split("text", " ")).withColumn(
+        "grams",
+        # size >= 3 guard: sequence(1, n<=0) yields [1, 0] (step -1)
+        F.array_distinct(
+            F.expr(
+                "if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' ')),"
+                " array())"
+            )
+        ),
+    )
+    bench = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    cand = base.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    )
+    hits = (
+        cand.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_overlap"),
+        )
+    )
+    frac = F.expr("CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE)")
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        F.expr(
+            f"CAST(CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+            f" >= {CONTAM_FRAC_MIN} AS INT)"
+        ).alias("contaminated"),
+    )
+
+
+Q_CONTAMINATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS grams
+  FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS g FROM base WHERE doc_id % 97 = 0
+), cand AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+  FROM base WHERE doc_id % 97 != 0
+)
+SELECT doc_id,
+       max(n_grams) AS n_grams,
+       count(*) AS n_overlap,
+       CAST(count(*) AS DOUBLE) / CAST(max(n_grams) AS DOUBLE) AS overlap_frac,
+       CAST(CAST(count(*) AS DOUBLE) / CAST(max(n_grams) AS DOUBLE)
+            >= {CONTAM_FRAC_MIN} AS INT) AS contaminated
+FROM cand JOIN bench USING (g)
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota sampling: keep at most N docs per source, chosen by a
+# deterministic hash priority (stable across runs and engines — no RNG).
+# Standard corpus-balancing op: stops one crawl domain from dominating the
+# training mix. Scale shape: Spark 4's WindowGroupLimit rewrites the
+# rank-filter into a map-side per-partition top-N BEFORE the shuffle, so
+# only cap×partitions rows move per group instead of the whole corpus —
+# asserted in test_plans_physical.py. (Contrast q_order_price_ranks, where
+# a full percent_rank needs every row and required the two-pass operator.)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 50
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= DOMAIN_CAP)
+    )
+
+
+Q_DOMAIN_CAP_SQL = f"""
+SELECT doc_id, source, rn
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {DOMAIN_CAP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_tfidf_top_term": (q_tfidf_top_term, Q_TFIDF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
@@ -812,4 +934,6 @@ QUERIES: dict[str, tuple] = {
     "q_bpe_token_stats": (q_bpe_token_stats, Q_BPE_TOKEN_STATS_SQL),
     "q_doc_rolling_hash": (q_doc_rolling_hash, Q_DOC_ROLLING_HASH_SQL),
     "q_doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
+    "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
+    "q_domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
 }
