@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "q_embedding_neardup",
     "q_embedding_norms",
     "q_kmeans_clusters",
+    "q_pq_topk",
     # -- no driver row in round 1: plans/events.py
     "q_events_hourly",
     "q_events_sliding",

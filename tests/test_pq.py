@@ -1,0 +1,99 @@
+"""Product quantization operator vs a numpy reference implementation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from ubparquet_spark.operators import pq
+
+M, K, DIM, N = 2, 4, 8, 40
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(7)
+    return rng.normal(size=(N, DIM)).astype(np.float64)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, vecs):
+    rows = [(int(i), [float(v) for v in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def numpy_pq_fit(vecs: np.ndarray, m: int, k: int, rounds: int):
+    w = vecs.shape[1] // m
+    books = [
+        [list(vecs[i, j * w : (j + 1) * w]) for i in range(k)] for j in range(m)
+    ]
+    for _ in range(rounds):
+        new_books = []
+        for j in range(m):
+            sub = vecs[:, j * w : (j + 1) * w]
+            d = ((sub[:, None, :] - np.array(books[j])[None, :, :]) ** 2).sum(-1)
+            codes = d.argmin(1)  # first minimum = lowest code, same tiebreak
+            book = []
+            for c in range(k):
+                mask = codes == c
+                if mask.any():
+                    mean = sub[mask].mean(0)
+                    book.append(
+                        [math.floor(v * 1e6 + 0.5) / 1e6 for v in mean]
+                    )
+                else:
+                    book.append(books[j][c])
+            new_books.append(book)
+        books = new_books
+    return books
+
+
+def test_pq_fit_matches_numpy(vec_df, vecs):
+    got = pq.pq_fit(vec_df, M, K, rounds=2)
+    want = numpy_pq_fit(vecs, M, K, rounds=2)
+    np.testing.assert_allclose(np.array(got), np.array(want), atol=1e-9)
+
+
+def test_pq_encode_matches_numpy(vec_df, vecs):
+    books = pq.pq_fit(vec_df, M, K, rounds=2)
+    got = {
+        r.vec_id: list(r.codes) for r in pq.pq_encode(vec_df, books).collect()
+    }
+    w = DIM // M
+    for i in range(N):
+        for j in range(M):
+            sub = vecs[i, j * w : (j + 1) * w]
+            d = ((np.array(books[j]) - sub[None, :]) ** 2).sum(1)
+            assert got[i][j] == int(d.argmin()), (i, j)
+
+
+def test_adc_scores_match_numpy(vec_df, vecs):
+    books = pq.pq_fit(vec_df, M, K, rounds=1)
+    query = list(vecs[0])
+    table = pq.adc_table(books, query)
+    enc = pq.pq_encode(vec_df, books)
+    got = {r.vec_id: r.adc_dist for r in pq.pq_adc_scores(enc, table).collect()}
+    w = DIM // M
+    for i in range(N):
+        acc = 0.0
+        for j in range(M):
+            sub = vecs[i, j * w : (j + 1) * w]
+            d = ((np.array(books[j]) - sub[None, :]) ** 2).sum(1)
+            acc += table[j][int(d.argmin())]
+        assert got[i] == pytest.approx(math.floor(acc * 1e4 + 0.5) / 1e4, abs=1e-9)
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq.pq_fit(df, 2, 1, rounds=1)
+
+
+def test_pq_fit_rejects_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="non-empty"):
+        pq.pq_fit(df, 2, 1, rounds=1)

@@ -611,6 +611,148 @@ LIMIT 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Product quantization + ADC search: train m sub-quantizers (ONE fused
+# (sub, code, dim) shuffle per Lloyd round — not m jobs), encode the whole
+# table to m small codes, then answer a query via the broadcast m x k
+# distance table (asymmetric distance computation). The 100 TB story:
+# scanning codes (m ints) instead of embeddings (dim floats) cuts the
+# scan-side bytes ~dim/m x, and the per-row work is m table lookups.
+# Oracle: the DuckDB side runs the SAME rounds generically over an
+# exploded (vec_id, sub, svec) relation — per-round centroid means and
+# per-entry table distances rounded 6 dp, final ADC sum rounded 4 dp, so
+# summation order can't flip a hash (see operators/pq.py).
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_K = 8
+PQ_ROUNDS = 1
+PQ_TRAIN_LIMIT = 256
+PQ_TOPK = 10
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators import pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < PQ_TRAIN_LIMIT)
+    qrow = emb.orderBy("vec_id").limit(1).collect()
+    if not qrow:  # empty table -> typed empty result
+        return spark.createDataFrame([], "vec_id long, adc_dist double")
+    codebooks = pq.pq_fit(train, PQ_M, PQ_K, rounds=PQ_ROUNDS)
+    query = [float(v) for v in qrow[0].embedding]
+    table = pq.adc_table(codebooks, query)
+    enc = pq.pq_encode(emb, codebooks).filter(
+        F.col("vec_id") != int(qrow[0].vec_id)
+    )
+    return (
+        pq.pq_adc_scores(enc, table)
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(PQ_TOPK)
+        .select("vec_id", "adc_dist")
+    )
+
+
+def _pq_sql() -> str:
+    w = 64 // PQ_M
+    dist = (
+        "list_sum(list_transform(range(1, len({v}) + 1),"
+        " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+
+    def assign_cte(name: str, src: str, cents: str) -> str:
+        d = dist.format(v=f"{src}.svec", c=f"{cents}.cvec")
+        return f"""{name} AS (
+  SELECT vec_id, sub, svec, code FROM (
+    SELECT {src}.vec_id, {src}.sub, {src}.svec, {cents}.code,
+           row_number() OVER (PARTITION BY {src}.vec_id, {src}.sub
+                              ORDER BY {d} ASC, {cents}.code ASC) AS rn
+    FROM {src} JOIN {cents} ON {cents}.sub = {src}.sub
+  ) WHERE rn = 1
+)"""
+
+    ctes = [
+        f"train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {PQ_TRAIN_LIMIT})",
+        f"""subs AS (
+  SELECT vec_id, j.j AS sub,
+         list_transform(list_slice(embedding, j.j * {w} + 1, (j.j + 1) * {w}),
+                        x -> CAST(x AS DOUBLE)) AS svec
+  FROM train, range(0, {PQ_M}) j(j)
+)""",
+        f"""c0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1 AS code,
+         svec AS cvec
+  FROM subs
+  WHERE vec_id IN (SELECT vec_id FROM train ORDER BY vec_id LIMIT {PQ_K})
+)""",
+    ]
+    prev = "c0"
+    for r in range(PQ_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", "subs", prev))
+        ctes.append(
+            f"""c{r + 1} AS (
+  SELECT p.sub, p.code, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT sub, code,
+           list_transform(
+             list_sort(list(struct_pack(dim := dim, m := m))), s -> s.m) AS cvec
+    FROM (
+      SELECT sub, code, dim, FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+      FROM (
+        SELECT sub, code,
+               UNNEST(range(1, len(svec) + 1)) AS dim,
+               UNNEST(svec) AS v
+        FROM a{r}
+      )
+      GROUP BY sub, code, dim
+    )
+    GROUP BY sub, code
+  ) u ON u.sub = p.sub AND u.code = p.code
+)"""
+        )
+        prev = f"c{r + 1}"
+    ctes += [
+        f"""all_subs AS (
+  SELECT vec_id, j.j AS sub,
+         list_transform(list_slice(embedding, j.j * {w} + 1, (j.j + 1) * {w}),
+                        x -> CAST(x AS DOUBLE)) AS svec
+  FROM embeddings, range(0, {PQ_M}) j(j)
+)""",
+        assign_cte("enc", "all_subs", prev),
+        """qv AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+)""",
+        f"""qsubs AS (
+  SELECT j.j AS sub,
+         list_transform(list_slice(embedding, j.j * {w} + 1, (j.j + 1) * {w}),
+                        x -> CAST(x AS DOUBLE)) AS svec
+  FROM qv, range(0, {PQ_M}) j(j)
+)""",
+        f"""tbl AS (
+  SELECT c.sub, c.code,
+         FLOOR(({dist.format(v='q.svec', c='c.cvec')}) * 1000000 + 0.5) / 1000000 AS d
+  FROM {prev} c JOIN qsubs q ON q.sub = c.sub
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id,
+       FLOOR(SUM(t.d) * 10000 + 0.5) / 10000 AS adc_dist
+FROM enc e
+JOIN tbl t ON t.sub = e.sub AND t.code = e.code
+WHERE e.vec_id != (SELECT min(vec_id) FROM embeddings)
+GROUP BY e.vec_id
+ORDER BY adc_dist ASC, e.vec_id ASC
+LIMIT {PQ_TOPK}
+"""
+    )
+
+
+Q_PQ_TOPK_SQL = _pq_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
@@ -620,4 +762,5 @@ QUERIES: dict[str, tuple] = {
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),
     "q_kmeans_clusters": (q_kmeans_clusters, Q_KMEANS_SQL),
+    "q_pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
 }
