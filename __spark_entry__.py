@@ -63,6 +63,11 @@ _CHECK_FIRST = [
     "q_events_json",
     "q_events_user_mode",
     "q_events_voxelize",
+    # -- new this round; needs a fresh row
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_service_levels",
+    "q22_dormant_customers",
     # -- plan changed this round; needs a fresh row
     "q_order_price_ranks",
 ]

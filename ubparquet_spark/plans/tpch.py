@@ -1456,7 +1456,256 @@ GROUP BY 1
 
 
 #: name -> (query fn, oracle sql) for the driver contract
+# ---------------------------------------------------------------------------
+# Q8 shape — national market share: an 8-table star join (two roles for
+# nation) feeding a conditional-share aggregate per year. Every dimension
+# side broadcasts; lineitem–orders is the only fact-fact shuffle. The
+# share is a ratio of two exact integer sums (1e-4 units), so the double
+# division is bit-identical cross-engine with no rounding step.
+# ---------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_7"
+Q8_TYPE = "PROMO"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == Q8_REGION
+    )
+    # customer's nation must lie in the target region
+    cust_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    # supplier's nation names the market-share contender
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (nation_vol.cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            ),
+            (F.sum(vol) / F.lit(10000.0)).alias("total_volume"),
+        )
+    )
+
+
+Q8_SQL = f"""
+WITH v AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}' THEN vol ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       CAST(SUM(vol) AS DOUBLE) / 10000.0 AS total_volume
+FROM v
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — product-type profit by nation and year. The reference TPC-H Q9
+# subtracts ps_supplycost; this dataset has no partsupp table, so profit
+# degrades to revenue — the SHAPE is what's kept: a substring-filtered part
+# dimension pruning a 5-table join, grouped by (supplier nation, year).
+# ---------------------------------------------------------------------------
+
+Q9_NAME_FRAGMENT = "red"
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_NAME_FRAGMENT)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(sum_revenue("l_extendedprice", "l_discount").alias("profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT nation, o_year, CAST(SUM(vol) AS DOUBLE) AS profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS vol
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%{Q9_NAME_FRAGMENT}%'
+)
+GROUP BY nation, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — service-level conditional counts. TPC-H Q12 groups by
+# l_shipmode (absent here); the adaptation classes each line by shipping
+# DELAY (days from order date to ship date) and counts urgent/non-urgent
+# orders per class — the same join + CASE-count aggregate. datediff is on
+# midnight-aligned timestamps, so whole-day arithmetic is engine-exact.
+# ---------------------------------------------------------------------------
+
+Q12_LATE_DAYS = 60
+
+
+def q12_service_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "ship_class",
+            F.when(delay >= Q12_LATE_DAYS, F.lit("LATE")).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(urgent, F.lit(1)).otherwise(F.lit(0))).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~urgent, F.lit(1)).otherwise(F.lit(0))).alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+Q12_SQL = f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= {Q12_LATE_DAYS}
+            THEN 'LATE' ELSE 'ONTIME' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — dormant high-value customers: scalar-subquery threshold
+# (average positive balance) + anti join (no RECENT orders — every
+# customer in this synthetic data has SOME order, so "never ordered"
+# would be vacuously empty) + per-group rollup. TPC-H groups by phone
+# country code (no c_phone here) — nation key plays that role. The
+# threshold compare is exact integer cross-multiplication
+# (cents * n > sum_cents), so no division touches the filter.
+# ---------------------------------------------------------------------------
+
+Q22_DORMANT_SINCE = "2000-01-01"
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents("c_acctbal")).alias("_bal_sum"),
+            F.count(F.lit(1)).alias("_bal_n"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_DORMANT_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(cents("c_acctbal") * F.col("_bal_n") > F.col("_bal_sum"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            sum_money("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+Q22_SQL = """
+WITH t AS (
+  SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_sum,
+         COUNT(*) AS bal_n
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, t
+WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * bal_n > bal_sum
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q9_product_profit": (q9_product_profit, Q9_SQL),
+    "q12_service_levels": (q12_service_levels, Q12_SQL),
+    "q22_dormant_customers": (q22_dormant_customers, Q22_SQL),
     "q_price_histogram": (q_price_histogram, Q_PRICE_HISTOGRAM_SQL),
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "q2_min_cost_parts": (q2_min_cost_parts, Q2_SQL),
