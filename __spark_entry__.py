@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "q_events_json",
     "q_events_user_mode",
     "q_events_voxelize",
+    "q_events_retention",
     # -- new this round; needs a fresh row
     "q8_market_share",
     "q9_product_profit",

@@ -638,6 +638,53 @@ SELECT (SELECT COUNT(*) FROM a) AS n_signup,
 """
 
 
+# ---------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by first-active week, counted
+# again at each later week offset — the classic product-analytics triangle.
+# Shape: distinct (user, week) grid -> per-user min week -> self-join on
+# user_id -> (cohort, offset) count-distinct. Every shuffle is keyed on
+# user_id or the small (cohort, offset) pair; at 100 TB the distinct grid
+# is the only full-data exchange and it partial-aggregates map-side.
+# Offsets use whole-day integer arithmetic on week-truncated timestamps
+# (midnight-aligned by construction), so both engines agree exactly.
+# ---------------------------------------------------------------------------
+
+RETENTION_MAX_WEEKS = 8
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)"),
+        )
+        .filter(F.col("week_offset") <= RETENTION_MAX_WEEKS)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q_EVENTS_RETENTION_SQL = f"""
+WITH weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+WHERE date_diff('day', cohort_week, week) // 7 <= {RETENTION_MAX_WEEKS}
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
     "q_latest_event_per_user": (q_latest_event_per_user, Q_LATEST_EVENT_SQL),
@@ -655,4 +702,5 @@ QUERIES: dict[str, tuple] = {
     "q_events_json": (q_events_json, Q_EVENTS_JSON_SQL),
     "q_events_user_mode": (q_events_user_mode, Q_EVENTS_USER_MODE_SQL),
     "q_events_voxelize": (q_events_voxelize, Q_EVENTS_VOXELIZE_SQL),
+    "q_events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
 }
