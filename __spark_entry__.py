@@ -71,6 +71,11 @@ _CHECK_FIRST = [
     "q22_dormant_customers",
     # -- plan changed this round; needs a fresh row
     "q_order_price_ranks",
+    "q_contamination",
+    # -- new this round: sequence assembly (packing/chunking/mixture)
+    "q_pack_sequences",
+    "q_chunk_overlap",
+    "q_mixture_sample",
 ]
 
 
@@ -79,10 +84,10 @@ def _registry() -> dict[str, tuple]:
 
     Imports are deliberately NOT wrapped in try/except: a broken plan module
     must fail loudly here rather than silently shrinking the registry."""
-    from ubparquet_spark.plans import events, similarity, text, tpch
+    from ubparquet_spark.plans import events, packing, similarity, text, tpch
 
     reg: dict[str, tuple] = {}
-    for mod in (tpch, events, text, similarity):
+    for mod in (tpch, events, text, similarity, packing):
         overlap = reg.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {overlap}"
         reg.update(mod.QUERIES)

@@ -50,6 +50,18 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND isnotnull(arr)`
+        # below every explode; predicate pushdown then substitutes the full
+        # array-construction expression into that filter, so expensive
+        # builders (shingling: split + transform + array_join per token) run
+        # ~3x per row, with the inlined `split` re-evaluated per lambda
+        # element.  Measured on q_contamination at sf0.1: 3.0s -> 0.67s once
+        # excluded.  The inferred filter only skips empty arrays, which
+        # explode drops anyway (SPARK-36715 is the same regression class).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
