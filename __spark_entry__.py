@@ -76,6 +76,11 @@ _CHECK_FIRST = [
     "q_pack_sequences",
     "q_chunk_overlap",
     "q_mixture_sample",
+    # -- new this round: Q4/Q21 shapes, cross-doc span coverage, SemDeDup
+    "q4_order_priority",
+    "q21_waiting_suppliers",
+    "q_crossdoc_spans",
+    "q_semantic_dedup",
 ]
 
 

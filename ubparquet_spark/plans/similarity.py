@@ -753,7 +753,118 @@ LIMIT {PQ_TOPK}
 Q_PQ_TOPK_SQL = _pq_sql()
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings with a
+# coarse quantizer, then inside each cell drop all but one member of every
+# cosine-ε ball. Cells here are the per-label mean centroids (the same
+# coarse quantizer q_ann_ivf probes; production trains it with
+# operators/kmeans.py at k ≈ n/10k and composes the bucket-cap guard from
+# embedding_neardup_pairs). The keep rule is deterministic keep-lowest-id
+# (the paper keeps the member farthest from the centroid; any fixed rule
+# dedups the ball — lowest id is reproducible across engines).
+#
+# Scale shape: centroids reduce to ONE broadcastable row
+# (collect_list into a single array — k·dim doubles), so cell assignment is
+# a narrow map via a higher-order argmin: NO shuffle of the vector table to
+# assign. The only shuffles are the within-cell self-join (quadratic per
+# cell only, O(n²/k)) and the final distinct — the SemDeDup cost model.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents1 = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(roundn(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+            ).alias("cvec")
+        )
+        .agg(F.collect_list(F.struct("label", "cvec")).alias("cents"))
+    )
+    # argmin over the broadcast centroid array: struct comparison is
+    # lexicographic, ties break to the lowest cell id — same trick as
+    # operators/kmeans.assign_clusters, but with in-plan centroids
+    cell = F.expr(
+        "array_min(transform(cents, s -> struct("
+        " aggregate(zip_with(embedding, s.cvec, (x, y) ->"
+        "  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        "  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
+        " s.label AS c))).c"
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents1))
+        .select("vec_id", "embedding", cell.alias("cell"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = roundn(
+        _dot("a.embedding", "b.embedding")
+        / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
+        6,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return assigned.join(drops, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("_drop").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("keep"),
+    )
+
+
+_SEMDEDUP_SQDIST = (
+    "list_sum(list_transform(range(1, len({v}) + 1),"
+    " i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
+)
+
+Q_SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, dim,
+         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, dim
+), carr AS (
+  SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT emb.vec_id, emb.embedding, carr.label AS cell,
+           row_number() OVER (PARTITION BY emb.vec_id
+                              ORDER BY {_SEMDEDUP_SQDIST.format(v="emb.embedding", c="carr.cvec")} ASC,
+                                       carr.label ASC) AS rn
+    FROM embeddings emb, carr
+  ) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE FLOOR(({_sql_dot("a.embedding", "b.embedding")}
+               / SQRT({_sql_dot("a.embedding", "a.embedding")} * {_sql_dot("b.embedding", "b.embedding")})) * 1000000 + 0.5) / 1000000
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
     "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),

@@ -918,7 +918,104 @@ WHERE rn <= {DOMAIN_CAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span coverage (the ExactSubstr dedup signal of
+# Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better"): for each doc, the fraction of token positions covered by some
+# 8-token span that also occurs in ANOTHER document. Distinct from
+# q_doc_repetition (within-doc duplicate n-grams) and q_contamination
+# (overlap vs a held-out benchmark): this is corpus-global.
+#
+# Scale shape: spans are keyed by a 16-hex md5 prefix so the one big shuffle
+# carries (8-byte key, doc_id, pos) rather than 8-token strings. Cross-doc
+# duplication is decided with min!=max window aggregates over the SAME
+# (gkey) shuffle partitioning — no separate groupBy branch and no join back
+# to the span table (the exchange is computed once; see q_embedding_neardup
+# for the same trick). Covered positions then reduce per doc_id: two
+# exchanges total for a corpus-global signal, both partial-aggregatable.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # ExactSubstr-style span width in tokens
+
+
+def q_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k = SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    # size >= k guard: sequence(1, n<=0) yields [1, 0] (step -1)
+    spans = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"if(size(toks) >= {k},"
+                f" transform(sequence(1, size(toks) - {k} + 1),"
+                f" i -> substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 16)),"
+                " array())"
+            )
+        ).alias("pos0", "gkey"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gkey")
+    w = Window.partitionBy("gkey")
+    dup = spans.withColumn(
+        "is_dup", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    ).filter("is_dup")
+    covered = (
+        dup.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("cpos")
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cpos").alias("n_covered"))
+    )
+    return (
+        base.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.coalesce(F.col("n_covered"), F.lit(0).cast("long")).alias("n_covered"),
+            F.expr(
+                "FLOOR(CAST(coalesce(n_covered, 0) AS DOUBLE)"
+                " / CAST(size(toks) AS DOUBLE) * 1000000 + 0.5) / 1000000"
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+Q_CROSSDOC_SPANS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), spans AS (
+  SELECT doc_id,
+         UNNEST(range(1, len(toks) - {SPAN_K} + 2)) AS pos,
+         UNNEST(list_transform(range(1, len(toks) - {SPAN_K} + 2),
+                i -> substr(md5(array_to_string(list_slice(toks, i, i + {SPAN_K} - 1), ' ')), 1, 16))) AS gkey
+  FROM base
+), dup AS (
+  SELECT doc_id, pos
+  FROM (
+    SELECT doc_id, pos,
+           min(doc_id) OVER (PARTITION BY gkey) AS mn,
+           max(doc_id) OVER (PARTITION BY gkey) AS mx
+    FROM spans
+  ) WHERE mn != mx
+), covered AS (
+  SELECT doc_id, COUNT(DISTINCT cpos) AS n_covered
+  FROM (SELECT doc_id, UNNEST(range(pos, pos + {SPAN_K})) AS cpos FROM dup)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.toks) AS INTEGER) AS n_tokens,
+       COALESCE(c.n_covered, 0) AS n_covered,
+       FLOOR(CAST(COALESCE(c.n_covered, 0) AS DOUBLE)
+             / CAST(len(b.toks) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dup_coverage
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_crossdoc_spans": (q_crossdoc_spans, Q_CROSSDOC_SPANS_SQL),
     "q_tfidf_top_term": (q_tfidf_top_term, Q_TFIDF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),

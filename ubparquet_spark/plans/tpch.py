@@ -1701,7 +1701,142 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q4 shape — order priority checking: orders in one quarter with at least one
+# "late" lineitem, counted by priority. The reduced schema has no
+# l_commitdate/l_receiptdate, so "late" is adapted to a CROSS-TABLE correlated
+# inequality (l_shipdate > o_orderdate + 60 days), which preserves the
+# operator under test: a correlated-EXISTS semi join whose predicate
+# references both sides. Spark expresses it as a left_semi join with a
+# compound condition — the quarter filter pushes into the orders scan, the
+# semi join shuffles on orderkey only, and no lineitem columns survive the
+# join (semi joins emit the left side only), so at 100 TB the shuffle
+# carries (orderkey, orderdate, priority) and nothing else.
+# ---------------------------------------------------------------------------
+
+Q4_QUARTER_START = "1997-07-01"
+Q4_QUARTER_END = "1997-10-01"
+LATE_DAYS = 60
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_QUARTER_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_QUARTER_END).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr(f"INTERVAL {LATE_DAYS} DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_QUARTER_START}'
+  AND o_orderdate < TIMESTAMP '{Q4_QUARTER_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers who kept orders waiting: for finished orders with
+# more than one distinct supplier, exactly ONE of which shipped late, charge
+# the wait to that supplier. The classic form is a self-EXISTS plus a
+# self-NOT-EXISTS on lineitem; re-expressed Spark-first as a SINGLE per-order
+# aggregate over one orderkey shuffle:
+#   n_supp   = countDistinct(suppkey)            (EXISTS other-supplier)
+#   n_late   = countDistinct(suppkey | late)     (NOT EXISTS other late supp
+#   late_supp= max(suppkey | late)                == exactly-one-late)
+# then filter n_supp > 1 AND n_late = 1 and count per supplier. This replaces
+# two correlated subqueries (two extra joins against the fact table) with one
+# partial-aggregatable shuffle — at 100 TB, 3 scans of lineitem become 1.
+# "Late" is the same adapted cross-table predicate as Q4 (no commitdate /
+# receiptdate in the reduced schema). Supplier + nation are broadcast dims.
+# ---------------------------------------------------------------------------
+
+Q21_NATION = "NATION_3"
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {LATE_DAYS} DAYS"
+    )
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == Q21_NATION
+    )
+    return (
+        per_order.join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation),
+                    supp.s_nationkey == nation.n_nationkey,
+                ).select("s_suppkey", "s_name")
+            ),
+            per_order.late_supp == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = f"""
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+                             THEN l_suppkey END) AS n_late,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY
+                  THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_supp > 1 AND n_late = 1 AND n_name = '{Q21_NATION}'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_product_profit": (q9_product_profit, Q9_SQL),
     "q12_service_levels": (q12_service_levels, Q12_SQL),
