@@ -797,16 +797,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
         " s.label AS c))).c"
     )
+    # Per-row precompute: double-cast vector + norm ONCE, so each of the
+    # O(n²/k) pair comparisons is a single fold over doubles (no per-pair
+    # casts, no per-pair norm recompute — measured 8.6 s → ~2 s at sf0.1).
+    # Identical a/b subplans also let Spark reuse the cell-join exchange.
     assigned = (
         emb.crossJoin(F.broadcast(cents1))
-        .select("vec_id", "embedding", cell.alias("cell"))
+        .select(
+            "vec_id",
+            cell.alias("cell"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
+        )
+        .withColumn(
+            "norm",
+            F.expr(
+                "sqrt(aggregate(zip_with(dvec, dvec, (x, y) -> x * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+            ),
+        )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = roundn(
-        _dot("a.embedding", "b.embedding")
-        / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
-        6,
+    # Unrolled 64-term dot: interpreted higher-order lambdas cost ~50 ns per
+    # element — at O(n²/k) pairs that IS the query (measured 5.0 s at sf0.1);
+    # a flat left-associated sum is whole-stage-codegen arithmetic (1.7 s)
+    # and adds in the same order as the fold, so the double is bit-identical.
+    # 64 dims is the corpus embedding width (operators/pq.py relies on it).
+    pair_dot = F.expr(
+        " + ".join(f"(a.dvec[{i}] * b.dvec[{i}])" for i in range(64))
     )
+    cos = roundn(pair_dot / (F.col("a.norm") * F.col("b.norm")), 6)
     drops = (
         a.join(
             b,
@@ -818,7 +837,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("_drop", F.lit(1))
     )
-    return assigned.join(drops, "vec_id", "left").select(
+    return assigned.select("vec_id", "cell").join(drops, "vec_id", "left").select(
         "vec_id",
         "cell",
         F.when(F.col("_drop").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("keep"),
@@ -842,7 +861,7 @@ WITH e AS (
   FROM e GROUP BY label, dim
 ), carr AS (
   SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
-), assigned AS (
+), assigned0 AS (
   SELECT vec_id, embedding, cell FROM (
     SELECT emb.vec_id, emb.embedding, carr.label AS cell,
            row_number() OVER (PARTITION BY emb.vec_id
@@ -850,11 +869,20 @@ WITH e AS (
                                        carr.label ASC) AS rn
     FROM embeddings emb, carr
   ) WHERE rn = 1
+), assigned AS (
+  -- precomputed double vector + norm, mirroring the Spark side exactly:
+  -- the pair expression divides by norm_a * norm_b (NOT sqrt(sq_a * sq_b),
+  -- which differs in the last ulp), so both engines round the same double
+  SELECT vec_id, cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+         SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+  FROM assigned0
 ), drops AS (
   SELECT DISTINCT b.vec_id
   FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE FLOOR(({_sql_dot("a.embedding", "b.embedding")}
-               / SQRT({_sql_dot("a.embedding", "a.embedding")} * {_sql_dot("b.embedding", "b.embedding")})) * 1000000 + 0.5) / 1000000
+  WHERE FLOOR(({_sql_dot("a.dvec", "b.dvec")}
+               / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
         >= {SEMDEDUP_THRESHOLD}
 )
 SELECT s.vec_id, s.cell,
