@@ -71,7 +71,10 @@ _CHECK_FIRST = [
     "q22_dormant_customers",
     # -- plan changed this round; needs a fresh row
     "q_order_price_ranks",
-    "q_contamination",
+    # -- new this round: Q20 shape + LM-quality text scoring
+    "q20_excess_suppliers",
+    "q_unigram_logprob",
+    "q_lexical_diversity",
     # -- new this round: sequence assembly (packing/chunking/mixture)
     "q_pack_sequences",
     "q_chunk_overlap",

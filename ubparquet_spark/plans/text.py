@@ -1014,8 +1014,114 @@ FROM base b LEFT JOIN covered c USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram language-model scoring (the CCNet / Wikipedia-LM quality-filter
+# shape: score each document by its average per-token log-probability under
+# a corpus unigram model, keep/bucket by score). Two-pass design:
+#   pass 1 builds the unigram table (explode -> count, the only token-grain
+#   shuffle) and folds it into ONE row holding a token->count map + total;
+#   pass 2 cross-joins that broadcast row and scores every document
+#   map-side with a higher-order fold — no explode, no per-token shuffle,
+#   no join on the fact table.
+# At 100 TB the vocab row is the top-K heavy-hitter table (a few MB
+# broadcast); scoring stays one scan. The fold order is the document's own
+# token order in BOTH engines (aggregate here, list_reduce in DuckDB), so
+# the double sum is bit-identical before the stabilizing roundn.
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "cnt"))
+            ).alias("vocab"),
+            F.sum("cnt").alias("total"),
+        )
+    )
+    logprob_sum = F.expr(
+        "aggregate(split(text, ' '), CAST(0.0 AS DOUBLE),"
+        " (acc, t) -> acc + ln(CAST(element_at(vocab, t) AS DOUBLE)"
+        " / CAST(total AS DOUBLE)))"
+    )
+    n_tokens = F.size(tokens_col())
+    freq_sum = F.expr(
+        "aggregate(split(text, ' '), CAST(0 AS BIGINT),"
+        " (acc, t) -> acc + element_at(vocab, t))"
+    )
+    return docs.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        roundn(logprob_sum / n_tokens).alias("avg_logprob"),
+        roundn(
+            freq_sum.cast("double") / (n_tokens.cast("double") * F.col("total"))
+        , 6).alias("avg_tok_freq"),
+    )
+
+
+Q_UNIGRAM_LOGPROB_SQL = """
+WITH uni AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), v AS (
+  SELECT MAP(list(token), list(cnt)) AS vocab, SUM(cnt) AS total FROM uni
+)
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       FLOOR((list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(string_split(text, ' '),
+                    t -> ln(CAST(vocab[t][1] AS DOUBLE) / CAST(total AS DOUBLE)))),
+                (acc, x) -> acc + x)
+              / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_logprob,
+       FLOOR((CAST(list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(text, ' '), t -> CAST(vocab[t][1] AS BIGINT))),
+                (acc, x) -> acc + x) AS DOUBLE)
+              / (CAST(len(string_split(text, ' ')) AS DOUBLE) * total)) * 1000000 + 0.5)
+         / 1000000 AS avg_tok_freq
+FROM documents CROSS JOIN v
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity (type-token ratio): per-document distinct-token ratio,
+# the standard repetitiveness / template-detection signal alongside
+# q_doc_repetition's duplicate-n-gram fraction. Pure per-row array ops —
+# one scan, zero shuffles, whole-stage codegen end to end.
+# ---------------------------------------------------------------------------
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_types = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        n_types.cast("long").alias("n_types"),
+        roundn(n_types.cast("double") / n_tokens.cast("double")).alias("ttr"),
+    )
+
+
+Q_LEXICAL_DIVERSITY_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+       FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS ttr
+FROM documents
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_crossdoc_spans": (q_crossdoc_spans, Q_CROSSDOC_SPANS_SQL),
+    "q_unigram_logprob": (q_unigram_logprob, Q_UNIGRAM_LOGPROB_SQL),
+    "q_lexical_diversity": (q_lexical_diversity, Q_LEXICAL_DIVERSITY_SQL),
     "q_tfidf_top_term": (q_tfidf_top_term, Q_TFIDF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),

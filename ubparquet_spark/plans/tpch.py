@@ -1834,7 +1834,89 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Q20 shape — excess-quantity suppliers: the classic form is a chain of
+# nested IN-subqueries (supplier IN (... partsupp WHERE availqty > 0.5 *
+# correlated SUM over lineitem)). The reduced schema has no partsupp, so the
+# adapted semantics: for parts of one name family shipped in one year, find
+# suppliers whose shipped quantity of some part exceeds half that part's
+# total shipped quantity — a dominant-supplier test that preserves every
+# operator in the shape: filtered dim join, per-(part,supplier) aggregate, a
+# correlated per-part total, and a final semi join into supplier.
+#
+# Spark-first rewrite: the classic plan scans lineitem TWICE (once for the
+# per-ps sum, once inside the correlated scalar subquery). Here the per-part
+# total is a REAGGREGATION of the per-(part,supplier) partial sums — one
+# lineitem scan, one shuffle on (partkey, suppkey), then a tiny shuffle on
+# partkey over already-reduced rows. At 100 TB that halves the fact-table
+# I/O. Quantities are compared in exact integer centi-units
+# (2*sup_qty > part_qty), so the filter is immune to double summation order.
+# ---------------------------------------------------------------------------
+
+Q20_NAME_PREFIX = "small"
+Q20_YEAR_START = "1996-01-01"
+Q20_YEAR_END = "1997-01-01"
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents("l_quantity")).alias("sup_qty"))
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("sup_qty").alias("part_qty")
+    )
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.lit(2) * F.col("sup_qty") > F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", money("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sup_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+    AND l_shipdate < TIMESTAMP '{Q20_YEAR_END}'
+  GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, SUM(sup_qty) AS part_qty FROM per_ps GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE 2 * sup_qty > part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
