@@ -766,11 +766,16 @@ Q_PQ_TOPK_SQL = _pq_sql()
 # Scale shape: centroids reduce to ONE broadcastable row
 # (collect_list into a single array — k·dim doubles), so cell assignment is
 # a narrow map via a higher-order argmin: NO shuffle of the vector table to
-# assign. The only shuffles are the within-cell self-join (quadratic per
-# cell only, O(n²/k)) and the final distinct — the SemDeDup cost model.
+# assign. (A literal-unrolled fully-codegen assign was measured SLOWER here:
+# 640 unrolled terms push the Project past the whole-stage-codegen size
+# limits, dropping the entire stage to interpreted mode — the HOF fold keeps
+# the surrounding stage codegen'd.) The only corpus-sized shuffles are the
+# within-cell self-join (quadratic per cell only, O(n²/k)) and the final
+# per-vector aggregation — the SemDeDup cost model.
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_THRESHOLD = 0.35
+_SEMDEDUP_DIMS = 64  # corpus embedding width (operators/pq.py relies on it)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -797,6 +802,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
         " s.label AS c))).c"
     )
+    n_dims = _SEMDEDUP_DIMS
     # Per-row precompute: double-cast vector + norm ONCE, so each of the
     # O(n²/k) pair comparisons is a single fold over doubles (no per-pair
     # casts, no per-pair norm recompute — measured 8.6 s → ~2 s at sf0.1).
@@ -823,24 +829,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and adds in the same order as the fold, so the double is bit-identical.
     # 64 dims is the corpus embedding width (operators/pq.py relies on it).
     pair_dot = F.expr(
-        " + ".join(f"(a.dvec[{i}] * b.dvec[{i}])" for i in range(64))
+        " + ".join(f"(a.dvec[{i}] * b.dvec[{i}])" for i in range(n_dims))
     )
     cos = roundn(pair_dot / (F.col("a.norm") * F.col("b.norm")), 6)
-    drops = (
-        a.join(
-            b,
+    # LEFT join from every b row to its earlier near-duplicates, then one
+    # any-match aggregation — fuses the old pairs → distinct → join-back
+    # tail (3 stages, a 3rd re-execution of `assigned`) into join + groupBy:
+    # fewer exchanges, and at scale the only corpus-sized shuffles are the
+    # cell-join and the final per-vec_id aggregation.
+    return (
+        b.join(
+            a,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (cos >= SEMDEDUP_THRESHOLD),
+            "left",
         )
-        .filter(cos >= SEMDEDUP_THRESHOLD)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
-    return assigned.select("vec_id", "cell").join(drops, "vec_id", "left").select(
-        "vec_id",
-        "cell",
-        F.when(F.col("_drop").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("keep"),
+        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell"))
+        .agg(
+            F.max(
+                F.when(F.col("a.vec_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("keep")
+        )
     )
 
 

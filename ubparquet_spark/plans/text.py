@@ -1118,7 +1118,222 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality filtering (Rae et al. 2021, Appendix A):
+# a per-document decision table combining the standard pre-training hygiene
+# signals — token-count bounds, mean-word-length bounds, a minimum number of
+# distinct stopwords, and the duplicate-n-gram fractions — into per-rule
+# flags, a failure count, and an overall keep bit. Thresholds are adapted to
+# this synthetic corpus (documented per rule); the SHAPE is the published
+# rule set. One scan, per-row array ops only, zero shuffles.
+# ---------------------------------------------------------------------------
+
+GOPHER_TOKENS_MIN = 10  # Gopher: 50 (synthetic docs are 10..110 tokens)
+GOPHER_TOKENS_MAX = 1000  # Gopher: 100_000
+GOPHER_WORDLEN_MIN = 2.0  # Gopher: 3 (synthetic vocab has 1-char tokens)
+GOPHER_WORDLEN_MAX = 10.0  # Gopher: 10
+GOPHER_MIN_STOP_TYPES = 2  # Gopher: >= 2 distinct stopwords
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    d = (
+        docs.withColumn("toks", F.split("text", " "))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn(
+            "mean_tok_len",
+            roundn(
+                F.expr(
+                    "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+                ).cast("double")
+                / F.col("n_tokens")
+            ),
+        )
+        .withColumn(
+            "n_stop_types",
+            F.expr(f"size(array_intersect(toks, {stop_arr}))").cast("long"),
+        )
+        .withColumn(
+            "grams",
+            # size >= 3 guard: sequence(1, n<=0) yields [1, 0] (step -1)
+            F.expr(
+                "if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' ')),"
+                " array())"
+            ),
+        )
+        .withColumn(
+            "dup_trigram_frac",
+            roundn(
+                F.expr(
+                    "if(size(grams) > 0,"
+                    " CAST(1 AS DOUBLE) - CAST(size(array_distinct(grams)) AS DOUBLE)"
+                    " / CAST(size(grams) AS DOUBLE),"
+                    " CAST(0 AS DOUBLE))"
+                )
+            ),
+        )
+        .withColumn(
+            "dup_token_frac",
+            roundn(
+                F.expr(
+                    "CAST(1 AS DOUBLE) - CAST(size(array_distinct(toks)) AS DOUBLE)"
+                    " / CAST(size(toks) AS DOUBLE)"
+                )
+            ),
+        )
+    )
+    # rule comparisons run on the ROUNDED doubles so both engines compare
+    # bit-identical values near threshold boundaries
+    rules = {
+        "r_len": F.col("n_tokens").between(GOPHER_TOKENS_MIN, GOPHER_TOKENS_MAX),
+        "r_wordlen": F.col("mean_tok_len").between(
+            GOPHER_WORDLEN_MIN, GOPHER_WORDLEN_MAX
+        ),
+        "r_stop": F.col("n_stop_types") >= GOPHER_MIN_STOP_TYPES,
+        "r_dup3": F.col("dup_trigram_frac") < DUP_TRIGRAM_MAX,
+        "r_duptok": F.col("dup_token_frac") < DUP_TOKEN_MAX,
+    }
+    out = d.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "n_stop_types",
+        "dup_trigram_frac",
+        "dup_token_frac",
+        *[c.cast("int").alias(name) for name, c in rules.items()],
+    )
+    n_failed = sum(
+        (F.lit(1) - F.col(name) for name in rules), start=F.lit(0)
+    )
+    return out.withColumn("n_failed", n_failed.cast("long")).withColumn(
+        "keep", (F.col("n_failed") == 0).cast("int")
+    )
+
+
+Q_GOPHER_RULES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS toks,
+         list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')) AS grams
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         FLOOR((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(toks, x -> CAST(length(x) AS BIGINT))),
+                  (a, x) -> a + x) AS DOUBLE) / len(toks)) * 10000 + 0.5) / 10000
+           AS mean_tok_len,
+         CAST(len(list_intersect(toks, [{", ".join(f"'{w}'" for w in STOPWORDS)}])) AS BIGINT)
+           AS n_stop_types,
+         FLOOR((CASE WHEN len(grams) > 0
+                THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / CAST(len(grams) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END) * 10000 + 0.5) / 10000 AS dup_trigram_frac,
+         FLOOR((CAST(1 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE)) * 10000 + 0.5) / 10000 AS dup_token_frac
+  FROM base
+), flags AS (
+  SELECT *,
+         CAST(n_tokens BETWEEN {GOPHER_TOKENS_MIN} AND {GOPHER_TOKENS_MAX} AS INT) AS r_len,
+         CAST(mean_tok_len BETWEEN {GOPHER_WORDLEN_MIN} AND {GOPHER_WORDLEN_MAX} AS INT) AS r_wordlen,
+         CAST(n_stop_types >= {GOPHER_MIN_STOP_TYPES} AS INT) AS r_stop,
+         CAST(dup_trigram_frac < {DUP_TRIGRAM_MAX} AS INT) AS r_dup3,
+         CAST(dup_token_frac < {DUP_TOKEN_MAX} AS INT) AS r_duptok
+  FROM sig
+)
+SELECT doc_id, n_tokens, mean_tok_len, n_stop_types, dup_trigram_frac,
+       dup_token_frac, r_len, r_wordlen, r_stop, r_dup3, r_duptok,
+       CAST(5 - r_len - r_wordlen - r_stop - r_dup3 - r_duptok AS BIGINT) AS n_failed,
+       CAST(r_len + r_wordlen + r_stop + r_dup3 + r_duptok = 5 AS INT) AS keep
+FROM flags
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: how many distinct tokens (ranked by corpus
+# frequency) are needed to cover 50/90/95/99 % of all token occurrences —
+# the standard tokenizer-vocab-sizing analysis. Corpus-sized work is one
+# partial-aggregatable explode+groupBy; the running-total window then runs
+# over the VOCABULARY (bounded: at most a few million types even at 100 TB,
+# Heaps' law), not the corpus, so the single global window sort is over
+# post-aggregation data — same accepted trade as operators/quantiles.
+# Threshold comparisons use integer cross-multiplication (cum*100 >=
+# t_pct*total): no double rounding at the cut points, identical in both
+# engines.
+# ---------------------------------------------------------------------------
+
+VOCAB_COVERAGE_PCTS = (50, 90, 95, 99)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ordered = freq.select(
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("cnt").over(w).alias("cum"),
+    ).crossJoin(F.broadcast(total))
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in VOCAB_COVERAGE_PCTS])).alias("t_pct")
+    )
+    return (
+        ordered.join(
+            F.broadcast(pcts), F.col("cum") * 100 >= F.col("t_pct") * F.col("total")
+        )
+        .groupBy("t_pct")
+        .agg(
+            F.min("rank").alias("vocab_size"),
+            F.min_by("cum", "rank").alias("covered_tokens"),
+            roundn(
+                F.min_by("cum", "rank").cast("double") / F.min("total"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+Q_VOCAB_COVERAGE_SQL = f"""
+WITH freq AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq
+), ordered AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+         CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM freq
+), th AS (
+  SELECT UNNEST([{", ".join(str(p) for p in VOCAB_COVERAGE_PCTS)}]) AS t_pct
+)
+SELECT t_pct,
+       MIN(rank) AS vocab_size,
+       ARG_MIN(cum, rank) AS covered_tokens,
+       FLOOR((CAST(ARG_MIN(cum, rank) AS DOUBLE) / MIN(total)) * 1000000 + 0.5)
+         / 1000000 AS coverage
+FROM ordered, tot, th
+WHERE cum * 100 >= t_pct * total
+GROUP BY t_pct
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
+    "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
     "q_crossdoc_spans": (q_crossdoc_spans, Q_CROSSDOC_SPANS_SQL),
     "q_unigram_logprob": (q_unigram_logprob, Q_UNIGRAM_LOGPROB_SQL),
     "q_lexical_diversity": (q_lexical_diversity, Q_LEXICAL_DIVERSITY_SQL),
