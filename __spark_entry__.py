@@ -84,6 +84,10 @@ _CHECK_FIRST = [
     "q21_waiting_suppliers",
     "q_crossdoc_spans",
     "q_semantic_dedup",
+    # -- new this round: Gopher rule table + vocab coverage curve + ANN recall
+    "q_gopher_rules",
+    "q_vocab_coverage",
+    "q_ann_recall",
 ]
 
 

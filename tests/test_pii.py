@@ -1,0 +1,67 @@
+"""PII redaction: pattern coverage, ordering, counts, idempotency."""
+
+from __future__ import annotations
+
+import pytest
+
+from ubparquet_spark.functions import pii
+
+ROWS = [
+    (0, "contact me at jane.doe+spam@example.co.uk for details"),
+    (1, "call 555-867-5309 or 555.867.5309 tomorrow"),
+    (2, "server at 192.168.1.254 timed out"),
+    (3, "ssn 078-05-1120 on file"),
+    (4, "card 4111111111111111 declined"),
+    (5, "plain text with no identifiers at all"),
+    (6, "multi: a@b.io then 10.0.0.1 then 078-05-1120"),
+    (7, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, ["doc_id", "text"])
+
+
+def test_each_pattern_redacts(docs):
+    out = {
+        r.doc_id: r.text
+        for r in pii.scrub_text(docs, with_counts=False).collect()
+    }
+    assert out[0] == "contact me at <EMAIL> for details"
+    assert out[1] == "call <PHONE> or <PHONE> tomorrow"
+    assert out[2] == "server at <IP> timed out"
+    assert out[3] == "ssn <SSN> on file"
+    assert out[4] == "card <CARD> declined"
+    assert out[5] == ROWS[5][1]
+    assert out[6] == "multi: <EMAIL> then <IP> then <SSN>"
+    assert out[7] == ""
+
+
+def test_counts_against_original(docs):
+    rows = {r.doc_id: r for r in pii.scrub_text(docs).collect()}
+    assert rows[1].n_phone == 2
+    assert rows[6].n_email == 1 and rows[6].n_ipv4 == 1 and rows[6].n_ssn == 1
+    assert rows[5].n_email == rows[5].n_phone == rows[5].n_card == 0
+    # ssn also matches the looser phone shape on ORIGINAL text (independent
+    # counts), but redaction order gives <SSN> precedence
+    assert rows[3].n_ssn == 1 and rows[3].text == "ssn <SSN> on file"
+
+
+def test_idempotent(docs):
+    once = pii.scrub_text(docs, with_counts=False)
+    twice = pii.scrub_text(once, with_counts=False)
+    assert [r.text for r in once.orderBy("doc_id").collect()] == [
+        r.text for r in twice.orderBy("doc_id").collect()
+    ]
+
+
+def test_out_col_preserves_original(docs):
+    out = pii.scrub_text(docs, out_col="clean", with_counts=False)
+    r = {x.doc_id: x for x in out.collect()}[0]
+    assert "@example.co.uk" in r.text and r.clean.count("<EMAIL>") == 1
+
+
+def test_no_python_udf_in_plan(docs):
+    plan = pii.scrub_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -156,6 +156,111 @@ LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# ANN quality harness: recall@k of the sign-LSH candidate set against exact
+# brute-force ground truth, per query — the standard way to TUNE an ANN
+# index (bits/bands vs recall) before trusting it at scale. Ground truth
+# scores every (query, vector) pair, so this runs on a SAMPLE of queries
+# (vec_id < ANN_RECALL_QUERIES): the corpus-sized work is one broadcast of
+# the tiny query set against a linear scan (no shuffle), then a per-query
+# top-k window (WindowGroupLimit pushes the rank filter map-side, same shape
+# as q_knn_batch). Recall is hits/k with integer hits — exact across
+# engines.
+# ---------------------------------------------------------------------------
+
+ANN_RECALL_K = 10
+ANN_RECALL_QUERIES = 20
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _sign_bucket("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = emb.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        "bucket",
+        "qbucket",
+        roundn(
+            _dot("embedding", "qvec")
+            / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= ANN_RECALL_K
+    )
+    hit = (F.col("bucket") == F.col("qbucket")).cast("int")
+    recall = truth.groupBy("qid").agg(
+        F.sum(hit).cast("long").alias("hits"),
+        roundn(F.sum(hit).cast("double") / F.lit(ANN_RECALL_K)).alias(
+            "recall_at_k"
+        ),
+    )
+    cands = (
+        emb.join(
+            F.broadcast(qs),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    return recall.join(cands, "qid", "left").select(
+        "qid",
+        "hits",
+        "recall_at_k",
+        F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+            "n_candidates"
+        ),
+    )
+
+
+Q_ANN_RECALL_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_sign_bucket("embedding")} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id < {ANN_RECALL_QUERIES}
+), scored AS (
+  SELECT q.qid, e.vec_id, e.bucket, q.qbucket,
+         FLOOR(({_sql_dot("e.embedding", "q.qvec")}
+                / SQRT({_sql_dot("e.embedding", "e.embedding")}
+                       * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5)
+           / 1000000 AS cosine
+  FROM b e, q
+  WHERE e.vec_id != q.qid
+), truth AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+), r AS (
+  SELECT qid,
+         CAST(SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         FLOOR((CAST(SUM(CASE WHEN bucket = qbucket THEN 1 ELSE 0 END) AS DOUBLE)
+                / {ANN_RECALL_K}) * 10000 + 0.5) / 10000 AS recall_at_k
+  FROM truth WHERE rnk <= {ANN_RECALL_K}
+  GROUP BY qid
+), c AS (
+  SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM b e, q
+  WHERE e.bucket = q.qbucket AND e.vec_id != q.qid
+  GROUP BY q.qid
+)
+SELECT r.qid, r.hits, r.recall_at_k,
+       CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates
+FROM r LEFT JOIN c ON r.qid = c.qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs, bucket-local (LSH candidates only)
 # ---------------------------------------------------------------------------
 
@@ -908,6 +1013,7 @@ QUERIES: dict[str, tuple] = {
     "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),
     "q_label_centroids": (q_label_centroids, Q_LABEL_CENTROIDS_SQL),
     "q_ann_lsh": (q_ann_lsh, Q_ANN_LSH_SQL),
+    "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),
     "q_kmeans_clusters": (q_kmeans_clusters, Q_KMEANS_SQL),
