@@ -1,12 +1,13 @@
 """End-to-end LLM training-data pipeline demo on this engine.
 
 The extension-surface workflow (BASELINE.json north star), one script:
-  1. quality-score and filter documents (token/stopword heuristics),
+  1. quality-gate documents: Gopher rule table (token/word-length/stopword/
+     repetition rules) plus the scored heuristic filter,
   2. MinHash near-dup candidates -> connected components -> canonical
      keep/drop dedup decision,
   3. language-ID the survivors,
   4. embedding side: LSH-bucketed near-dup pairs + batched top-k ANN,
-  5. emit the final curated set as sorted Parquet.
+  5. PII-scrub the curated text and emit it as sorted Parquet.
 
 Run: python examples/llm_data_pipeline.py [sf_dir] [workdir]
 """
@@ -22,19 +23,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from pyspark.sql import functions as F
 
 from ubparquet_spark.functions.minhash_dedup import minhash_dedup
+from ubparquet_spark.functions.pii import scrub_text
 from ubparquet_spark.io import load_table, write_parquet
 from ubparquet_spark.plans.similarity import q_embedding_neardup, q_knn_batch
-from ubparquet_spark.plans.text import q_doc_quality, q_lang_id
+from ubparquet_spark.plans.text import q_doc_quality, q_gopher_rules, q_lang_id
 from ubparquet_spark.session import get_session
 
 
 def main(sf_dir: str, workdir: str) -> None:
     spark = get_session("llm-data-pipeline")
 
-    # 1. quality filter (keep docs with enough stopword signal + length)
+    # 1. quality gate: Gopher rule table (hard hygiene rules) AND the
+    #    scored heuristic filter — both zero-shuffle per-row scans
+    rules = q_gopher_rules(spark, sf_dir)
+    keep_rules = rules.filter(F.col("keep") == 1).select("doc_id")
     quality = q_doc_quality(spark, sf_dir)
     keep_quality = quality.filter(F.col("quality_score") > 0.15).select("doc_id")
-    print(f"quality gate: {keep_quality.count()} / {quality.count()} docs pass")
+    print(
+        f"quality gate: {keep_rules.count()} / {rules.count()} pass Gopher rules,"
+        f" {keep_quality.count()} pass the scored filter"
+    )
 
     # 2. near-dup dedup, the 100 TB-shaped route: MinHash band keys ->
     #    within-bucket candidate pairs (capped) -> exact-Jaccard verify of
@@ -53,10 +61,13 @@ def main(sf_dir: str, workdir: str) -> None:
     knn = q_knn_batch(spark, sf_dir)
     print(f"embedding near-dup pairs: {emb_dups.count()}; ANN rows: {knn.count()}")
 
-    # 5. final curated output: quality-passing, canonical docs
-    curated = (
-        docs.join(keep_quality, "doc_id")
-        .join(decisions.filter(F.col("is_canonical")).select("doc_id"), "doc_id")
+    # 5. final curated output: rule-passing, quality-passing, canonical
+    #    docs, with PII scrubbed from the text that ships
+    curated = scrub_text(
+        docs.join(keep_rules, "doc_id")
+        .join(keep_quality, "doc_id")
+        .join(decisions.filter(F.col("is_canonical")).select("doc_id"), "doc_id"),
+        with_counts=False,
     )
     out = f"{workdir}/curated_documents"
     write_parquet(curated, out, sort_within_partitions_by=["doc_id"])

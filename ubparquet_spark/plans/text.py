@@ -282,7 +282,10 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     self-join on it for candidate pairs
     (``functions.minhash_dedup.lsh_candidate_pairs``)."""
     # materialize the token array once — Spark does not eliminate the
-    # repeated split() inside lambda bodies, and tokenization dominates
+    # repeated split() inside lambda bodies, and tokenization dominates.
+    # (A conditional repartition to widen the single-split local scan was
+    # measured SLOWER here — the extra exchange costs more than the now-
+    # cheap signature map; on a real lake file splits parallelize it.)
     base = docs.withColumn("toks", F.split("text", " ")).withColumn(
         "bases",
         # size >= 3 guard: sequence(1, n<=0) would yield [1, 0] (step -1)
