@@ -88,6 +88,9 @@ _CHECK_FIRST = [
     "q_gopher_rules",
     "q_vocab_coverage",
     "q_ann_recall",
+    # -- new this round (51st: lands just past a 50-row check window; its
+    # pytest oracle covers it until the next round's reorder)
+    "q_price_qty_corr",
 ]
 
 

@@ -124,3 +124,37 @@ def test_domain_cap_uses_window_group_limit(spark, sf_dir):
 
     plan = plan_text(text.q_domain_cap(spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_corr_partial_aggregates_integer_sums(spark, sf_dir):
+    """q_price_qty_corr must partial-aggregate (map-side combine) its six
+    integer sums before the one exchange — the shuffle then carries 6 longs
+    per (task, group), not rows — and read only the three columns it uses."""
+    plan = plan_text(tpch.q_price_qty_corr(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "ReadSchema" in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_returnflag"}
+
+
+def test_ann_recall_broadcasts_query_sample(spark, sf_dir):
+    """Both joins in the recall harness (ground-truth scoring and candidate
+    counting) must broadcast the tiny query sample — the corpus side never
+    shuffles for either, which is what makes recall evaluation runnable on
+    the full table. The top-k rank filter must also push map-side."""
+    from ubparquet_spark.plans import similarity
+
+    plan = plan_text(similarity.q_ann_recall(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_gopher_rules_single_scan_no_shuffle(spark, sf_dir):
+    """The rule table is a pure per-row map: no Exchange may appear."""
+    from ubparquet_spark.plans import text
+
+    plan = plan_text(text.q_gopher_rules(spark, sf_dir))
+    assert "Exchange" not in plan

@@ -945,6 +945,70 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Exact cross-engine Pearson correlation + OLS slope from integer-domain
+# partial sums (n, Σx, Σy, Σxy, Σx², Σy²): one partial-aggregatable shuffle,
+# no second pass, no per-row doubles until the final ratio. Built-in
+# corr()/covar aggregate in double accumulators whose summation order
+# differs across engines; integer sums are order-independent, and the
+# closing double expression is evaluated identically on both sides (the
+# q_price_stats technique, extended to two variables). Whole-dollar ints
+# keep Σy² within BIGINT at any realistic scale (cents² would overflow).
+# ---------------------------------------------------------------------------
+
+def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.expr("CAST(l_quantity AS BIGINT)")
+    y = F.expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x, var_y = n * sxx - sx * sx, n * syy - sy * sy
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        roundn(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        roundn(cov_n / var_x, 4).alias("slope_price_per_qty"),
+    )
+
+
+Q_PRICE_QTY_CORR_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*y) AS BIGINT) AS sxy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+  FROM c GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_rows,
+       FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+       FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * 10000 + 0.5) / 10000 AS slope_price_per_qty
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Set operations: customers active in both years (INTERSECT) and early-only
 # customers (EXCEPT)
 # ---------------------------------------------------------------------------
@@ -1940,6 +2004,7 @@ QUERIES: dict[str, tuple] = {
     "q_rolling_7day_revenue": (q_rolling_7day_revenue, Q_ROLLING_SQL),
     "q_order_gaps": (q_order_gaps, Q_ORDER_GAPS_SQL),
     "q_price_stats": (q_price_stats, Q_PRICE_STATS_SQL),
+    "q_price_qty_corr": (q_price_qty_corr, Q_PRICE_QTY_CORR_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
