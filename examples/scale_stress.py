@@ -1,0 +1,102 @@
+"""Scale-stress harness: do the heavy text paths scale linearly with data?
+
+Builds an N× `documents` set from sf0.1 by replicating every doc with a
+replica-salted token stream (tokens prefixed `r<k>`, doc_ids offset), so
+cross-replica shingle overlap is ~zero and the near-duplicate CLUSTER
+STRUCTURE of the original corpus is reproduced exactly once per replica —
+N× data should therefore cost ~N× work, not N²×. The copy is written as
+32 parquet files, so the scan parallelizes by file count like a real lake
+(sf0.1's single-file layout serializes all map work onto one task — see
+BENCHNOTES.md).
+
+Run: python examples/scale_stress.py [factor] [workdir]
+Prints per-query seconds at 1× vs N× and the observed ratio.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from ubparquet_spark.io import load_table
+from ubparquet_spark.session import get_session
+
+STRESS_QUERIES = (
+    "q_gopher_rules",
+    "q_doc_exact_dedup",
+    "q_minhash_lsh_buckets",
+    "q_contamination",
+    "q_doc_dedup_decisions",
+)
+
+
+def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    docs = load_table(spark, src_dir, "documents")
+    n = docs.count()
+    replicas = [
+        docs.select(
+            (F.col("doc_id") + k * n).alias("doc_id"),
+            # salt every token with the replica id: per-doc shingle
+            # structure is preserved, cross-replica overlap is ~zero
+            F.regexp_replace(F.concat(F.lit(f"r{k}"), F.col("text")), " ", f" r{k}")
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(factor)
+    ]
+    out = replicas[0]
+    for r in replicas[1:]:
+        out = out.unionByName(r)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "documents.parquet")
+    )
+    # the stress queries only touch documents; link the rest for load_table
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ):
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(dst_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t = time.time()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.time() - t)
+    return best
+
+
+def main(factor: int, workdir: str) -> None:
+    from ubparquet_spark.plans import text
+
+    spark = get_session("scale-stress")
+    base = "/root/testdata/sf0.1"
+    big = os.path.join(workdir, f"sf0.1x{factor}")
+    os.makedirs(big, exist_ok=True)
+    build_replicated(spark, base, big, factor)
+
+    print(f"{'query':28s} {'1x':>7s} {f'{factor}x':>7s} {'ratio':>6s}")
+    for name in STRESS_QUERIES:
+        fn, _sql = text.QUERIES[name]
+        fn(spark, "/root/testdata/sf0.001").collect()  # warm codegen
+        t1 = time_query(fn, spark, base)
+        tn = time_query(fn, spark, big)
+        print(f"{name:28s} {t1:7.2f} {tn:7.2f} {tn / t1:6.2f}")
+
+
+if __name__ == "__main__":
+    f = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
+    main(f, wd)
