@@ -39,8 +39,13 @@ def main(sf_dir: str, workdir: str) -> None:
     keep_rules = rules.filter(F.col("keep") == 1).select("doc_id")
     quality = q_doc_quality(spark, sf_dir)
     keep_quality = quality.filter(F.col("quality_score") > 0.15).select("doc_id")
+    # one scan for both numbers — separate .count() calls would recompute
+    # the full rule table per action
+    n_total, n_rules = rules.agg(
+        F.count(F.lit(1)), F.sum("keep")
+    ).collect()[0]
     print(
-        f"quality gate: {keep_rules.count()} / {rules.count()} pass Gopher rules,"
+        f"quality gate: {n_rules} / {n_total} pass Gopher rules,"
         f" {keep_quality.count()} pass the scored filter"
     )
 

@@ -82,10 +82,17 @@ def main(factor: int, workdir: str) -> None:
     from ubparquet_spark.plans import text
 
     spark = get_session("scale-stress")
-    base = "/root/testdata/sf0.1"
+    src = "/root/testdata/sf0.1"
+    # the 1x baseline is ALSO built via build_replicated (factor=1): both
+    # sides then share the 32-file layout and the salted token stream, so
+    # the ratio measures pure data scaling — timing 1x on the original
+    # single-file corpus would conflate scan parallelism (1 task vs 32)
+    # and token-length differences into the headline number
+    base = os.path.join(workdir, "sf0.1x1")
     big = os.path.join(workdir, f"sf0.1x{factor}")
-    os.makedirs(big, exist_ok=True)
-    build_replicated(spark, base, big, factor)
+    for d, f in ((base, 1), (big, factor)):
+        os.makedirs(d, exist_ok=True)
+        build_replicated(spark, src, d, f)
 
     print(f"{'query':28s} {'1x':>7s} {f'{factor}x':>7s} {'ratio':>6s}")
     for name in STRESS_QUERIES:

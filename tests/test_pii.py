@@ -43,9 +43,10 @@ def test_counts_against_original(docs):
     assert rows[1].n_phone == 2
     assert rows[6].n_email == 1 and rows[6].n_ipv4 == 1 and rows[6].n_ssn == 1
     assert rows[5].n_email == rows[5].n_phone == rows[5].n_card == 0
-    # ssn also matches the looser phone shape on ORIGINAL text (independent
-    # counts), but redaction order gives <SSN> precedence
-    assert rows[3].n_ssn == 1 and rows[3].text == "ssn <SSN> on file"
+    # SSN's 3-2-4 digit shape does NOT match the 3-3-4 phone pattern, and
+    # the SSN rule runs first anyway — <SSN> wins regardless
+    assert rows[3].n_ssn == 1 and rows[3].n_phone == 0
+    assert rows[3].text == "ssn <SSN> on file"
 
 
 def test_idempotent(docs):

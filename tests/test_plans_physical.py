@@ -136,7 +136,9 @@ def test_corr_partial_aggregates_integer_sums(spark, sf_dir):
     import re
 
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
-    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # field names only: a bare comma split would break on parameterized
+    # types like decimal(12,2)
+    cols = set(re.findall(r"(\w+):", m.group(1)))
     assert cols == {"l_quantity", "l_extendedprice", "l_returnflag"}
 
 

@@ -957,7 +957,10 @@ GROUP BY l_returnflag
 
 def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    x = F.expr("CAST(l_quantity AS BIGINT)")
+    # floor(x+0.5) on BOTH engines: a bare double->BIGINT cast truncates
+    # toward zero in Spark but rounds to nearest in DuckDB — harmless on
+    # whole-number quantities, divergent the moment one is fractional
+    x = F.expr("CAST(floor(l_quantity + 0.5) AS BIGINT)")
     y = F.expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)")
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -984,7 +987,7 @@ def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_PRICE_QTY_CORR_SQL = """
 WITH c AS (
   SELECT l_returnflag,
-         CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
          CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS y
   FROM lineitem
 ), s AS (
