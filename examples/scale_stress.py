@@ -1,13 +1,16 @@
-"""Scale-stress harness: do the heavy text paths scale linearly with data?
+"""Scale-stress harness: do the heavy text/embedding paths scale linearly?
 
-Builds an N× `documents` set from sf0.1 by replicating every doc with a
-replica-salted token stream (tokens prefixed `r<k>`, doc_ids offset), so
-cross-replica shingle overlap is ~zero and the near-duplicate CLUSTER
-STRUCTURE of the original corpus is reproduced exactly once per replica —
-N× data should therefore cost ~N× work, not N²×. The copy is written as
-32 parquet files, so the scan parallelizes by file count like a real lake
-(sf0.1's single-file layout serializes all map work onto one task — see
-BENCHNOTES.md).
+Builds N× `documents` and `embeddings` sets from sf0.1 by structure-
+preserving replication: docs get a replica-salted token stream (tokens
+prefixed `r<k>`, doc_ids offset) so cross-replica shingle overlap is ~zero;
+embeddings get dimension-rotated vectors with offset labels so
+cross-replica cosines are ~random and cell count grows N× at constant
+per-cell population. Either way the near-duplicate CLUSTER STRUCTURE of
+the original corpus is reproduced exactly once per replica — N× data
+should therefore cost ~N× work, not N²×. Both sides (1× and N×) are
+written as 32 parquet files so the scan parallelizes by file count like a
+real lake (sf0.1's single-file layout serializes all map work onto one
+task — see BENCHNOTES.md).
 
 Run: python examples/scale_stress.py [factor] [workdir]
 Prints per-query seconds at 1× vs N× and the observed ratio.
@@ -35,6 +38,19 @@ STRESS_QUERIES = (
     "q_doc_dedup_decisions",
 )
 
+# embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
+# norms and within-replica geometry are exact copies while cross-replica
+# cosines are ~random — near-dup/SemDeDup cluster structure replicates
+# once per replica instead of exploding quadratically across replicas.
+# Labels offset per replica: cell count grows N×, per-cell population is
+# constant, so the O(n²/cell) stages should scale ~linearly.
+EMB_STRESS_QUERIES = (
+    "q_label_centroids",
+    "q_kmeans_clusters",
+    "q_embedding_neardup",
+    "q_semantic_dedup",
+)
+
 
 def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     docs = load_table(spark, src_dir, "documents")
@@ -58,10 +74,36 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     out.repartition(32).write.mode("overwrite").parquet(
         os.path.join(dst_dir, "documents.parquet")
     )
-    # the stress queries only touch documents; link the rest for load_table
+    emb = load_table(spark, src_dir, "embeddings")
+    n_vec = emb.count()
+    n_labels = emb.agg(F.countDistinct("label")).collect()[0][0]
+    emb_reps = []
+    for k in range(factor):
+        rot = (
+            F.col("embedding")
+            if k == 0
+            else F.expr(
+                f"concat(slice(embedding, {k + 1}, 64 - {k}),"
+                f" slice(embedding, 1, {k}))"
+            )
+        )
+        emb_reps.append(
+            emb.select(
+                (F.col("vec_id") + k * n_vec).alias("vec_id"),
+                rot.alias("embedding"),
+                (F.col("label") + k * n_labels).alias("label"),
+            )
+        )
+    out_e = emb_reps[0]
+    for r in emb_reps[1:]:
+        out_e = out_e.unionByName(r)
+    out_e.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst_dir, "embeddings.parquet")
+    )
+    # the stress queries only touch documents/embeddings; link the rest
     for t in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "embeddings",
+        "orders", "lineitem", "events",
     ):
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(dst_dir, f"{t}.parquet")
@@ -94,13 +136,16 @@ def main(factor: int, workdir: str) -> None:
         os.makedirs(d, exist_ok=True)
         build_replicated(spark, src, d, f)
 
+    from ubparquet_spark.plans import similarity
+
     print(f"{'query':28s} {'1x':>7s} {f'{factor}x':>7s} {'ratio':>6s}")
-    for name in STRESS_QUERIES:
-        fn, _sql = text.QUERIES[name]
-        fn(spark, "/root/testdata/sf0.001").collect()  # warm codegen
-        t1 = time_query(fn, spark, base)
-        tn = time_query(fn, spark, big)
-        print(f"{name:28s} {t1:7.2f} {tn:7.2f} {tn / t1:6.2f}")
+    for mod, names in ((text, STRESS_QUERIES), (similarity, EMB_STRESS_QUERIES)):
+        for name in names:
+            fn, _sql = mod.QUERIES[name]
+            fn(spark, "/root/testdata/sf0.001").collect()  # warm codegen
+            t1 = time_query(fn, spark, base)
+            tn = time_query(fn, spark, big)
+            print(f"{name:28s} {t1:7.2f} {tn:7.2f} {tn / t1:6.2f}")
 
 
 if __name__ == "__main__":

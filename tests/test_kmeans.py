@@ -75,3 +75,40 @@ def test_update_centroids_is_exact_mean(spark):
     out = dict(update_centroids(df))
     assert out[0] == [2.0, 4.0]
     assert out[1] == [10.0, 0.0]
+
+
+def test_blas_assignment_matches_fold_assignment(spark):
+    """The BLAS GEMM path must agree with the interpreted fold path
+    everywhere centroids are well-separated (no last-ulp distance ties:
+    the fixture's clusters sit 5 sigma apart)."""
+    from ubparquet_spark.operators.kmeans import assign_clusters_blas
+
+    X = _fixture()
+    cents = [[float(v) for v in row] for row in X[:4]]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    fold = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(df, cents).select("vec_id", "cluster").collect()
+    }
+    blas = {
+        r.vec_id: r.cluster
+        for r in assign_clusters_blas(df, cents)
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    assert fold == blas
+
+
+def test_blas_assignment_tie_breaks_to_lowest_id(spark):
+    """Duplicate centroids force an exact tie; np.argmin must pick the
+    first (lowest cluster id), matching the fold's struct-min rule."""
+    from ubparquet_spark.operators.kmeans import assign_clusters_blas
+
+    cents = [[1.0, 0.0], [1.0, 0.0], [9.0, 9.0]]
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.1])], "vec_id long, embedding array<double>"
+    )
+    assert assign_clusters_blas(df, cents).collect()[0].cluster == 0

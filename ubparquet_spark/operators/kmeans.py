@@ -71,6 +71,50 @@ def assign_clusters(
     )
 
 
+def assign_clusters_blas(
+    vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Large-k assignment: Arrow-batched numpy matrix product instead of the
+    interpreted higher-order argmin.
+
+    ``assign_clusters``'s in-plan fold costs O(n·k·d) INTERPRETED element
+    ops — fine for a coarse quantizer (k ≤ ~100; and it keeps distance
+    arithmetic bit-identical to the SQL oracle), but at IVF scale
+    (k ≈ n/10k, thousands of cells) the assignment stage dominates the job
+    (measured: SemDeDup 10× stress went super-linear purely on n·k growth,
+    BENCHNOTES.md). Here the whole batch assigns via one BLAS GEMM
+    (``X @ C.T``) using the ``||x−c||² = ||x||² − 2x·c + ||c||²`` expansion
+    (the ``||x||²`` term is row-constant and dropped from the argmin).
+    Measured at 20k rows × 64 dims, local[32]: 2.1× faster at k=100,
+    13× at k=1000 (fold time is linear in k; the GEMM is cheap relative to
+    Arrow transfer, so BLAS time stays flat) — identical assignments.
+
+    Same tie rule (lowest cluster id — ``np.argmin`` returns the first
+    minimum), but BLAS summation order differs from the fold, so distances
+    can differ in the last ulp: on a near-exact distance tie the chosen
+    cluster may differ from ``assign_clusters``. Use the fold variant when
+    cross-engine bit-parity matters, this one when k is large."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not centroids:
+        raise ValueError("assign_clusters_blas requires at least one centroid")
+    cmat = np.asarray(centroids, dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    # no type hints: module-level `from __future__ import annotations`
+    # stringifies them, and pandas_udf cannot resolve function-local names
+    def _assign(batch):
+        x = np.array(batch.tolist(), dtype=np.float64)
+        scores = cnorm[None, :] - 2.0 * (x @ cmat.T)
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return vectors.withColumn(
+        "cluster", pandas_udf(_assign, "int")(F.col(vec_col))
+    )
+
+
 def update_centroids(
     assigned: DataFrame, vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
