@@ -253,3 +253,42 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     assert (1, 2) in rows        # matched pair emitted
     assert (3, None) in rows     # expired unmatched click emitted with nulls
     assert (9, None) not in rows  # horizon not yet passed for the new click
+
+
+def test_available_now_resume_is_exactly_once(spark, sf_dir, tmp_path):
+    """Stop -> new files arrive -> restart from the SAME checkpoint: the
+    second run must process only the new files, and every event lands in
+    the sink exactly once. This is the incremental-ingestion contract a
+    100 TB lake job leans on: re-running the query is safe, re-delivery
+    is impossible, and progress survives restarts."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    src = str(tmp_path / "resume_src")
+    sink = str(tmp_path / "resume_sink")
+    ck = str(tmp_path / "resume_ck")
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+    first.write.mode("append").parquet(src)
+
+    def run_once():
+        (
+            spark.readStream.schema(events.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    assert spark.read.parquet(sink).count() == first.count()
+
+    second.write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == events.count()
+    # exactly once: no event_id delivered twice across the two runs
+    assert out.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
