@@ -71,19 +71,27 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     out = replicas[0]
     for r in replicas[1:]:
         out = out.unionByName(r)
-    out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(dst_dir, "documents.parquet")
-    )
+    doc_out = os.path.join(dst_dir, "documents.parquet")
+    if os.path.islink(doc_out):  # same stale-symlink guard as embeddings
+        os.remove(doc_out)
+    out.repartition(32).write.mode("overwrite").parquet(doc_out)
     emb = load_table(spark, src_dir, "embeddings")
-    n_vec = emb.count()
-    n_labels = emb.agg(F.countDistinct("label")).collect()[0][0]
+    # one scan for all three replication parameters
+    n_vec, max_label, dim = emb.agg(
+        F.count(F.lit(1)), F.max("label"), F.max(F.size("embedding"))
+    ).collect()[0]
+    label_stride = max_label + 1  # max+1, not countDistinct: sparse labels
+    # rotations repeat past the vector width — replicas would then be
+    # exact duplicates of earlier ones and per-cell populations would grow
+    # with N, invalidating the linear-work expectation
+    assert factor <= dim, f"factor {factor} > embedding width {dim}"
     emb_reps = []
     for k in range(factor):
         rot = (
             F.col("embedding")
             if k == 0
             else F.expr(
-                f"concat(slice(embedding, {k + 1}, 64 - {k}),"
+                f"concat(slice(embedding, {k + 1}, {dim - k}),"
                 f" slice(embedding, 1, {k}))"
             )
         )
@@ -91,15 +99,18 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             emb.select(
                 (F.col("vec_id") + k * n_vec).alias("vec_id"),
                 rot.alias("embedding"),
-                (F.col("label") + k * n_labels).alias("label"),
+                (F.col("label") + k * label_stride).alias("label"),
             )
         )
     out_e = emb_reps[0]
     for r in emb_reps[1:]:
         out_e = out_e.unionByName(r)
-    out_e.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(dst_dir, "embeddings.parquet")
-    )
+    emb_out = os.path.join(dst_dir, "embeddings.parquet")
+    # never write through a stale symlink (an earlier layout linked this
+    # name to the READ-ONLY source dataset; overwrite would delete through)
+    if os.path.islink(emb_out):
+        os.remove(emb_out)
+    out_e.repartition(32).write.mode("overwrite").parquet(emb_out)
     # the stress queries only touch documents/embeddings; link the rest
     for t in (
         "region", "nation", "customer", "supplier", "part",

@@ -93,7 +93,9 @@ def assign_clusters_blas(
     minimum), but BLAS summation order differs from the fold, so distances
     can differ in the last ulp: on a near-exact distance tie the chosen
     cluster may differ from ``assign_clusters``. Use the fold variant when
-    cross-engine bit-parity matters, this one when k is large."""
+    cross-engine bit-parity matters, this one when k is large. NULL vectors
+    assign NULL (matching the fold); vectors must share the centroid
+    width."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -106,9 +108,16 @@ def assign_clusters_blas(
     # no type hints: module-level `from __future__ import annotations`
     # stringifies them, and pandas_udf cannot resolve function-local names
     def _assign(batch):
-        x = np.array(batch.tolist(), dtype=np.float64)
-        scores = cnorm[None, :] - 2.0 * (x @ cmat.T)
-        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+        mask = batch.notna().to_numpy()
+        out = pd.array([None] * len(batch), dtype="Int32")
+        if mask.any():
+            # stack the Arrow-delivered numpy buffers directly — a
+            # .tolist() round-trip through Python floats would cost a big
+            # share of the transfer-bound total
+            x = np.stack(batch[mask].to_numpy()).astype(np.float64)
+            scores = cnorm[None, :] - 2.0 * (x @ cmat.T)
+            out[mask] = np.argmin(scores, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return vectors.withColumn(
         "cluster", pandas_udf(_assign, "int")(F.col(vec_col))
@@ -155,8 +164,13 @@ def kmeans_fit(
         vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
     centroids = [list(r[vec_col]) for r in init_rows]
+    # dispatch on k: the interpreted fold keeps distance arithmetic
+    # bit-identical to the SQL oracles (and is fine for coarse quantizers);
+    # past ~128 cells the O(n·k·d) interpreted argmin dominates each round
+    # and the Arrow/BLAS path is strictly faster (13× at k=1000, measured)
+    assign = assign_clusters if k <= 128 else assign_clusters_blas
     for _ in range(rounds):
-        assigned = assign_clusters(vectors, centroids, vec_col)
+        assigned = assign(vectors, centroids, vec_col)
         updated = dict(update_centroids(assigned, vec_col))
         centroids = [
             updated.get(i, centroids[i]) for i in range(k)  # keep empties
