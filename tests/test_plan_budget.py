@@ -1,0 +1,71 @@
+"""Shuffle-budget regression guard.
+
+Every query below has a recorded maximum number of shuffle Exchanges —
+the plan property that actually matters at 100 TB (each Exchange is a
+full re-materialization of the stream through the shuffle service). A
+refactor that silently adds an Exchange (lost exchange reuse, a
+broadcast that fell back to shuffle, an accidental repartition) fails
+here before it ships, the same way the oracle suite catches value
+regressions.
+
+Budgets are the CURRENT plan's count — they may be lowered, never raised
+without a written justification in the diff.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SHUFFLE_BUDGETS = {
+    # scan -> partial agg -> final agg: the canonical single-shuffle query
+    "q1_pricing_summary": 1,
+    "q_events_hourly": 1,
+    "q_events_sessionize": 1,
+    "q_cumulative_revenue": 1,
+    "q_price_qty_corr": 1,
+    "q_token_histogram": 1,
+    "q_doc_exact_dedup": 1,
+    "q_minhash_lsh_buckets": 1,
+    "q_domain_cap": 1,
+    # pure per-row maps: zero shuffles, the whole point of the shape
+    "q_gopher_rules": 0,
+    "q_simhash": 0,
+    # broadcast-join plans: dims broadcast, ONE fact shuffle at most
+    "q_point_lookup": 1,
+    "q_knn_bruteforce": 1,
+    "q_ann_lsh": 1,
+    "q3_shipping_priority": 3,
+    "q_contamination": 3,
+    # distribution-based exact quantiles: dist groupBy + window + final
+    "q_exact_quantiles": 3,
+    # multi-stage pipelines (documented in BENCHNOTES): still bounded
+    "q_semantic_dedup": 10,
+    "q_vocab_coverage": 6,
+    "q5_local_supplier": 6,
+}
+
+
+def _shuffle_count(df) -> int:
+    sc = df.sparkSession.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # the formatted operator list numbers each node: "(4) Exchange" is a
+    # shuffle; "(5) BroadcastExchange" must not match
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, sf_dir, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, sf_dir)
+    n = _shuffle_count(df)
+    budget = SHUFFLE_BUDGETS[name]
+    assert n <= budget, (
+        f"{name}: {n} shuffle Exchanges exceeds its recorded budget "
+        f"{budget} — a plan regression (or raise the budget with a "
+        f"written justification)"
+    )
