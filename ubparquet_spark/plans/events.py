@@ -685,7 +685,70 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-type z-score outlier flags: the standardize-then-filter anomaly
+# pattern. Group stats come from exact integer-cents sums (n, Σv, Σv² — one
+# partial-aggregatable shuffle, the q_price_qty_corr technique), broadcast
+# back against the full table as a tiny per-type row, z computed in the
+# cents domain (scale cancels). The outlier test runs on the ROUNDED z so
+# both engines compare identical doubles at the ±3 boundary.
+# ---------------------------------------------------------------------------
+
+OUTLIER_Z = 3.0
+
+
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    s, sq = F.col("s").cast("double"), F.col("sq").cast("double")
+    mean = s / n
+    std = F.sqrt((n * sq - s * s) / (n * (n - F.lit(1.0))))
+    z = roundn((v.cast("double") - mean) / std)
+    return (
+        ev.select("event_id", "event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            z.alias("z"),
+            (F.abs(z) >= OUTLIER_Z).cast("int").alias("is_outlier"),
+        )
+    )
+
+
+Q_EVENTS_OUTLIERS_SQL = f"""
+WITH c AS (
+  SELECT event_id, event_type, value,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), st AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(v) AS BIGINT) AS s, CAST(SUM(v*v) AS BIGINT) AS sq
+  FROM c GROUP BY event_type
+), zt AS (
+  SELECT event_id, c.event_type, value,
+         FLOOR(((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                / SQRT((CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+               * 10000 + 0.5) / 10000 AS z
+  FROM c JOIN st ON c.event_type = st.event_type
+)
+SELECT event_id, event_type, value, z,
+       CAST(ABS(z) >= {OUTLIER_Z} AS INT) AS is_outlier
+FROM zt
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
     "q_latest_event_per_user": (q_latest_event_per_user, Q_LATEST_EVENT_SQL),
     "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
