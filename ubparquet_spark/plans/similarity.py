@@ -21,7 +21,7 @@ bits/bands to keep buckets bounded.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
@@ -717,6 +717,111 @@ LIMIT 5
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe IVF: probe the P nearest cells instead of 1 — the standard
+# recall/latency knob (single-probe misses neighbors that fall just across
+# a cell boundary; P cells scan P/n_cells of the corpus and recover them).
+# Plan shape is unchanged from q_ann_ivf: centroids are a tiny broadcast,
+# the probe set is P rows broadcast into one equi-join on the cell id —
+# with vectors partitioned by cell, P partitions' files are read and the
+# rest are pruned at the source. ``probe_rank`` in the output shows which
+# probe produced each hit (rank 1 = the single-probe cell).
+# ---------------------------------------------------------------------------
+
+IVF_PROBES = 3
+
+
+def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(roundn(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+            ).alias("centroid")
+        )
+    )
+    qv = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    w = Window.orderBy(F.desc("cscore"), F.asc("label"))
+    probes = (
+        cent.crossJoin(F.broadcast(qv))
+        .select(
+            "label",
+            "qvec",
+            roundn(
+                _dot("centroid", "qvec")
+                / F.sqrt(_sq_norm("centroid") * _sq_norm("qvec")),
+                6,
+            ).alias("cscore"),
+        )
+        .orderBy(F.desc("cscore"), F.asc("label"))
+        .limit(IVF_PROBES)
+        # window over <= P rows — the probe set, never the corpus
+        .withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .select("label", "qvec", "probe_rank")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), on="label")
+        .select(
+            "vec_id",
+            "label",
+            "probe_rank",
+            roundn(
+                _dot("embedding", "qvec")
+                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+Q_ANN_IVF_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+scored AS (
+  SELECT label,
+         FLOOR(({_sql_dot("centroid", "qvec")}
+                / SQRT({_sql_dot("centroid", "centroid")} * {_sql_dot("qvec", "qvec")})) * 1000000 + 0.5) / 1000000 AS cscore
+  FROM carr, q
+),
+probes AS (
+  SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY cscore DESC, label ASC) AS BIGINT) AS probe_rank
+  FROM scored
+  ORDER BY cscore DESC, label ASC
+  LIMIT {IVF_PROBES}
+)
+SELECT vec_id, e2.label, p.probe_rank,
+       FLOOR(({_sql_dot("e2.embedding", "q.qvec")}
+              / SQRT({_sql_dot("e2.embedding", "e2.embedding")} * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5) / 1000000 AS cosine
+FROM embeddings e2 JOIN probes p ON e2.label = p.label, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization + ADC search: train m sub-quantizers (ONE fused
 # (sub, code, dim) shuffle per Lloyd round — not m jobs), encode the whole
 # table to m small codes, then answer a query via the broadcast m x k
@@ -1009,6 +1114,7 @@ FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
 QUERIES: dict[str, tuple] = {
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
+    "q_ann_ivf_multiprobe": (q_ann_ivf_multiprobe, Q_ANN_IVF_MULTIPROBE_SQL),
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
     "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),
     "q_label_centroids": (q_label_centroids, Q_LABEL_CENTROIDS_SQL),
