@@ -97,3 +97,50 @@ def test_pq_fit_rejects_empty(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="non-empty"):
         pq.pq_fit(df, 2, 1, rounds=1)
+
+
+def test_ivf_pq_topk_composition(spark, vec_df, vecs):
+    """The composed index search must (a) only surface rows from the
+    probed cells, (b) score them identically to a full-table ADC pass
+    restricted to those cells, and (c) be deterministic across runs."""
+    from ubparquet_spark.operators.kmeans import assign_clusters, kmeans_fit
+    from ubparquet_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_scores,
+        pq_encode,
+        pq_fit,
+    )
+
+    query = [float(v) for v in vecs[0]]
+    kwargs = dict(n_cells=4, probes=2, m=M, k_codes=K, rounds=1, topk=8)
+    got = ivf_pq_topk(vec_df, query, **kwargs).collect()
+    assert len(got) == 8
+
+    # independent recomposition: full-table encode + ADC, then restrict
+    cents = kmeans_fit(vec_df, 4, rounds=1)
+    probed = sorted(
+        range(4),
+        key=lambda c: (
+            sum((x - y) ** 2 for x, y in zip(query, cents[c])),
+            c,
+        ),
+    )[:2]
+    assert {r.cluster for r in got} <= set(probed)
+    from ubparquet_spark.operators.pq import adc_table
+
+    full = pq_adc_scores(
+        pq_encode(assign_clusters(vec_df, cents), pq_fit(vec_df, M, K, rounds=1)),
+        adc_table(pq_fit(vec_df, M, K, rounds=1), query),
+    )
+    expect = (
+        full.filter(full.cluster.isin(probed))
+        .orderBy("adc_dist", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    assert [(r.vec_id, r.adc_dist) for r in got] == [
+        (r.vec_id, r.adc_dist) for r in expect
+    ]
+
+    again = ivf_pq_topk(vec_df, query, **kwargs).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

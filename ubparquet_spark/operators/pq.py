@@ -206,3 +206,57 @@ def pq_adc_scores(
         f" element_at({codes_col}, j + 1) + 1)) * 10000 + 0.5) AS DOUBLE) / 10000"
     )
     return encoded.withColumn("_tbl", tbl).withColumn("adc_dist", adc).drop("_tbl")
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    query: list[float],
+    *,
+    n_cells: int = 8,
+    probes: int = 2,
+    m: int = 4,
+    k_codes: int = 8,
+    rounds: int = 1,
+    topk: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The composed FAISS-style index search: IVF cells prune WHICH rows
+    are scanned, PQ codes shrink WHAT is scanned per row.
+
+    1. coarse quantizer: ``kmeans_fit`` → cells; every vector assigned once
+       (at 100 TB you write the table partitioned by ``cluster`` so probes
+       prune whole files);
+    2. PQ codebooks trained + every vector encoded to ``m`` codes;
+    3. query side (all driver-size): the ``probes`` nearest cells by exact
+       centroid distance, and the ``m × k`` ADC table;
+    4. scan ONLY probed cells' codes, sum table lookups, exact top-k.
+
+    Returns (id, cluster, adc_dist) for the top-k rows by ADC distance
+    (ties broken by id). Approximate by construction — recall governed by
+    ``probes`` (cells scanned) and ``m``/``k_codes`` (code resolution).
+    """
+    from ubparquet_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    cents = kmeans_fit(
+        vectors, n_cells, rounds=rounds, vec_col=vec_col, id_col=id_col
+    )
+    assigned = assign_clusters(vectors, cents, vec_col)
+    books = pq_fit(vectors, m, k_codes, rounds=rounds, vec_col=vec_col, id_col=id_col)
+    encoded = pq_encode(assigned, books, vec_col=vec_col)
+
+    q = [float(v) for v in query]
+    cell_order = sorted(
+        range(len(cents)),
+        key=lambda c: (
+            sum((x - float(y)) ** 2 for x, y in zip(q, cents[c])),
+            c,
+        ),
+    )[:probes]
+    table = adc_table(books, q)
+    return (
+        pq_adc_scores(encoded.filter(F.col("cluster").isin(cell_order)), table)
+        .select(id_col, "cluster", "adc_dist")
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(topk)
+    )
