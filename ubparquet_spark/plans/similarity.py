@@ -822,6 +822,165 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# IVF probe→recall curve: for a sample of queries, what fraction of the
+# exact cosine top-k lives in the 1 / 2 / 3 nearest cells? This is THE
+# number that sets the probe count (the q_ann_ivf_multiprobe knob): the
+# corpus-sized work is one cell-assignment map + the ground-truth scoring
+# pass (sample-bounded, like q_ann_recall); cell rankings are tiny
+# (queries × cells) broadcasts. Distances rank on 6-dp-rounded doubles
+# with a label tie-break so both engines order cells identically.
+# ---------------------------------------------------------------------------
+
+IVF_RECALL_K = 10
+IVF_RECALL_QUERIES = 20
+IVF_RECALL_PROBES = (1, 2, 3)
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(roundn(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+            ).alias("centroid")
+        )
+    )
+    cents1 = cent.agg(
+        F.collect_list(F.struct("label", "centroid")).alias("cents")
+    )
+    # per-vector cell: argmin over the broadcast centroid array on the
+    # ROUNDED squared distance (6 dp), ties to the lowest label
+    cell = F.expr(
+        "array_min(transform(cents, s -> struct("
+        " CAST(floor(aggregate(zip_with(embedding, s.centroid, (x, y) ->"
+        "  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+        "  CAST(0 AS DOUBLE), (acc, v) -> acc + v) * 1000000 + 0.5) AS DOUBLE)"
+        " / 1000000 AS d,"
+        " s.label AS c))).c"
+    )
+    vecs = emb.crossJoin(F.broadcast(cents1)).select(
+        "vec_id", "embedding", cell.alias("cell")
+    )
+    qs = vecs.filter(F.col("vec_id") < IVF_RECALL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    # query-side cell ranking: queries × cells — tiny both sides
+    qdist = roundn(
+        F.expr(
+            "aggregate(zip_with(qvec, centroid, (x, y) ->"
+            " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("qd"), F.asc("label"))
+    qcells = (
+        qs.crossJoin(F.broadcast(cent))
+        .select("qid", "label", qdist.alias("qd"))
+        .withColumn("crank", F.row_number().over(wq).cast("long"))
+        .select("qid", "label", "crank")
+    )
+    # exact cosine ground truth over the query sample (q_ann_recall shape)
+    scored = vecs.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        "cell",
+        roundn(
+            _dot("embedding", "qvec")
+            / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+            6,
+        ).alias("cosine"),
+    )
+    wt = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    truth = scored.withColumn("rnk", F.row_number().over(wt)).filter(
+        F.col("rnk") <= IVF_RECALL_K
+    )
+    joined = truth.join(
+        F.broadcast(qcells),
+        (truth.qid == qcells.qid) & (truth.cell == qcells.label),
+    ).select(truth.qid.alias("qid"), "crank")
+    aggs = [
+        roundn(
+            F.sum((F.col("crank") <= p).cast("int")).cast("double")
+            / F.lit(float(IVF_RECALL_K))
+        ).alias(f"recall_p{p}")
+        for p in IVF_RECALL_PROBES
+    ]
+    return joined.groupBy("qid").agg(*aggs)
+
+
+_IVF_SQDIST = (
+    "list_sum(list_transform(range(1, len({v}) + 1),"
+    " i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
+)
+
+Q_IVF_RECALL_SQL = f"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
+),
+vc AS (
+  SELECT vec_id, embedding, carr.label AS cl,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           FLOOR(({_IVF_SQDIST.format(v="embedding", c="centroid")}) * 1000000 + 0.5) / 1000000 ASC,
+           carr.label ASC) AS rn
+  FROM embeddings, carr
+),
+cells AS (
+  SELECT vec_id, embedding, cl AS cell FROM vc WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM cells
+  WHERE vec_id < {IVF_RECALL_QUERIES}
+),
+qcells AS (
+  SELECT qid, label,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           FLOOR(({_IVF_SQDIST.format(v="qvec", c="centroid")}) * 1000000 + 0.5) / 1000000 ASC,
+           label ASC) AS BIGINT) AS crank
+  FROM q, carr
+),
+scored AS (
+  SELECT q.qid, c.vec_id, c.cell,
+         FLOOR(({_sql_dot("c.embedding", "q.qvec")}
+                / SQRT({_sql_dot("c.embedding", "c.embedding")}
+                       * {_sql_dot("q.qvec", "q.qvec")})) * 1000000 + 0.5)
+           / 1000000 AS cosine
+  FROM cells c, q
+  WHERE c.vec_id != q.qid
+),
+truth AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {IVF_RECALL_K}
+)
+SELECT t.qid,
+       {", ".join(
+         f"FLOOR((CAST(SUM(CASE WHEN qc.crank <= {p} THEN 1 ELSE 0 END) AS DOUBLE)"
+         f" / {IVF_RECALL_K}) * 10000 + 0.5) / 10000 AS recall_p{p}"
+         for p in IVF_RECALL_PROBES
+       )}
+FROM truth t JOIN qcells qc ON t.qid = qc.qid AND t.cell = qc.label
+GROUP BY t.qid
+"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization + ADC search: train m sub-quantizers (ONE fused
 # (sub, code, dim) shuffle per Lloyd round — not m jobs), encode the whole
 # table to m small codes, then answer a query via the broadcast m x k
@@ -1115,6 +1274,7 @@ QUERIES: dict[str, tuple] = {
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_ann_ivf_multiprobe": (q_ann_ivf_multiprobe, Q_ANN_IVF_MULTIPROBE_SQL),
+    "q_ivf_recall": (q_ivf_recall, Q_IVF_RECALL_SQL),
     "q_knn_bruteforce": (q_knn_bruteforce, Q_KNN_SQL),
     "q_knn_batch": (q_knn_batch, Q_KNN_BATCH_SQL),
     "q_label_centroids": (q_label_centroids, Q_LABEL_CENTROIDS_SQL),
