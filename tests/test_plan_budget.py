@@ -48,13 +48,11 @@ SHUFFLE_BUDGETS = {
 
 
 def _shuffle_count(df) -> int:
-    sc = df.sparkSession.sparkContext
-    plan = sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    from .test_plans_physical import plan_text
+
     # the formatted operator list numbers each node: "(4) Exchange" is a
     # shuffle; "(5) BroadcastExchange" must not match
-    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+    return len(re.findall(r"\(\d+\) Exchange\b", plan_text(df)))
 
 
 @pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))

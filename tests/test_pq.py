@@ -144,3 +144,20 @@ def test_ivf_pq_topk_composition(spark, vec_df, vecs):
 
     again = ivf_pq_topk(vec_df, query, **kwargs).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_ivf_pq_topk_accepts_pretrained_artifacts(spark, vec_df, vecs):
+    from ubparquet_spark.operators.kmeans import kmeans_fit
+    from ubparquet_spark.operators.pq import ivf_pq_topk, pq_fit
+
+    query = [float(v) for v in vecs[0]]
+    kwargs = dict(n_cells=4, probes=2, m=M, k_codes=K, rounds=1, topk=8)
+    trained = ivf_pq_topk(
+        vec_df,
+        query,
+        cents=kmeans_fit(vec_df, 4, rounds=1),
+        books=pq_fit(vec_df, M, K, rounds=1),
+        **kwargs,
+    ).collect()
+    scratch = ivf_pq_topk(vec_df, query, **kwargs).collect()
+    assert [tuple(r) for r in trained] == [tuple(r) for r in scratch]

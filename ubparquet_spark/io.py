@@ -86,13 +86,28 @@ def load_tables(
 
 
 def register_views(
-    spark: SparkSession, sf_dir: str, names: Iterable[str] = DRIVER_TABLES
-) -> None:
-    """Expose the tables as SQL temp views so the whole engine surface is
-    reachable through ``spark.sql(...)`` — schema-on-read, no catalog
-    service (the reference's dynamic-schema position, SURVEY.md §1.3)."""
-    for n in names:
-        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    spark: SparkSession,
+    sf_dir: str,
+    names: Iterable[str] | None = None,
+    *,
+    prefix: str = "",
+) -> list[str]:
+    """Expose the tables as SQL temp views (named ``<prefix><table>``) so
+    the whole engine surface is reachable through ``spark.sql(...)`` —
+    schema-on-read, no catalog service (the reference's dynamic-schema
+    position, SURVEY.md §1.3). ``events.ts`` gets the same
+    nanos→timestamp_ntz normalization as ``load_table``, so SQL over the
+    views builds identical Catalyst plans to the DataFrame API. Lazy: one
+    schema read per table, no scan. Returns the view names.
+
+    ``names=None`` means all driver tables; an explicit empty iterable
+    registers nothing (no truthiness fallback)."""
+    out = []
+    for n in DRIVER_TABLES if names is None else names:
+        view = f"{prefix}{n}"
+        load_table(spark, sf_dir, n).createOrReplaceTempView(view)
+        out.append(view)
+    return out
 
 
 def read_parquet(

@@ -220,6 +220,8 @@ def ivf_pq_topk(
     topk: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cents: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The composed FAISS-style index search: IVF cells prune WHICH rows
     are scanned, PQ codes shrink WHAT is scanned per row.
@@ -232,17 +234,26 @@ def ivf_pq_topk(
        centroid distance, and the ``m × k`` ADC table;
     4. scan ONLY probed cells' codes, sum table lookups, exact top-k.
 
+    Pass pretrained ``cents``/``books`` (the plain-list artifacts
+    ``kmeans_fit``/``pq_fit`` return) to skip training — a batch of Q
+    queries should train ONCE, not Q times; training runs only for
+    whichever artifact is absent.
+
     Returns (id, cluster, adc_dist) for the top-k rows by ADC distance
     (ties broken by id). Approximate by construction — recall governed by
     ``probes`` (cells scanned) and ``m``/``k_codes`` (code resolution).
     """
     from ubparquet_spark.operators.kmeans import assign_clusters, kmeans_fit
 
-    cents = kmeans_fit(
-        vectors, n_cells, rounds=rounds, vec_col=vec_col, id_col=id_col
-    )
+    if cents is None:
+        cents = kmeans_fit(
+            vectors, n_cells, rounds=rounds, vec_col=vec_col, id_col=id_col
+        )
     assigned = assign_clusters(vectors, cents, vec_col)
-    books = pq_fit(vectors, m, k_codes, rounds=rounds, vec_col=vec_col, id_col=id_col)
+    if books is None:
+        books = pq_fit(
+            vectors, m, k_codes, rounds=rounds, vec_col=vec_col, id_col=id_col
+        )
     encoded = pq_encode(assigned, books, vec_col=vec_col)
 
     q = [float(v) for v in query]

@@ -707,9 +707,12 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     s, sq = F.col("s").cast("double"), F.col("sq").cast("double")
-    mean = s / n
-    std = F.sqrt((n * sq - s * s) / (n * (n - F.lit(1.0))))
-    z = roundn((v.cast("double") - mean) / std)
+    mean = s / n  # n >= 1 whenever the group exists
+    # try_divide: a single-event type (n=1) or a zero-variance type would
+    # raise DIVIDE_BY_ZERO under ANSI mode; DuckDB yields NULL for the same
+    # rows, so NULL-on-degenerate keeps cross-engine parity AND survival
+    std = F.sqrt(F.try_divide(n * sq - s * s, n * (n - F.lit(1.0))))
+    z = roundn(F.try_divide(v.cast("double") - mean, std))
     return (
         ev.select("event_id", "event_type", "value")
         .join(F.broadcast(stats), "event_type")

@@ -634,9 +634,13 @@ GROUP BY label, dim
 # with data written partitioned by cell, the probe prunes whole files.
 # ---------------------------------------------------------------------------
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, centroid): 6-dp-rounded per-label mean vectors — the coarse
+    quantizer every IVF-family query shares. ONE (label, dim)-keyed shuffle
+    (partial-aggregatable), centroids reassembled in dim order. The
+    rounding grain is the cross-engine determinism convention: change it
+    here and in _CENTROID_CTES together."""
+    return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(roundn(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("cv"))
@@ -647,6 +651,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+#: the SQL mirror of _label_centroids — shared WITH-prefix for every
+#: IVF-family oracle so the centroid convention lives in exactly one place
+#: per engine
+_CENTROID_CTES = """e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, dim,
+         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
+)"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _label_centroids(emb)
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").alias("qvec"))
@@ -684,20 +712,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_ANN_IVF_SQL = f"""
-WITH e AS (
-  SELECT label,
-         generate_subscripts(embedding, 1) - 1 AS dim,
-         UNNEST(embedding) AS v
-  FROM embeddings
-),
-cent AS (
-  SELECT label, dim,
-         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
-  FROM e GROUP BY label, dim
-),
-carr AS (
-  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
-),
+WITH {_CENTROID_CTES},
 q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 best AS (
   SELECT label FROM carr, q
@@ -732,17 +747,7 @@ IVF_PROBES = 3
 
 def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(roundn(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
-            ).alias("centroid")
-        )
-    )
+    cent = _label_centroids(emb)
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
         .select(F.col("embedding").alias("qvec"))
@@ -784,20 +789,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_ANN_IVF_MULTIPROBE_SQL = f"""
-WITH e AS (
-  SELECT label,
-         generate_subscripts(embedding, 1) - 1 AS dim,
-         UNNEST(embedding) AS v
-  FROM embeddings
-),
-cent AS (
-  SELECT label, dim,
-         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
-  FROM e GROUP BY label, dim
-),
-carr AS (
-  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
-),
+WITH {_CENTROID_CTES},
 q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 scored AS (
   SELECT label,
@@ -838,17 +830,7 @@ IVF_RECALL_PROBES = (1, 2, 3)
 
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
-        .groupBy("label", "dim")
-        .agg(roundn(F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6).alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
-            ).alias("centroid")
-        )
-    )
+    cent = _label_centroids(emb)
     cents1 = cent.agg(
         F.collect_list(F.struct("label", "centroid")).alias("cents")
     )
@@ -919,20 +901,7 @@ _IVF_SQDIST = (
 )
 
 Q_IVF_RECALL_SQL = f"""
-WITH e AS (
-  SELECT label,
-         generate_subscripts(embedding, 1) - 1 AS dim,
-         UNNEST(embedding) AS v
-  FROM embeddings
-),
-cent AS (
-  SELECT label, dim,
-         FLOOR((SUM(CAST(v AS DOUBLE)) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS cv
-  FROM e GROUP BY label, dim
-),
-carr AS (
-  SELECT label, list(cv ORDER BY dim) AS centroid FROM cent GROUP BY label
-),
+WITH {_CENTROID_CTES},
 vc AS (
   SELECT vec_id, embedding, carr.label AS cl,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
