@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ubparquet_spark.functions.minhash_dedup import minhash_dedup
 from ubparquet_spark.functions.pii import scrub_text
 from ubparquet_spark.io import load_table, write_parquet
+from ubparquet_spark.operators.pq import ivf_pq_topk
 from ubparquet_spark.plans.similarity import q_embedding_neardup, q_knn_batch
 from ubparquet_spark.plans.text import q_doc_quality, q_gopher_rules, q_lang_id
 from ubparquet_spark.session import get_session
@@ -61,10 +62,18 @@ def main(sf_dir: str, workdir: str) -> None:
     langs = q_lang_id(spark, sf_dir)
     print("lang-ID confusion rows:", langs.count())
 
-    # 4. embeddings: near-dup audit + batched ANN
+    # 4. embeddings: near-dup audit + batched ANN + the composed
+    #    compressed-index search (IVF cells prune rows, PQ codes shrink
+    #    bytes — the 100 TB retrieval path)
     emb_dups = q_embedding_neardup(spark, sf_dir)
     knn = q_knn_batch(spark, sf_dir)
-    print(f"embedding near-dup pairs: {emb_dups.count()}; ANN rows: {knn.count()}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+    ivfpq = ivf_pq_topk(emb, query_vec, n_cells=8, probes=2, topk=5)
+    print(
+        f"embedding near-dup pairs: {emb_dups.count()}; ANN rows: {knn.count()};"
+        f" IVF-PQ top-5: {[r.vec_id for r in ivfpq.collect()]}"
+    )
 
     # 5. final curated output: rule-passing, quality-passing, canonical
     #    docs, with PII scrubbed from the text that ships
