@@ -49,6 +49,7 @@ EMB_STRESS_QUERIES = (
     "q_kmeans_clusters",
     "q_embedding_neardup",
     "q_semantic_dedup",
+    "q_semantic_dedup_scaled",
 )
 
 
@@ -118,7 +119,13 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     ):
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(dst_dir, f"{t}.parquet")
-        if not os.path.exists(dst):
+        # lexists, not exists: a dangling symlink from a previous run (the
+        # source moved/deleted) returns False from exists() but still blocks
+        # os.symlink with FileExistsError — same stale-link hazard the
+        # parquet outputs above guard against.
+        if os.path.islink(dst) and not os.path.exists(dst):
+            os.remove(dst)
+        if not os.path.lexists(dst):
             os.symlink(src, dst)
 
 

@@ -49,6 +49,26 @@ def test_counts_against_original(docs):
     assert rows[3].text == "ssn <SSN> on file"
 
 
+def test_separator_tolerant_formats(spark):
+    rows = [
+        (0, "card 4111-1111-1111-1111 declined"),
+        (1, "card 4111 1111 1111 1111 declined"),
+        (2, "call 5558675309 now"),
+        (3, "call (555) 867-5309 now"),
+        (4, "call +1 555-867-5309 now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii.scrub_text(df).collect()}
+    # grouped cards redact as CARD, not as a phone fragment (card runs first)
+    assert out[0].text == "card <CARD> declined" and out[0].n_card == 1
+    assert out[1].text == "card <CARD> declined" and out[1].n_card == 1
+    assert out[0].n_phone == 0 and out[1].n_phone == 0
+    # bare 10-digit, parenthesized area code, +1 prefix
+    assert out[2].text == "call <PHONE> now" and out[2].n_phone == 1
+    assert out[3].text == "call <PHONE> now" and out[3].n_phone == 1
+    assert out[4].text == "call <PHONE> now" and out[4].n_phone == 1
+
+
 def test_idempotent(docs):
     once = pii.scrub_text(docs, with_counts=False)
     twice = pii.scrub_text(once, with_counts=False)

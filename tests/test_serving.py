@@ -84,3 +84,41 @@ def test_collate_concat_and_batch_index(dataset):
     o0, o1 = out["batch_offsets"][0], out["batch_offsets"][1]
     assert (out["spacepoint_t"][o0:o1, 0] == 0).all()
     assert (out["spacepoint_t"][o1:, 0] >= 1).all()
+
+
+def test_epoch_batches_never_convert_rows_on_driver(dataset, monkeypatch):
+    """The serving edge must be Arrow end-to-end: poison the per-row
+    conversion entry points (Row.asDict and the per-row decode helper) and
+    run a full epoch — executor-assembled IPC chunks mean neither is
+    called on this path."""
+    from pyspark.sql import Row
+
+    import ubparquet_spark.serving as serving_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("per-row conversion on the driver serving path")
+
+    monkeypatch.setattr(Row, "asDict", _boom)
+    monkeypatch.setattr(serving_mod, "_decode_pandas_row", _boom)
+    n = sum(len(b) for b in dataset.epoch_batches(batch_size=3, epoch=0, seed=5))
+    assert n == 8
+
+
+def test_epoch_batches_preserve_stored_dtype(spark, tmp_path):
+    """Columnar decode keeps the parquet dtype (a float32 tensor stays
+    float32 — the old per-row path promoted everything to float64 via
+    Python floats). The module fixture stores doubles; write a float32
+    variant to prove the narrow type survives end-to-end."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "sp32.parquet")
+    spacepoint_df(spark, 4).withColumn(
+        "spacepoint_t", F.col("spacepoint_t").cast("array<float>")
+    ).write.mode("overwrite").parquet(path)
+    ds32 = EventDataset(spark, path)
+    batch = next(ds32.epoch_batches(batch_size=2, epoch=0, seed=2))
+    arr = batch[0]["spacepoint_t"]
+    assert arr.dtype == np.float32
+    assert arr.ndim == 2 and arr.shape[1] == 4
+    # and the module fixture's doubles stay doubles
+    assert batch[0]["ssnet_label"].dtype == np.int64

@@ -38,3 +38,52 @@ def test_neardup_bucket_cap_drops_degenerate_buckets(spark):
         emb, bucket_cap=1000, threshold=0.5
     ).collect()
     assert len([p for p in pairs2 if p.vec_a < 100]) == 45
+
+
+def test_semdedup_cell_cap_guards_degenerate_cells(spark):
+    """semdedup_keep: members of a cell larger than the cap take no part in
+    pair generation and keep = 1; small cells dedup to keep-lowest-id."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.plans.similarity import semdedup_keep
+
+    dim = 64
+    norm = math.sqrt(dim)  # all-ones vectors
+    rows = (
+        # cell 0: 3 identical members, under cap -> lowest id kept
+        [(i, 0, [1.0] * dim, norm) for i in range(3)]
+        # cell 1: 6 identical members, OVER cap=4 -> all keep=1
+        + [(10 + i, 1, [1.0] * dim, norm) for i in range(6)]
+    )
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, cell int, dvec array<double>, norm double"
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup_keep(assigned, cap=4, threshold=0.35).collect()
+    }
+    assert len(out) == 9  # every member appears exactly once
+    assert out[0] == 1 and out[1] == 0 and out[2] == 0
+    assert all(out[10 + i] == 1 for i in range(6))
+
+
+def test_semdedup_scaled_k_tracks_corpus(spark, sf_dir):
+    """The scaled variant's quantizer grain follows corpus size (clamped),
+    and every vector lands in the output exactly once."""
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.plans.similarity import (
+        SEMDEDUP_CELL_TARGET,
+        SEMDEDUP_K_MIN,
+        q_semantic_dedup_scaled,
+    )
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    k_expect = max(SEMDEDUP_K_MIN, n // SEMDEDUP_CELL_TARGET)
+    pdf = q_semantic_dedup_scaled(spark, sf_dir).toPandas()
+    assert len(pdf) == n and pdf["vec_id"].is_unique
+    # every realized cell id lies inside the quantizer's k range; on this
+    # corpus the trained cells are all populated
+    assert pdf["cell"].nunique() <= k_expect
+    assert pdf["cell"].between(0, k_expect - 1).all()

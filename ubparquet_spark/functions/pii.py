@@ -35,9 +35,21 @@ from pyspark.sql import functions as F
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # cards BEFORE phones: a 4-4-4-4 grouped card would otherwise have its
+    # first 10 digits eaten by the separator-tolerant phone pattern.
+    # Covers unbroken 13-16 digit runs AND the common 4-4-4-4 grouped form
+    # (space or dash separated).
+    ("card", r"\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{13,16}\b", "<CARD>"),
+    # separator-formatted (555-123-4567 / 555.123.4567), optional +1 /
+    # parenthesized area code, AND bare 10-digit runs.  Bare runs are
+    # anchored so they don't fire inside longer digit strings (those are
+    # card/other territory).
+    (
+        "phone",
+        r"(?:\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b|\b\d{10}\b",
+        "<PHONE>",
+    ),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    ("card", r"\b\d{13,16}\b", "<CARD>"),
 )
 
 

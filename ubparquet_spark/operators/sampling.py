@@ -73,21 +73,58 @@ def iter_arrow_batches(df: DataFrame, batch_rows: int = 1024) -> Iterator["objec
     per-row ``.rdd.collect()`` pickle path the reference flags as slow,
     ``larmatch_dataset.py:188-192``).
 
-    Streams via ``toLocalIterator(prefetchPartitions=True)`` — driver
-    memory is bounded by ONE partition (+ one prefetched), not the whole
-    table. The previous ``df.toArrow()`` form collected the entire
-    DataFrame into driver memory before yielding the first batch — the
-    modern form of the reference's full-materialize path, and the thing
-    that would OOM the driver first at 100 TB."""
-    import pyarrow as pa
-    from pyspark.sql.pandas.types import to_arrow_schema
+    Batches are assembled ON EXECUTORS: a ``mapInArrow`` pass re-chunks
+    each task's Arrow batches to ``batch_rows`` rows and serializes every
+    chunk to Arrow IPC bytes, so what crosses to the driver is one binary
+    row PER CHUNK — the driver deserializes whole columnar batches and
+    never touches individual rows (the previous form did ``row.asDict()``
+    → ``RecordBatch.from_pylist`` on the driver, which bounded memory but
+    was pickle-rate-bound per row: at 100× the serving edge went
+    driver-CPU-bound).
 
-    schema = to_arrow_schema(df.schema)
-    buf: list[dict] = []
-    for row in df.toLocalIterator(prefetchPartitions=True):
-        buf.append(row.asDict(recursive=True))
-        if len(buf) >= batch_rows:
-            yield pa.RecordBatch.from_pylist(buf, schema=schema)
-            buf = []
-    if buf:
-        yield pa.RecordBatch.from_pylist(buf, schema=schema)
+    Streaming still goes through ``toLocalIterator(prefetchPartitions=
+    True)`` — driver memory stays bounded by one partition (+ one
+    prefetched), never the whole table. Row order is preserved (the
+    chunker is a narrow per-partition pass; partitions arrive in order).
+    The final chunk of each PARTITION may be shorter than ``batch_rows``
+    (executor tasks can't see across partition boundaries); callers that
+    need exact batch sizes re-slice downstream (``serving.epoch_batches``
+    does)."""
+    import pyarrow as pa
+
+    batch_rows = int(batch_rows)
+
+    def _ipc(batch: "pa.RecordBatch") -> bytes:
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_batch(batch)
+        return sink.getvalue().to_pybytes()
+
+    def _wrap(payload: bytes) -> "pa.RecordBatch":
+        return pa.RecordBatch.from_arrays(
+            [pa.array([payload], type=pa.binary())], names=["ipc"]
+        )
+
+    def chunker(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        pending: list[pa.RecordBatch] = []
+        n = 0
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            pending.append(b)
+            n += b.num_rows
+            while n >= batch_rows:
+                tbl = pa.Table.from_batches(pending)
+                head = tbl.slice(0, batch_rows).combine_chunks()
+                yield _wrap(_ipc(head.to_batches()[0]))
+                rest = tbl.slice(batch_rows)
+                pending = rest.to_batches()
+                n = rest.num_rows
+        if n:
+            tail = pa.Table.from_batches(pending).combine_chunks()
+            yield _wrap(_ipc(tail.to_batches()[0]))
+
+    out = df.mapInArrow(chunker, "ipc binary")
+    for row in out.toLocalIterator(prefetchPartitions=True):
+        with pa.ipc.open_stream(pa.py_buffer(bytes(row.ipc))) as reader:
+            yield from reader

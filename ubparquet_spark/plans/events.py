@@ -750,7 +750,87 @@ FROM zt
 """
 
 
+# ---------------------------------------------------------------------------
+# Fiducial cut (P6): geometry.in_tpc range predicates, oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_fiducial_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fiducial-volume cut over synthetic detector coordinates.
+
+    P6 range predicates with the reference's TPC constants
+    (``/root/reference/detectoroutline.py:5-11``) and the 10 cm fiducial
+    margin shape of ``larennet/jam_larennet.py:47-55``, applied through
+    ``geometry.fiducial_cut`` so the driver oracle exercises the same
+    helper the per-point cuts use.  The events table has no coordinates,
+    so (x, y, z) are derived deterministically from ``event_id`` with pure
+    integer arithmetic (bit-identical in Spark and DuckDB); the spans
+    exceed the TPC volume on every axis so the cut genuinely bites.
+
+    Scale: six scalar range predicates — on a real detector table these
+    are top-level columns and Catalyst pushes them into the Parquet scan
+    (PushedFilters), pruning out-of-volume row groups at storage.  The
+    aggregate sums exact integers (deterministic under any partial-agg
+    order) and converts to cm once at the end.
+    """
+    from ubparquet_spark import geometry
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        ((F.col("event_id") * 131) % 3600).alias("ix"),
+        ((F.col("event_id") * 197) % 3000).alias("iy"),
+        ((F.col("event_id") * 73) % 12000).alias("iz"),
+    ).withColumns(
+        {
+            "x": F.col("ix") / 10.0 - 50.0,    # [-50, 309.9] — spills both faces
+            "y": F.col("iy") / 10.0 - 150.0,   # [-150, 149.9]
+            "z": F.col("iz") / 10.0 - 100.0,   # [-100, 1099.9]
+        }
+    )
+    kept = geometry.fiducial_cut(pts, margin=10.0)
+    n = F.count(F.lit(1))
+    agg = kept.groupBy("event_type").agg(
+        n.alias("n_in"),
+        F.sum("ix").alias("sx"),
+        F.sum("iy").alias("sy"),
+        F.sum("iz").alias("sz"),
+    )
+    cnt = F.col("n_in").cast("double")
+    return agg.select(
+        "event_type",
+        "n_in",
+        roundn(F.col("sx").cast("double") / cnt / 10.0 - 50.0, 4).alias("avg_x"),
+        roundn(F.col("sy").cast("double") / cnt / 10.0 - 150.0, 4).alias("avg_y"),
+        roundn(F.col("sz").cast("double") / cnt / 10.0 - 100.0, 4).alias("avg_z"),
+    )
+
+
+# margin=10 cm on the TPC volume x[0,256] y[-117,117] z[0,1036]
+Q_FIDUCIAL_CUT_SQL = """
+WITH pts AS (
+  SELECT event_type,
+         (event_id * 131) % 3600 AS ix,
+         (event_id * 197) % 3000 AS iy,
+         (event_id * 73) % 12000 AS iz
+  FROM events
+), kept AS (
+  SELECT * FROM pts
+  WHERE ix / 10.0 - 50.0  >= 10.0   AND ix / 10.0 - 50.0  <= 246.0
+    AND iy / 10.0 - 150.0 >= -107.0 AND iy / 10.0 - 150.0 <= 107.0
+    AND iz / 10.0 - 100.0 >= 10.0   AND iz / 10.0 - 100.0 <= 1026.0
+)
+SELECT event_type,
+       COUNT(*) AS n_in,
+       FLOOR((CAST(SUM(ix) AS DOUBLE) / COUNT(*) / 10.0 - 50.0)  * 10000 + 0.5) / 10000 AS avg_x,
+       FLOOR((CAST(SUM(iy) AS DOUBLE) / COUNT(*) / 10.0 - 150.0) * 10000 + 0.5) / 10000 AS avg_y,
+       FLOOR((CAST(SUM(iz) AS DOUBLE) / COUNT(*) / 10.0 - 100.0) * 10000 + 0.5) / 10000 AS avg_z
+FROM kept
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_fiducial_cut": (q_fiducial_cut, Q_FIDUCIAL_CUT_SQL),
     "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
     "q_latest_event_per_user": (q_latest_event_per_user, Q_LATEST_EVENT_SQL),

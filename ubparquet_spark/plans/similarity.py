@@ -1239,8 +1239,235 @@ FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Scale-true SemDeDup: the registered q_semantic_dedup above keeps the
+# paper's "cells = class labels" quantizer, which is a FIXED k — within-cell
+# pair work is O(n²/k) and therefore quadratic as the corpus grows (measured
+# 15.4× wall at 10× data, BENCHNOTES.md). This variant is the shape you run
+# at 100 TB:
+#
+#   quantizer  k-means (operators/kmeans.py) with k TRACKING corpus size
+#              (k ≈ n / CELL_TARGET, clamped) trained on a 20% mod-sample
+#              with rounded-centroid updates — so expected cell size is a
+#              CONSTANT and pair work is O(n · CELL_TARGET), linear in n.
+#              Assignment dispatches to the Arrow/BLAS GEMM path past
+#              k = 128 cells (13× at k = 1000, measured) — at driver-oracle
+#              scale (sf0.01, k = 8) the interpreted fold runs, keeping
+#              distance arithmetic bit-identical to the SQL CTEs.
+#   cell cap   the realized-cell-size guard from embedding_neardup_pairs:
+#              a window count over the SAME cell shuffle the self-join
+#              needs; members of cells larger than SEMDEDUP_CELL_CAP take
+#              no part in pair generation and keep = 1 (bounded work under
+#              quantizer degeneracy — one runaway cell can't go quadratic).
+#
+# Remaining super-linear term: assignment is O(n·k·d) = O(n²·d/CELL_TARGET)
+# once k tracks n — but through one BLAS GEMM per Arrow batch its constant
+# is ~10⁻¹⁰ s/flop (256 Mflop at 10×, milliseconds), and k is clamped at
+# SEMDEDUP_K_MAX: past that a two-level (hierarchical) quantizer is the
+# documented path, same as IVF practice. The n·CELL_TARGET pair fold is the
+# measured cost driver and it scales linearly.
+#
+# The oracle unrolls the SAME Lloyd rounds as chained CTEs (the
+# Q_KMEANS_SQL technique) with k computed from COUNT(*), then mirrors the
+# sized/capped pair join.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_CELL_TARGET = 100   # expected vectors per cell: k = n / this
+SEMDEDUP_K_MIN = 8
+SEMDEDUP_K_MAX = 4096        # past this, shard or go hierarchical
+SEMDEDUP_CELL_CAP = 400      # realized-cell guard (4× target)
+SEMDEDUP_ROUNDS = 2          # Lloyd rounds — matches KMEANS_ROUNDS
+SEMDEDUP_TRAIN_MOD = 5       # train on vec_id % 5 == 0 (20% mod-sample)
+
+
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_blas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # at 100 TB this count comes free from parquet footer metadata — Spark
+    # answers COUNT(*) over parquet with a metadata-only job
+    n = emb.count()
+    k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
+    train = emb.filter(F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0)
+    init = train.orderBy("vec_id").limit(k).collect()
+    cents = [[float(v) for v in r.embedding] for r in init]
+    if not cents:
+        return spark.createDataFrame([], "vec_id long, cell int, keep int")
+    assign = assign_clusters if len(cents) <= 128 else assign_clusters_blas
+    for _ in range(SEMDEDUP_ROUNDS):
+        cents = _rounded_update(assign(train, cents), cents)
+    # precompute double vec + norm once (the q_semantic_dedup trick): each
+    # O(n·CELL_TARGET) pair comparison is then pure codegen arithmetic
+    assigned = (
+        assign(emb, cents)
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
+        )
+        .withColumn(
+            "norm",
+            F.expr(
+                "sqrt(aggregate(zip_with(dvec, dvec, (x, y) -> x * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+            ),
+        )
+    )
+    return semdedup_keep(assigned)
+
+
+def semdedup_keep(
+    assigned: DataFrame,
+    *,
+    cap: int = SEMDEDUP_CELL_CAP,
+    threshold: float = SEMDEDUP_THRESHOLD,
+) -> DataFrame:
+    """(vec_id, cell, keep) from an assigned frame carrying precomputed
+    ``dvec`` (double vector) and ``norm`` columns.
+
+    Within-cell keep-lowest-id dedup with a realized-cell-size guard: the
+    cell count is a window over the SAME cell shuffle the self-join needs
+    (exchange reuse), and ``b.n_in_cell <= cap`` gates pair generation —
+    ``a.cell == b.cell`` means the guard covers both sides.  Members of
+    over-full cells fall through the LEFT join with no match and keep = 1,
+    so a degenerate quantizer cell bounds work instead of going quadratic.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cell")
+    sized = assigned.withColumn("n_in_cell", F.count(F.lit(1)).over(w))
+    a, b = sized.alias("a"), sized.alias("b")
+    pair_dot = F.expr(
+        " + ".join(f"(a.dvec[{i}] * b.dvec[{i}])" for i in range(_SEMDEDUP_DIMS))
+    )
+    cos = roundn(pair_dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    return (
+        b.join(
+            a,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("b.n_in_cell") <= F.lit(int(cap)))
+            & (cos >= F.lit(threshold)),
+            "left",
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell"))
+        .agg(
+            F.max(
+                F.when(F.col("a.vec_id").isNull(), F.lit(1)).otherwise(F.lit(0))
+            ).alias("keep")
+        )
+    )
+
+
+def _semdedup_scaled_sql() -> str:
+    """Oracle: unrolled Lloyd rounds (the Q_KMEANS_SQL CTE technique) with
+    k computed from COUNT(*), then the sized/capped pair join."""
+    dist = (
+        "list_sum(list_transform(range(1, len({v}) + 1),"
+        " i -> (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])"
+        " * (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])))"
+    )
+
+    def assign_cte(name: str, src: str, cents: str) -> str:
+        d = dist.format(v=f"{src}.embedding", c=cents)
+        return f"""{name} AS (
+  SELECT vec_id, embedding, c AS cell FROM (
+    SELECT {src}.vec_id, {src}.embedding, {cents}.c,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d} ASC, {cents}.c ASC) AS rn
+    FROM {src}, {cents}
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT p.c,
+         COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cell AS c,
+           list_transform(
+             list_sort(list(struct_pack(dim := dim, m := m))), s -> s.m) AS cvec
+    FROM (
+      SELECT cell, dim,
+             FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+      FROM (
+        SELECT cell,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM {assigned}
+      )
+      GROUP BY cell, dim
+    )
+    GROUP BY cell
+  ) u ON u.c = p.c
+)"""
+
+    ctes = [
+        f"""kk AS (
+  SELECT GREATEST({SEMDEDUP_K_MIN},
+                  LEAST({SEMDEDUP_K_MAX}, COUNT(*) // {SEMDEDUP_CELL_TARGET})) AS k
+  FROM embeddings
+)""",
+        f"""train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {SEMDEDUP_TRAIN_MOD} = 0
+)""",
+        """c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM train
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+)""",
+    ]
+    prev = "c0"
+    for r in range(SEMDEDUP_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", "train", prev))
+        ctes.append(update_cte(f"c{r + 1}", f"a{r}", prev))
+        prev = f"c{r + 1}"
+    ctes.append(assign_cte("afinal", "embeddings", prev))
+    ctes.extend(
+        [
+            """assigned AS (
+  SELECT vec_id, cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+         SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+  FROM afinal
+)""",
+            """sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cell) AS n_in_cell FROM assigned
+)""",
+        ]
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM sized a JOIN sized b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+   AND b.n_in_cell <= {SEMDEDUP_CELL_CAP}
+  WHERE FLOOR(({_sql_dot("a.dvec", "b.dvec")}
+               / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
+Q_SEMANTIC_DEDUP_SCALED_SQL = _semdedup_scaled_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "q_semantic_dedup_scaled": (
+        q_semantic_dedup_scaled,
+        Q_SEMANTIC_DEDUP_SCALED_SQL,
+    ),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_ann_ivf_multiprobe": (q_ann_ivf_multiprobe, Q_ANN_IVF_MULTIPROBE_SQL),
     "q_ivf_recall": (q_ivf_recall, Q_IVF_RECALL_SQL),

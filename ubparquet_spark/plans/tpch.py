@@ -979,8 +979,15 @@ def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         F.col("n").alias("n_rows"),
-        roundn(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
-        roundn(cov_n / var_x, 4).alias("slope_price_per_qty"),
+        # try_divide: a zero-variance group (all-equal x or y within a
+        # returnflag) must yield NULL, not raise DIVIDE_BY_ZERO under ANSI
+        # mode — DuckDB's `/` already returns NULL for 0.0 denominators, so
+        # this keeps cross-engine parity (same convention as
+        # q_events_outliers).
+        roundn(F.try_divide(cov_n, F.sqrt(var_x * var_y)), 6).alias(
+            "corr_qty_price"
+        ),
+        roundn(F.try_divide(cov_n, var_x), 4).alias("slope_price_per_qty"),
     )
 
 

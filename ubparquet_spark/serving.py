@@ -10,11 +10,12 @@ per-row ``.rdd.collect()`` pickle path (noted "SLOW ASF" at ``:188-192``)
 replaced by Arrow batch transfer, the retry-sampling loop replaced by a
 single rand-keyed top-n job, and all randomness seeded.
 
-Scale notes: epoch iteration streams partition-at-a-time to the driver via
-``toLocalIterator`` (one small job per partition, never one per item, and
-never a full-table driver materialize); decode happens driver-side per row
-batch, or can be pushed into executors via ``mapInArrow`` for distributed
-consumers. Point lookups push the
+Scale notes: epoch iteration is Arrow end-to-end — executors assemble
+columnar chunks (``mapInArrow`` + IPC, ``operators.sampling.
+iter_arrow_batches``), the driver streams one chunk per ``toLocalIterator``
+row and decodes tensors vectorized (one flatten + reshape per column, no
+per-row ``asDict``/pickle), with memory bounded partition-at-a-time and
+never a full-table driver materialize. Point lookups push the
 conjunctive key predicate into Parquet row-group pruning — write event files
 sorted by the key (``io.write_parquet(sort_within_partitions_by=...)``) to
 keep them fast.
@@ -32,6 +33,7 @@ from ubparquet_spark import codec
 from ubparquet_spark.io import read_parquet
 from ubparquet_spark.operators.sampling import (
     epoch_order,
+    iter_arrow_batches,
     partition_slice,
     sample_n,
 )
@@ -49,6 +51,45 @@ def _decode_pandas_row(row: dict, tensor_cols: list[str]) -> dict[str, np.ndarra
         else:
             out[k] = v
     return out
+
+
+def _decode_arrow_batch(batch, tensor_cols: list[str]) -> list[dict[str, np.ndarray]]:
+    """Columnar decode of one pyarrow RecordBatch into per-event dicts.
+
+    Tensor columns decode VECTORIZED: one ``flatten()`` per column gives a
+    contiguous values buffer, list lengths give the row boundaries, and
+    each event's ndarray is a reshape over a slice — no per-element Python.
+    The stored Arrow dtype is preserved (a float32 tensor stays float32;
+    the old per-row ``asDict`` path promoted everything to float64 through
+    Python floats)."""
+    n = batch.num_rows
+    events: list[dict[str, np.ndarray]] = [{} for _ in range(n)]
+    shape_cols = {codec.shape_column(t) for t in tensor_cols}
+    for idx, name in enumerate(batch.schema.names):
+        if name in shape_cols:
+            continue
+        col = batch.column(idx)
+        if name in tensor_cols:
+            shp = batch.column(batch.schema.get_field_index(codec.shape_column(name)))
+            import pyarrow.compute as pc
+
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+                zero_copy_only=False
+            )
+            offs = np.concatenate([[0], np.cumsum(lens)])
+            sflat = shp.flatten().to_numpy(zero_copy_only=False)
+            slens = pc.fill_null(pc.list_value_length(shp), 0).to_numpy(
+                zero_copy_only=False
+            )
+            soffs = np.concatenate([[0], np.cumsum(slens)])
+            for i in range(n):
+                shape = sflat[soffs[i] : soffs[i + 1]]
+                events[i][name] = flat[offs[i] : offs[i + 1]].reshape(list(shape))
+        else:
+            for i, v in enumerate(col.to_pylist()):
+                events[i][name] = v
+    return events
 
 
 class EventDataset:
@@ -117,15 +158,19 @@ class EventDataset:
             i, n = partition
             df = partition_slice(df, i, n, EVENT_KEY)
         df = epoch_order(df, epoch, seed)
-        # toLocalIterator streams one partition at a time to the driver
-        # (plus one prefetched) — unlike toArrow(), which materialized the
-        # ENTIRE epoch in driver memory before the first batch came out.
+        # Arrow all the way to the driver: iter_arrow_batches assembles
+        # columnar chunks ON EXECUTORS (mapInArrow + IPC), the driver
+        # streams one chunk per toLocalIterator row and decodes tensors
+        # vectorized — no per-row asDict/pickle anywhere on the path.
+        # Order is the epoch_order sort: the chunker is narrow and
+        # partitions arrive in order.
         batch: list[dict[str, np.ndarray]] = []
-        for row in df.toLocalIterator(prefetchPartitions=True):
-            batch.append(_decode_pandas_row(row.asDict(), self.tensor_cols))
-            if len(batch) == batch_size:
-                yield batch
-                batch = []
+        arrow_rows = max(256, batch_size * 8)
+        for ab in iter_arrow_batches(df, batch_rows=arrow_rows):
+            batch.extend(_decode_arrow_batch(ab, self.tensor_cols))
+            while len(batch) >= batch_size:
+                yield batch[:batch_size]
+                batch = batch[batch_size:]
         if batch:
             yield batch
 
