@@ -41,10 +41,12 @@ _CHECK_FIRST = [
     # -- new this round
     "q_fiducial_cut",
     "q_semantic_dedup_scaled",
+    "q17_small_qty_revenue",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",
     "q_semantic_dedup",
+    "q_exact_quantiles",
 ]
 
 

@@ -87,3 +87,18 @@ def test_sorted_partitioned_write(spark, sf_dir, tmp_path):
     assert set(r.o_orderstatus for r in back.select("o_orderstatus").distinct().collect()) == {
         "P", "O", "F"
     }
+
+
+def test_save_npz_size_guard(spark, tmp_path):
+    """save_npz must refuse an over-limit frame BEFORE materializing it."""
+    import numpy as np
+    import pytest
+
+    from ubparquet_spark.io import save_npz
+
+    df = spark.range(100)
+    with pytest.raises(ValueError, match="max_rows"):
+        save_npz(df, str(tmp_path / "x.npz"), max_rows=10)
+    # under the limit (and with the guard disabled) it writes fine
+    save_npz(df, str(tmp_path / "ok.npz"), max_rows=1000)
+    assert np.load(str(tmp_path / "ok.npz"))["id"].shape == (100,)

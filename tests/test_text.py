@@ -56,3 +56,32 @@ def test_shingle_queries_handle_short_docs(spark, tmp_path):
     assert rep[1].n_trigrams == 0 and rep[1].dup_trigram_frac == 0.0
     assert rep[5].dup_token_frac == 0.0 and rep[5].keep == 1
     assert rep[3].n_trigrams == 1 and rep[4].n_trigrams == 2
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A shingle shared by every document (a stopword run) must be excluded
+    by the document-frequency cap instead of joining quadratically — and
+    the cap must also leave per-doc sizes consistent (true Jaccard over the
+    capped universe)."""
+    from ubparquet_spark.plans.text import ngram_jaccard_pairs
+
+    hot = "of the and"  # one 3-shingle shared by ALL docs
+    rows = (
+        # 6 docs sharing only the hot shingle -> no pairs once it's capped
+        [(i, f"{hot} unique{i} word{i} tail{i}") for i in range(6)]
+        # one genuine near-dup pair sharing private shingles
+        + [(10, "alpha beta gamma delta"), (11, "alpha beta gamma epsilon")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = ngram_jaccard_pairs(docs, threshold=0.03, shingle_doc_cap=5).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in got}
+    # the hot-shingle-only docs produce NO pairs
+    assert all(a == 10 and b == 11 for (a, b) in pairs)
+    r = pairs[(10, 11)]
+    # docs 10/11: shingles {abg, bgd} vs {abg, bge} -> inter=1, union=3
+    assert r.n_inter == 1 and abs(r.jaccard - 1 / 3) < 1e-3
+    # without the cap the hot group WOULD pair quadratically
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.03, shingle_doc_cap=1000
+    ).collect()
+    assert len(uncapped) == 15 + 1  # C(6,2) hot pairs + the genuine pair

@@ -163,13 +163,28 @@ def write_parquet(
     writer.parquet(path)
 
 
-def save_npz(df: DataFrame, path: str, *, compressed: bool = True) -> None:
+def save_npz(
+    df: DataFrame, path: str, *, compressed: bool = True, max_rows: int = 10_000_000
+) -> None:
     """NPZ edge sink (S8, reference ``root2npyz.py:49``): materialize a
     (small, already-reduced) DataFrame as a dict-of-arrays ``.npz``. This is
     a driver-edge utility for handing results to numpy consumers — NOT a
-    distributed sink; use Parquet for anything large."""
+    distributed sink; use Parquet for anything large.
+
+    ``max_rows`` guards the full driver materialization an NPZ implies: a
+    cheap ``limit(max_rows + 1)`` probe raises BEFORE ``toArrow`` pulls an
+    unbounded table into driver memory (set ``max_rows=0`` to disable when
+    you know the size)."""
     import numpy as np
 
+    if max_rows:
+        probe = df.limit(max_rows + 1).count()
+        if probe > max_rows:
+            raise ValueError(
+                f"save_npz: result exceeds max_rows={max_rows} — an .npz is "
+                "a driver-memory artifact; write Parquet instead or raise "
+                "max_rows explicitly"
+            )
     table = df.toArrow()
     arrays = {name: table.column(name).to_numpy(zero_copy_only=False) for name in table.column_names}
     (np.savez_compressed if compressed else np.savez)(path, **arrays)

@@ -24,10 +24,17 @@ The offset table's own window IS partitioned per group, but over n_tasks
 rows, not n_rows. Requires a total order: ``order_cols`` must be unique
 within a group (include a row key) so ``row_number == rank``.
 
-Assumption (asserted by the oracle tests): ``monotonically_increasing_id``
-is consecutive within a partition — true of Spark's implementation
-(partition_index << 33 | row offset) even though the API contract only
-promises monotonicity.
+Assumption: ``monotonically_increasing_id`` is consecutive within a
+partition — true of Spark's implementation (partition_index << 33 | row
+offset) even though the API contract only promises monotonicity. This is
+now VERIFIED IN-PLAN on every run, not just assumed: the offset table
+carries ``max(_g) - min(_g) + 1 == count`` per (task, group) — rows of a
+group are contiguous within a sorted partition, so consecutiveness holds
+iff that identity holds for every (task, group) — and any violation
+raises through ``raise_error`` at execution time. The canary costs
+nothing measurable (it rides the existing n_tasks × n_groups aggregate)
+and turns a silent wrong-rank under a future Spark id-scheme change into
+a loud failure.
 """
 
 from __future__ import annotations
@@ -60,18 +67,37 @@ def ranked(
         .withColumn("_g", F.monotonically_increasing_id())
     )
     per_task_group = local.groupBy("_pid", *part_cols).agg(
-        F.min("_g").alias("_min_g"), F.count(F.lit(1)).alias("_cnt")
+        F.min("_g").alias("_min_g"),
+        F.max("_g").alias("_max_g"),
+        F.count(F.lit(1)).alias("_cnt"),
     )
     w_before = (
         Window.partitionBy(*part_cols)
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # consecutiveness canary: ids are consecutive within a partition iff
+    # max - min + 1 == count for every (task, group) slice (group rows are
+    # contiguous in the sorted partition). Folded into _off (0 when sound)
+    # so column pruning can never eliminate it.
+    canary = F.when(
+        F.col("_max_g") - F.col("_min_g") + 1 == F.col("_cnt"), F.lit(0)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "ranked(): monotonically_increasing_id not consecutive "
+                "within a partition — Spark id scheme changed; ranks "
+                "would be wrong"
+            )
+        ).cast("int")
+    )
     offsets = per_task_group.select(
         "_pid",
         *part_cols,
         "_min_g",
-        F.coalesce(F.sum("_cnt").over(w_before), F.lit(0)).alias("_off"),
+        (F.coalesce(F.sum("_cnt").over(w_before), F.lit(0)) + canary).alias(
+            "_off"
+        ),
         F.sum("_cnt").over(Window.partitionBy(*part_cols)).alias(n_col),
     )
     return (

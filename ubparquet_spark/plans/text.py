@@ -458,12 +458,30 @@ Q_DOC_DEDUP_DECISIONS_SQL = _dedup_decisions_sql()
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs via inverted-index join (no cross join):
-# explode distinct shingles → equi-join on shingle → pair intersection counts
-# → Jaccard = inter / (na + nb - inter).
+# explode distinct shingles → hot-shingle cap → equi-join on shingle → pair
+# intersection counts → Jaccard = inter / (na + nb - inter).
+#
+# The cap is the same window-over-the-join's-own-shuffle guard as
+# embedding_neardup_pairs / the minhash candidate cap: a shingle present in
+# more than NGRAM_SHINGLE_DOC_CAP documents (a stopword run — "of the and")
+# would contribute O(docs²) join rows while carrying no near-dup signal, so
+# it is excluded from BOTH the intersection counts and the per-doc sizes —
+# Jaccard stays a true Jaccard over the capped shingle universe, and one
+# hot shingle can no longer blow the inverted-index join quadratic.
 # ---------------------------------------------------------------------------
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+NGRAM_SHINGLE_DOC_CAP = 50
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float = 0.03,
+    shingle_doc_cap: int = NGRAM_SHINGLE_DOC_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, n_inter, jaccard) for pairs over ``threshold``."""
+    from pyspark.sql import Window
+
     shingles = docs.select(
         "doc_id",
         F.explode(
@@ -477,6 +495,15 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
+    )
+    # shingles are distinct per doc, so the per-shingle row count IS the
+    # document frequency; the window rides the shingle shuffle the
+    # self-join needs anyway (exchange reuse, no extra groupBy branch)
+    w = Window.partitionBy("shingle")
+    shingles = (
+        shingles.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= F.lit(int(shingle_doc_cap)))
+        .drop("_df")
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
@@ -496,17 +523,27 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_inter", jac.alias("jaccard"))
-        .filter(F.col("jaccard") > 0.03)
+        .filter(F.col("jaccard") > F.lit(threshold))
     )
 
 
-Q_NGRAM_JACCARD_SQL = """
-WITH sh AS (
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return ngram_jaccard_pairs(docs)
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH sh0 AS (
   SELECT doc_id, UNNEST(list_distinct(
            list_transform(range(1, len(string_split(text, ' ')) - 1),
              i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))
          )) AS shingle
   FROM documents WHERE doc_id < 150
+), ok AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING COUNT(*) <= {NGRAM_SHINGLE_DOC_CAP}
+), sh AS (
+  SELECT sh0.* FROM sh0 JOIN ok USING (shingle)
 ), sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (

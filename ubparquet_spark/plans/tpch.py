@@ -1337,20 +1337,31 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one fused scan for both value columns (price + discount) — the
-    # two-pass-plus-join form read lineitem twice for the same answer
-    from ubparquet_spark.operators.quantiles import exact_quantiles_multi
+    # Two per-column distribution passes + a 3-row join — measured FASTER
+    # than the round-2 fused explode form (A/B with fresh plan objects at
+    # sf0.1: two-pass 1.9 s vs fused 2.4 s best-of-4; the round-2 "fusion
+    # 2.1× win" was a shuffle-reuse measurement artifact — re-counting the
+    # same DataFrame object skips its shuffle stages). In a column store
+    # "one scan" buys little: each pass prunes to exactly the columns it
+    # needs, so two passes read the same bytes the fused scan read, while
+    # the fused form pays explode row-doubling plus a string grouping key
+    # through its shuffle. `exact_quantiles_multi` remains the right
+    # operator when MANY value columns amortize one pass (N passes vs 1).
+    from ubparquet_spark.operators.quantiles import exact_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    q = exact_quantiles_multi(
+    price = exact_quantiles(
         li,
         ["l_returnflag"],
-        {
-            "l_extendedprice": {"median_price": 0.5, "p90_price": 0.9},
-            "l_discount": {"q1_discount": 0.25},
-        },
+        "l_extendedprice",
+        {"median_price": 0.5, "p90_price": 0.9},
     )
-    return q.select(
+    disc = exact_quantiles(
+        li, ["l_returnflag"], "l_discount", {"q1_discount": 0.25}
+    )
+    return price.join(
+        disc.select("l_returnflag", "q1_discount"), ["l_returnflag"]
+    ).select(
         "l_returnflag",
         roundn(F.col("median_price")).alias("median_price"),
         roundn(F.col("p90_price")).alias("p90_price"),
@@ -1989,7 +2000,73 @@ ORDER BY s_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue — the correlated-aggregate shape
+# (brand filter adapted to the synthetic part schema, which has no
+# p_container; p_size <= 10 stands in for the container predicate).
+#
+# Spark-first decorrelation: the classic `l_quantity < (SELECT 0.2*avg(..)
+# WHERE l2.l_partkey = p_partkey)` subquery becomes ONE groupBy over the
+# already-part-filtered lineitems (semantically identical — the subquery is
+# per partkey, and only filtered parts reach the comparison) joined back by
+# partkey. Both joins broadcast: the filtered part list and the per-part
+# threshold table are each a few hundred rows at any scale factor where the
+# brand predicate is selective — the lineitem table is scanned ONCE and
+# never shuffled on a corpus-sized key.
+#
+# Numerics: l_quantity is integral (asserted in the synthetic data), so
+# avg = exact_integer_sum / count is one correctly-rounded double in both
+# engines; revenue uses the exact cents() trick.
+# ---------------------------------------------------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    branded = li.join(
+        F.broadcast(parts), li.l_partkey == parts.p_partkey
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = branded.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_limit")
+    )
+    small = branded.join(
+        F.broadcast(thresholds),
+        (F.col("l_partkey") == F.col("t_partkey"))
+        & (F.col("l_quantity") < F.col("qty_limit")),
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        roundn(sum_money("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+    )
+
+
+Q17_SQL = """
+WITH branded AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23' AND p_size <= 10
+), t AS (
+  SELECT l_partkey AS t_partkey,
+         0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS qty_limit
+  FROM branded GROUP BY 1
+)
+SELECT COUNT(*) AS n_small,
+       FLOOR((CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0) * 100 + 0.5) / 100 AS avg_yearly
+FROM branded JOIN t ON l_partkey = t_partkey AND l_quantity < qty_limit
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q21_waiting_suppliers": (q21_waiting_suppliers, Q21_SQL),
