@@ -38,8 +38,13 @@ SHUFFLE_BUDGETS = {
     "q_ann_lsh": 1,
     "q3_shipping_priority": 3,
     "q_contamination": 3,
-    # distribution-based exact quantiles: dist groupBy + window + final
-    "q_exact_quantiles": 3,
+    # distribution-based exact quantiles: reverted to the two-pass plan
+    # (value-distribution groupBy per pass) after an A/B with fresh plan
+    # objects showed the fused-explode form slower at sf0.1 (2.42s vs
+    # 1.91s, BENCHNOTES round 3); the extra Exchange is the documented
+    # price of the faster plan — both passes shuffle only the distinct
+    # (key, value) distribution, not the raw rows.
+    "q_exact_quantiles": 4,
     # multi-stage pipelines (documented in BENCHNOTES): still bounded
     "q_semantic_dedup": 10,
     "q_vocab_coverage": 6,
