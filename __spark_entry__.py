@@ -42,6 +42,10 @@ _CHECK_FIRST = [
     "q_fiducial_cut",
     "q_semantic_dedup_scaled",
     "q17_small_qty_revenue",
+    "q_paragraph_dedup",
+    "q_boilerplate_shingles",
+    "q_reservoir_per_group",
+    "q_jl_projection",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

@@ -32,6 +32,14 @@ SHUFFLE_BUDGETS = {
     # pure per-row maps: zero shuffles, the whole point of the shape
     "q_gopher_rules": 0,
     "q_simhash": 0,
+    "q_jl_projection": 0,
+    # rank-over-group plans: WindowGroupLimit pushes the top-k map-side
+    # (asserted in test_plans_physical), so the single exchange carries at
+    # most k rows per (group, mapper)
+    "q_reservoir_per_group": 1,
+    "q_boilerplate_shingles": 2,
+    # segment shuffle (keep decision rides the same exchange) + doc rollup
+    "q_paragraph_dedup": 2,
     # broadcast-join plans: dims broadcast, ONE fact shuffle at most
     "q_point_lookup": 1,
     "q_knn_bruteforce": 1,

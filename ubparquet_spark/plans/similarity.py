@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
-from ubparquet_spark.plans.tpch import roundn
+from ubparquet_spark.plans.tpch import roundn, sql_roundn
 
 QUERY_VEC_ID = 0
 LSH_SIGN_BITS = 8
@@ -1462,8 +1462,72 @@ FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
 Q_SEMANTIC_DEDUP_SCALED_SQL = _semdedup_scaled_sql()
 
 
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection 64-d -> 8-d (Achlioptas 2001
+# database-friendly ±1 form): the standard dimensionality-reduction
+# preprocessing for ANN / clustering at scale — distances are preserved to
+# (1±ε) while the per-vector footprint drops 8×, which at 100 TB is the
+# difference between an index that fits the page cache and one that doesn't.
+#
+# The projection matrix is data-independent and deterministic: sign(i, j)
+# is derived from md5 of the (i, j) pair at module import and baked into
+# the plan as literals, so Spark and DuckDB evaluate the identical matrix
+# with no RNG state and no broadcast (64×8 int literals travel inside the
+# plan). Per-element products are cast to double; summation order differs
+# between Spark's left-fold and DuckDB's list_sum, so outputs round to 6
+# decimals like every other vector query here.
+#
+# Scale shape: a pure per-row map — ZERO shuffles, full whole-stage
+# codegen, pipelined with the scan. The scan reads only (vec_id, embedding).
+# ---------------------------------------------------------------------------
+
+JL_OUT_DIMS = 8
+JL_IN_DIMS = 64
+
+
+def _jl_sign(i: int, j: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"jl-{i}-{j}".encode()).hexdigest()
+    return 1 if int(h[:2], 16) % 2 == 0 else -1
+
+
+_JL_SIGNS = [
+    [_jl_sign(i, j) for i in range(JL_IN_DIMS)] for j in range(JL_OUT_DIMS)
+]
+
+
+def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(JL_OUT_DIMS):
+        signs = ", ".join(f"CAST({s} AS DOUBLE)" for s in _JL_SIGNS[j])
+        proj = F.expr(
+            f"aggregate(zip_with(embedding, array({signs}),"
+            " (x, s) -> CAST(x AS DOUBLE) * s),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        cols.append(roundn(proj, 6).alias(f"p{j}"))
+    return emb.select(*cols)
+
+
+def _jl_sql_proj(j: int) -> str:
+    signs = ", ".join(f"CAST({s} AS DOUBLE)" for s in _JL_SIGNS[j])
+    return sql_roundn(
+        f"list_sum(list_transform(range(1, {JL_IN_DIMS} + 1),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))",
+        6,
+    )
+
+
+Q_JL_PROJECTION_SQL = "SELECT vec_id, " + ", ".join(
+    f"{_jl_sql_proj(j)} AS p{j}" for j in range(JL_OUT_DIMS)
+) + " FROM embeddings"
+
+
 QUERIES: dict[str, tuple] = {
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_semantic_dedup_scaled": (
         q_semantic_dedup_scaled,
         Q_SEMANTIC_DEDUP_SCALED_SQL,

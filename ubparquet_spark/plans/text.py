@@ -1371,6 +1371,203 @@ GROUP BY t_pct
 """
 
 
+# ---------------------------------------------------------------------------
+# Paragraph-granularity dedup (the FineWeb / RefinedWeb "remove duplicated
+# paragraphs, keep the document" pass). The corpus has no newline structure,
+# so a "paragraph" is a fixed non-overlapping window of SEGMENT_TOKENS
+# tokens (remainder window included) — the same fixed-chunk granularity the
+# chunking operator (plans/packing.py) uses. A segment instance survives iff
+# it is the corpus-global first occurrence of its content hash (min doc_id,
+# then min segment index); per doc we report how much text survives.
+#
+# Scale shape: segments shuffle ONCE keyed by a 16-hex md5 prefix (8-byte
+# key + doc_id + seg_idx + token count — never segment text). The keep
+# decision is a row_number over that same shuffle's partitioning, and the
+# per-doc rollup is a second partial-aggregatable exchange. Hash-key
+# cardinality ~ corpus segments, so partitions stay balanced at 100 TB; a
+# pathological mega-duplicate segment concentrates its copies in one
+# partition, bounded by its copy count (the same exposure as any dedup
+# groupBy, and the reason the keep rule is a streaming-friendly first-
+# occurrence rather than an all-pairs compare).
+# ---------------------------------------------------------------------------
+
+SEGMENT_TOKENS = 16
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = SEGMENT_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # one struct per segment: ceil(n/s) windows, the last one a remainder.
+    # n >= 1 always (the schema forbids empty text), so the sequence bound
+    # floor((n-1)/s) is >= 0 and never triggers the negative-step hazard.
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {s}) AS INT)),"
+                f" i -> struct(i AS seg_idx,"
+                f"  substring(md5(array_join(slice(toks, i * {s} + 1, {s}), ' ')), 1, 16) AS seg_key,"
+                f"  size(slice(toks, i * {s} + 1, {s})) AS seg_tokens))"
+            )
+        ).alias("seg"),
+    ).select("doc_id", "seg.seg_idx", "seg.seg_key", "seg.seg_tokens")
+    w = Window.partitionBy("seg_key").orderBy(
+        F.col("doc_id").asc(), F.col("seg_idx").asc()
+    )
+    kept = segs.withColumn("occ", F.row_number().over(w))
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum((F.col("occ") > 1).cast("bigint")).alias("n_dropped"),
+        F.sum(
+            F.when(F.col("occ") == 1, F.col("seg_tokens")).otherwise(0).cast("bigint")
+        ).alias("tokens_kept"),
+    )
+
+
+Q_PARAGRAPH_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id,
+         i AS seg_idx,
+         substring(md5(array_to_string(list_slice(t, i * {SEGMENT_TOKENS} + 1,
+                   i * {SEGMENT_TOKENS} + {SEGMENT_TOKENS}), ' ')), 1, 16) AS seg_key,
+         len(list_slice(t, i * {SEGMENT_TOKENS} + 1,
+             i * {SEGMENT_TOKENS} + {SEGMENT_TOKENS})) AS seg_tokens
+  FROM toks, UNNEST(range(0, CAST(floor((len(t) - 1) / {SEGMENT_TOKENS}) AS BIGINT) + 1)) AS u(i)
+), occ AS (
+  SELECT doc_id, seg_tokens,
+         ROW_NUMBER() OVER (PARTITION BY seg_key ORDER BY doc_id, seg_idx) AS occ
+  FROM segs
+)
+SELECT doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN occ = 1 THEN seg_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM occ
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source boilerplate shingles (the CCNet / RefinedWeb "strip lines that
+# repeat across a domain's pages" signal, at 3-token-shingle granularity
+# since this corpus has no line structure): for each source, the 5 shingles
+# that occur in the most documents of that source. df is per-document
+# presence (array_distinct before the count), not raw occurrences, so a
+# shingle repeated within one page doesn't masquerade as boilerplate.
+#
+# Scale shape: distinct shingles per doc are computed map-side, the
+# (source, shingle) df count is one partial-aggregatable shuffle, and the
+# per-source top-5 is a rank over partitionBy(source) — Spark's
+# WindowGroupLimit pushes the rank<=5 limit map-side, so the final exchange
+# carries at most 5 rows per (source, input-partition), never the full
+# shingle inventory. Sources are the natural partition key of a web corpus;
+# the df groupBy key includes the shingle so a giant source still spreads.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_TOP = 5
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingles = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "array_distinct(if(size(split(text, ' ')) >= 3,"
+                " transform(sequence(1, size(split(text, ' ')) - 2),"
+                " i -> array_join(slice(split(text, ' '), i, 3), ' ')),"
+                " array()))"
+            )
+        ).alias("shingle"),
+    )
+    df_counts = shingles.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("df").desc(), F.col("shingle").asc()
+    )
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BOILERPLATE_TOP)
+        .select("source", "shingle", "df", "rank")
+    )
+
+
+Q_BOILERPLATE_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ') AS shingle
+  FROM documents,
+       UNNEST(range(1, GREATEST(len(string_split(text, ' ')) - 1, 1))) AS u(i)
+), dfc AS (
+  SELECT source, shingle, COUNT(*) AS df
+  FROM sh
+  GROUP BY source, shingle
+)
+SELECT source, shingle, df, rank
+FROM (
+  SELECT source, shingle, df,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY df DESC, shingle) AS rank
+  FROM dfc
+)
+WHERE rank <= {BOILERPLATE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Seeded per-group reservoir sample: exactly k documents per language,
+# chosen by ranking on a salted md5 of the doc id — the distributed
+# equivalent of a per-stratum reservoir (every doc equally likely under the
+# hash, selection reproducible across engines and runs, no RNG state). The
+# holdout-split counterpart of q_stratified_sample's Bernoulli fractions:
+# this form guarantees EXACT group sizes, which eval-set carving needs.
+#
+# Scale shape: rank() <= k over partitionBy(lang) is rewritten by Spark's
+# WindowGroupLimit to a per-mapper partial top-k before the exchange, so
+# the shuffle carries k rows per (group, input-partition) — not the corpus.
+# With few giant strata that is the optimal achievable shape short of a
+# sketch; the ordering hash is uniform so no sort skew within a stratum.
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 3
+_RESERVOIR_SALT = "r3-holdout"
+
+
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_RESERVOIR_SALT)))
+    w = Window.partitionBy("lang").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("lang", "doc_id", pri.alias("draw"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= RESERVOIR_K)
+    )
+
+
+Q_RESERVOIR_SQL = f"""
+SELECT lang, doc_id, draw, pick
+FROM (
+  SELECT lang, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || '{_RESERVOIR_SALT}') AS draw,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_RESERVOIR_SALT}'),
+                                     doc_id) AS pick
+  FROM documents
+)
+WHERE pick <= {RESERVOIR_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -1394,4 +1591,7 @@ QUERIES: dict[str, tuple] = {
     "q_doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
+    "q_paragraph_dedup": (q_paragraph_dedup, Q_PARAGRAPH_DEDUP_SQL),
+    "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
+    "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
