@@ -79,3 +79,22 @@ def test_verification_kills_lsh_false_positives(spark):
     near = spark.createDataFrame([(0, 2)], "src long, dst long")
     v = verify_pairs_jaccard(near, docs, threshold=0.5).collect()
     assert len(v) == 1 and v[0].jaccard > 0.8
+
+
+def test_candidate_join_reuses_signature_exchange(spark, sf_dir):
+    """The LSH self-join must compute the signature subplan ONCE: the
+    shuffle_hash hint keeps both sides as identical shuffle exchanges so
+    AQE substitutes a reuse for the second — without it, AQE broadcasts
+    one side and the MinHash pipeline executes twice (round-3 fix)."""
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.plans.text import minhash_band_keys
+    from ubparquet_spark.functions.minhash_dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = lsh_candidate_pairs(minhash_band_keys(docs))
+    df.collect()  # AQE finalizes the plan only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, (
+        "signature exchange not reused — the candidate self-join is "
+        "recomputing the MinHash subplan per side"
+    )

@@ -28,20 +28,25 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iterations: int = 20,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Return (node, component) where component = min node id reachable.
 
     ``edges`` is an undirected pair list; isolated nodes absent from it are
-    their own components by definition (callers union them in)."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        # materialize ONCE: sym is joined every round — without this, the
-        # whole upstream candidate-pair pipeline (e.g. MinHash banding +
-        # Jaccard verification) re-executes per iteration
-        .localCheckpoint(eager=True)
+    their own components by definition (callers union them in).
+    ``assume_distinct=True`` skips the symmetrization dedup shuffle — safe
+    whenever the caller guarantees distinct pairs with ``src < dst`` (the
+    LSH candidate pipeline does), since then the two union branches cannot
+    collide."""
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not assume_distinct:
+        sym = sym.distinct()
+    # materialize ONCE: sym is joined every round — without this, the
+    # whole upstream candidate-pair pipeline (e.g. MinHash banding +
+    # Jaccard verification) re-executes per iteration
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -53,6 +58,11 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # the convergence signal rides the SAME frame as the new labels
+        # (a `_changed` flag computed in the join projection), so each
+        # round is exactly two jobs: the checkpoint materialization and a
+        # scan-only count over the materialized result — not a third
+        # labels-vs-labels join per round
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -60,19 +70,16 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component")
+                 ).alias("_changed"),
             )
         )
         # checkpoint FIRST, then count changes from the materialized frame
         # — counting from `updated` directly would execute its join+agg
         # lineage once for the count and again for the checkpoint
         new_labels = updated.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
@@ -84,11 +91,13 @@ def dedup_groups(
     id_col: str,
     src: str = "src",
     dst: str = "dst",
+    *,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Full dedup decision table: every id mapped to its canonical
     representative (min id of its component; singletons map to themselves)
     plus an ``is_canonical`` flag — the keep/drop list of a dedup job."""
-    comps = connected_components(edges, src, dst)
+    comps = connected_components(edges, src, dst, assume_distinct=assume_distinct)
     out = (
         all_ids.select(F.col(id_col).alias("node"))
         .join(comps, "node", "left")

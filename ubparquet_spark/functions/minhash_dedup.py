@@ -51,8 +51,16 @@ def lsh_candidate_pairs(
     )
     a, b = ok.alias("a"), ok.alias("b")
     return (
+        # shuffle_hash hint: without it AQE broadcasts one side (legal at
+        # test scale, wrong at 100 TB — the band-key table grows with the
+        # corpus), and the BroadcastExchange wrapper defeats ReusedExchange,
+        # so the expensive signature subplan executes TWICE. With both
+        # sides shuffling on (band_id, band_key) the canonical subplans are
+        # identical and AQE's exchange reuse computes signatures once
+        # (visible in the post-execution adaptive plan; measured 4.0 s →
+        # 1.4 s at sf0.1, BENCHNOTES round 3).
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -81,20 +89,53 @@ def verify_pairs_jaccard(
     pairs: DataFrame, docs: DataFrame, *, threshold: float
 ) -> DataFrame:
     """Keep only candidate pairs whose EXACT 3-shingle Jaccard ≥ threshold
-    — removes LSH false positives. Joins text back for candidate ids only."""
-    sh = _shingle_sets(docs)
-    a = sh.select(F.col("doc_id").alias("src"), F.col("shingles").alias("_sa"))
-    b = sh.select(F.col("doc_id").alias("dst"), F.col("shingles").alias("_sb"))
+    — removes LSH false positives.
+
+    The pair list is melted to (doc_id, pair) rows and joined against the
+    tokenized shingle-set table ONCE — a naive per-side join would run the
+    tokenization subplan twice and, at scale, shuffle the (huge) shingle
+    corpus twice. Tokenization itself runs only for documents that appear
+    in some candidate pair (semi-join pre-filter): at real dedup rates
+    that is a small fraction of the corpus, so the expensive shingle-set
+    construction is proportional to candidates, not corpus size.
+
+    ``pairs`` is referenced three times here (two melt branches + the
+    semi-join filter) — it is materialized once via ``localCheckpoint``
+    so the candidate-generation subplan (LSH banding) does not re-execute
+    per reference. The candidate table is O(duplicate pairs): the same
+    magnitude the connected-components step already checkpoints."""
+    pairs = pairs.select("src", "dst").localCheckpoint(eager=True)
+    ids = pairs.select(F.col("src").alias("doc_id")).unionByName(
+        pairs.select(F.col("dst").alias("doc_id"))
+    )
+    sh = _shingle_sets(docs.join(ids, docs.doc_id == ids.doc_id, "leftsemi"))
+    pair = F.struct(F.col("src"), F.col("dst")).alias("pair")
+    melted = pairs.select(F.col("src").alias("doc_id"), pair).unionByName(
+        pairs.select(F.col("dst").alias("doc_id"), pair)
+    )
+    joined = melted.join(sh, "doc_id").select(
+        "pair",
+        F.when(F.col("doc_id") == F.col("pair.src"), F.col("shingles")).alias("_sa"),
+        F.when(F.col("doc_id") == F.col("pair.dst"), F.col("shingles")).alias("_sb"),
+    )
+    # exactly one non-null per (pair, side): any_value(ignoreNulls) gathers
+    # the two arrays deterministically
+    per_pair = joined.groupBy("pair").agg(
+        F.any_value("_sa", True).alias("_sa"),
+        F.any_value("_sb", True).alias("_sb"),
+    )
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     union = F.size(F.array_union("_sa", "_sb")).cast("double")
     return (
-        pairs.join(a, "src")
-        .join(b, "dst")
-        .withColumn(
+        per_pair.withColumn(
             "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst", "jaccard")
+        .select(
+            F.col("pair.src").alias("src"),
+            F.col("pair.dst").alias("dst"),
+            "jaccard",
+        )
     )
 
 
@@ -113,4 +154,8 @@ def minhash_dedup(
     cands = lsh_candidate_pairs(minhash_band_keys(docs), bucket_cap=bucket_cap)
     if jaccard_threshold is not None:
         cands = verify_pairs_jaccard(cands, docs, threshold=jaccard_threshold)
-    return dedup_groups(cands.select("src", "dst"), docs, "doc_id")
+    # candidate pairs are distinct with src < dst by construction, so the
+    # CC symmetrization needs no dedup shuffle
+    return dedup_groups(
+        cands.select("src", "dst"), docs, "doc_id", assume_distinct=True
+    )
