@@ -46,6 +46,7 @@ _CHECK_FIRST = [
     "q_boilerplate_shingles",
     "q_reservoir_per_group",
     "q_jl_projection",
+    "q_incremental_dedup",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

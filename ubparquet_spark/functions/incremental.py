@@ -1,0 +1,101 @@
+"""Incremental (batch-vs-corpus) deduplication — the production crawl-ingest
+flow: a NEW batch of documents is deduplicated against an EXISTING corpus
+without re-deduplicating the corpus itself.
+
+Decision semantics per incoming document:
+
+  exact_dup  — its full text hash already exists in the corpus;
+  near_dup   — some corpus document shares an LSH band bucket AND the
+               exact 3-shingle Jaccard clears the threshold;
+  new        — neither.
+
+This composes the same pieces as the full-corpus pipeline
+(``functions.minhash_dedup``): band keys from ``plans.text.
+minhash_band_keys``, candidate generation as a band-bucket equi-join, and
+``verify_pairs_jaccard`` for the exact check — but the join is incoming ×
+corpus rather than a self-join, so the work per ingest is
+
+  O(batch tokens) + O(band-bucket matches) + O(verified candidates)
+
+— independent of corpus size except through the (pre-computable, cacheable)
+corpus band-key table. At 100 TB the corpus band keys live as a bucketed
+table keyed on (band_id, band_key); each nightly batch shuffles only its
+own keys to join it.
+
+The bucket cap applies to CORPUS-side buckets: a band bucket shared by more
+than ``bucket_cap`` corpus documents is boilerplate, carries no dedup
+signal, and would multiply every matching incoming doc by the bucket size —
+capped buckets are skipped, erring toward keeping the incoming doc (same
+policy as ``lsh_candidate_pairs``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ubparquet_spark.functions.minhash_dedup import verify_pairs_jaccard
+from ubparquet_spark.plans.text import minhash_band_keys
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    *,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int = 10_000,
+) -> DataFrame:
+    """Decision table for ``incoming`` (needs ``doc_id``, ``text``; ids
+    disjoint from ``corpus``): (doc_id, verdict, n_matches, best_match)
+    where ``n_matches`` counts Jaccard-verified corpus near-matches and
+    ``best_match`` is the lowest matching corpus doc id (NULL for new)."""
+    in_bands = minhash_band_keys(incoming)
+    w = Window.partitionBy("band_id", "band_key")
+    corp_bands = (
+        minhash_band_keys(corpus)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= bucket_cap)
+        .drop("_n")
+    )
+    a, b = in_bands.alias("a"), corp_bands.alias("b")
+    cand = (
+        a.join(
+            # shuffle_hash: at scale neither the batch nor the corpus band
+            # table is broadcastable, and the equi-join keys are the bucket
+            # ids — the partition-balanced join this pipeline is shaped for
+            b.hint("shuffle_hash"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    both = incoming.unionByName(corpus)
+    ver = verify_pairs_jaccard(cand, both, threshold=jaccard_threshold)
+    near = ver.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("dst").alias("best_match"),
+    )
+    exact = (
+        incoming.select("doc_id", F.md5("text").alias("_h"))
+        .join(
+            corpus.select(F.md5("text").alias("_h")).distinct(),
+            "_h",
+            "leftsemi",
+        )
+        .select("doc_id", F.lit(True).alias("_exact"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(near, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_exact"), F.lit("exact_dup"))
+            .when(F.col("n_matches") > 0, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("n_matches", F.lit(0).cast("bigint")).alias("n_matches"),
+            F.col("best_match"),
+        )
+    )

@@ -1568,6 +1568,87 @@ WHERE pick <= {RESERVOIR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup: the nightly-crawl ingest decision.
+# The mod-10 split stands in for "existing corpus" vs "incoming batch";
+# semantics and scale notes in functions/incremental.py. The oracle reuses
+# the shared band-key CTE prefix and expresses the same three-way verdict.
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT_MOD = 10
+INCR_SPLIT_REM = 7
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.functions.incremental import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD == INCR_SPLIT_REM)
+    corpus = docs.filter(F.col("doc_id") % INCR_SPLIT_MOD != INCR_SPLIT_REM)
+    return incremental_dedup(
+        incoming,
+        corpus,
+        jaccard_threshold=DEDUP_JACCARD_THRESHOLD,
+        bucket_cap=DEDUP_BUCKET_CAP,
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    shingle = (
+        "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),"
+        " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+    )
+    inc = f"doc_id % {INCR_SPLIT_MOD} = {INCR_SPLIT_REM}"
+    return f"""
+WITH {_minhash_band_ctes()}, inb AS (
+  SELECT * FROM bands WHERE {inc}
+), corpb AS (
+  SELECT * FROM bands WHERE NOT ({inc})
+), ok AS (
+  SELECT band_id, band_key FROM corpb GROUP BY 1, 2
+  HAVING COUNT(*) <= {DEDUP_BUCKET_CAP}
+), cand AS (
+  SELECT DISTINCT inb.doc_id AS src, c.doc_id AS dst
+  FROM inb
+  JOIN (SELECT corpb.* FROM corpb JOIN ok USING (band_id, band_key)) c
+    ON inb.band_id = c.band_id AND inb.band_key = c.band_key
+), sh AS (
+  SELECT doc_id, {shingle} AS shingles FROM documents
+), ver AS (
+  SELECT src, dst
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.src
+  JOIN sh sb ON sb.doc_id = cand.dst
+  WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / NULLIF(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 0)
+        >= {DEDUP_JACCARD_THRESHOLD}
+), near AS (
+  SELECT src AS doc_id, COUNT(*) AS n_matches, MIN(dst) AS best_match
+  FROM ver GROUP BY src
+), ex AS (
+  SELECT DISTINCT a.doc_id
+  FROM documents a
+  WHERE {inc.replace('doc_id', 'a.doc_id')} AND EXISTS (
+    SELECT 1 FROM documents b
+    WHERE NOT (b.doc_id % {INCR_SPLIT_MOD} = {INCR_SPLIT_REM})
+      AND md5(b.text) = md5(a.text))
+)
+SELECT d.doc_id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN near.n_matches > 0 THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       COALESCE(near.n_matches, 0) AS n_matches,
+       near.best_match
+FROM documents d
+LEFT JOIN near ON near.doc_id = d.doc_id
+LEFT JOIN ex ON ex.doc_id = d.doc_id
+WHERE {inc.replace('doc_id', 'd.doc_id')}
+"""
+
+
+Q_INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -1592,6 +1673,7 @@ QUERIES: dict[str, tuple] = {
     "q_contamination": (q_contamination, Q_CONTAMINATION_SQL),
     "q_domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
     "q_paragraph_dedup": (q_paragraph_dedup, Q_PARAGRAPH_DEDUP_SQL),
+    "q_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
