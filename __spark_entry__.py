@@ -47,6 +47,8 @@ _CHECK_FIRST = [
     "q_reservoir_per_group",
     "q_jl_projection",
     "q_incremental_dedup",
+    "q_bpe_merges",
+    "q_bpe_vocab",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

@@ -85,3 +85,21 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
         docs, threshold=0.03, shingle_doc_cap=1000
     ).collect()
     assert len(uncapped) == 15 + 1  # C(6,2) hot pairs + the genuine pair
+
+
+def test_bpe_fold_is_left_to_right_non_overlapping(spark):
+    """'aaa' + merge (a,a) must yield ['aa','a'] — the just-merged tail
+    cannot re-merge; and merged symbols chain correctly across rounds."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.plans.text import _bpe_fold_expr
+
+    df = spark.createDataFrame(
+        [("a~a~a",), ("a~a~a~a",), ("b~a~a~b",), ("a~b",)], "syms string"
+    )
+    got = [r[0] for r in df.select(F.expr(_bpe_fold_expr("syms", "a", "a"))).collect()]
+    assert got == ["aa~a", "aa~aa", "b~aa~b", "a~b"]
+    # second round on the merged output: (aa, a) merges the leftover
+    df2 = spark.createDataFrame([("aa~a",), ("aa~aa",)], "syms string")
+    got2 = [r[0] for r in df2.select(F.expr(_bpe_fold_expr("syms", "aa", "a"))).collect()]
+    assert got2 == ["aaa", "aa~aa"]

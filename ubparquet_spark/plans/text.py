@@ -1649,6 +1649,196 @@ WHERE {inc.replace('doc_id', 'd.doc_id')}
 Q_INCREMENTAL_DEDUP_SQL = _incremental_dedup_sql()
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (Sennrich 2016, the tokenizer-induction step of every
+# LLM data pipeline): R rounds of
+#
+#   count adjacent symbol pairs across the word-frequency table
+#   -> merge the most frequent pair -> recount.
+#
+# Exactly how production BPE trainers work: train on the DISTINCT-word
+# frequency table (vocab ≪ corpus — the corpus is touched once, for the
+# wordcount shuffle), not on raw text. Pair occurrences are counted at
+# every adjacent position (overlapping, the standard convention); merges
+# apply left-to-right non-overlapping via a delimited-string fold whose
+# tail-check makes re-merging impossible ("aaa" + (a,a) -> "aa","a").
+#
+# Scale shape: ONE corpus shuffle (the wordcount), then the word table is
+# checkpointed (vocab-size artifact) and each round is a narrow fold + a
+# pair-count aggregation over the vocab with a 1-row collect — the merge
+# decision, a bounded training artifact exactly like the k-means centroid
+# collects. The oracle unrolls the same rounds as CTEs.
+# ---------------------------------------------------------------------------
+
+BPE_MERGE_ROUNDS = 3
+BPE_VOCAB_TOP = 30
+_BPE_SEP = "~"  # never appears in corpus tokens; regex-inert for split()
+
+
+def _bpe_fold_expr(syms_col: str, lhs: str, rhs: str) -> str:
+    """Left-to-right non-overlapping merge of (lhs, rhs) over a
+    ``_BPE_SEP``-delimited symbol string, as a Spark ``aggregate`` fold:
+    merging appends WITHOUT the delimiter. The tail check compares the
+    accumulator's last symbol to ``lhs`` — a just-merged tail is
+    ``lhs||rhs``, which can never equal ``lhs``, so merges can't chain."""
+    l = lhs.replace("'", "''")
+    r = rhs.replace("'", "''")
+    s = _BPE_SEP
+    return (
+        f"aggregate(slice(split({syms_col}, '{s}'), 2, 1000000),"
+        f" split({syms_col}, '{s}')[0],"
+        f" (acc, x) -> if((acc = '{l}' OR right(acc, {1 + len(lhs)}) = '{s}{l}')"
+        f" AND x = '{r}', concat(acc, x), concat(acc, '{s}', x)))"
+    )
+
+
+def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr(
+                "array_join(transform(sequence(1, length(tok)),"
+                f" i -> substring(tok, i, 1)), '{_BPE_SEP}')"
+            ),
+        )
+        # vocab-size artifact; every round folds + recounts over it — at
+        # 100 TB this is the one corpus pass followed by vocab-local rounds
+        .localCheckpoint(eager=True)
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge rounds; returns (merge rows, final word table)."""
+    words = _bpe_word_table(spark, sf_dir)
+    merges = []
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        pair_l = F.expr(f"split(syms, '{_BPE_SEP}')[i]").alias("lhs")
+        pair_r = F.expr(f"split(syms, '{_BPE_SEP}')[i + 1]").alias("rhs")
+        pairs = (
+            words.select(
+                "cnt",
+                "syms",
+                # guard BEFORE the explode: sequence(0, n<=(-1)) infers step
+                # -1 and yields [0, -1] for single-symbol words
+                F.explode(
+                    F.expr(
+                        f"if(size(split(syms, '{_BPE_SEP}')) >= 2,"
+                        f" sequence(0, size(split(syms, '{_BPE_SEP}')) - 2),"
+                        " array())"
+                    )
+                ).alias("i"),
+            )
+            .select("cnt", pair_l, pair_r)
+            .groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("pair_count"))
+        )
+        top = pairs.orderBy(
+            F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        t = top[0]
+        merges.append((rnd, t["lhs"], t["rhs"], int(t["pair_count"])))
+        words = words.withColumn(
+            "syms", F.expr(_bpe_fold_expr("syms", t["lhs"], t["rhs"]))
+        )
+    return merges, words
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _words = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "round int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge symbol inventory: top symbols by corpus frequency after
+    the learned merges are applied to every word — the distributed check
+    that the fold applied the merge table correctly on every row."""
+    from pyspark.sql import Window
+
+    _merges, words = _bpe_train(spark, sf_dir)
+    sym_counts = (
+        words.select(
+            "cnt", F.explode(F.expr(f"split(syms, '{_BPE_SEP}')")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("occurrences"), F.count(F.lit(1)).alias("n_words"))
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("symbol").asc())
+    return (
+        sym_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_VOCAB_TOP)
+    )
+
+
+def _bpe_ctes() -> str:
+    """Shared CTE chain: words -> s0 -> (p_i, m_i, s_i) per round."""
+    s = _BPE_SEP
+    parts = [
+        f"""w AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), s0 AS (
+  SELECT tok, cnt,
+         array_to_string(list_transform(range(1, length(tok) + 1),
+           i -> substr(tok, i, 1)), '{s}') AS syms
+  FROM w
+)"""
+    ]
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1):
+        prev = f"s{rnd - 1}"
+        parts.append(f"""p{rnd} AS (
+  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count FROM (
+    SELECT cnt,
+           string_split(syms, '{s}')[i] AS l,
+           string_split(syms, '{s}')[i + 1] AS r
+    FROM {prev}, UNNEST(range(1, len(string_split(syms, '{s}')))) u(i)
+  ) GROUP BY l, r
+), m{rnd} AS (
+  SELECT l, r, pair_count FROM p{rnd} ORDER BY pair_count DESC, l, r LIMIT 1
+), s{rnd} AS (
+  SELECT tok, cnt,
+         list_reduce(string_split(syms, '{s}'),
+           (acc, x) -> CASE WHEN (acc = m{rnd}.l
+                                  OR right(acc, 1 + length(m{rnd}.l)) = '{s}' || m{rnd}.l)
+                             AND x = m{rnd}.r
+                       THEN acc || x ELSE acc || '{s}' || x END) AS syms
+  FROM {prev} CROSS JOIN m{rnd}
+)""")
+    return ",\n".join(parts)
+
+
+Q_BPE_MERGES_SQL = f"""
+WITH {_bpe_ctes()}
+{" UNION ALL ".join(
+    f"SELECT {rnd} AS round, l AS lhs, r AS rhs, pair_count FROM m{rnd}"
+    for rnd in range(1, BPE_MERGE_ROUNDS + 1)
+)}
+"""
+
+Q_BPE_VOCAB_SQL = f"""
+WITH {_bpe_ctes()}
+SELECT symbol, occurrences, n_words, rank FROM (
+  SELECT symbol, occurrences, n_words,
+         ROW_NUMBER() OVER (ORDER BY occurrences DESC, symbol) AS rank
+  FROM (
+    SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS occurrences, COUNT(*) AS n_words
+    FROM (SELECT cnt, UNNEST(string_split(syms, '{_BPE_SEP}')) AS symbol
+          FROM s{BPE_MERGE_ROUNDS})
+    GROUP BY symbol
+  )
+)
+WHERE rank <= {BPE_VOCAB_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -1674,6 +1864,8 @@ QUERIES: dict[str, tuple] = {
     "q_domain_cap": (q_domain_cap, Q_DOMAIN_CAP_SQL),
     "q_paragraph_dedup": (q_paragraph_dedup, Q_PARAGRAPH_DEDUP_SQL),
     "q_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
+    "q_bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
+    "q_bpe_vocab": (q_bpe_vocab, Q_BPE_VOCAB_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
