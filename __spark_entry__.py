@@ -49,6 +49,8 @@ _CHECK_FIRST = [
     "q_incremental_dedup",
     "q_bpe_merges",
     "q_bpe_vocab",
+    "q_linear_quality",
+    "q_bigram_pmi",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

@@ -33,6 +33,7 @@ SHUFFLE_BUDGETS = {
     "q_gopher_rules": 0,
     "q_simhash": 0,
     "q_jl_projection": 0,
+    "q_linear_quality": 0,
     # rank-over-group plans: WindowGroupLimit pushes the top-k map-side
     # (asserted in test_plans_physical), so the single exchange carries at
     # most k rows per (group, mapper)

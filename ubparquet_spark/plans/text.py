@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
-from ubparquet_spark.plans.tpch import roundn
+from ubparquet_spark.plans.tpch import roundn, sql_roundn
 
 STOPWORDS = ("the", "a", "of", "and")
 
@@ -1839,6 +1839,157 @@ WHERE rank <= {BPE_VOCAB_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Linear quality classifier inference (the fastText / CCNet quality-model
+# shape): hashing-trick featurization — token -> md5 -> bucket in [0, D) —
+# and a dot product against a broadcast weight vector, per document. The
+# weights here are a deterministic md5-derived stand-in (the container has
+# no trained model), but the inference plumbing is the real thing: hashed
+# features, literal/broadcast weights, score = mean bucket weight + bias,
+# binary keep decision. Swap `_LQ_WEIGHTS` for trained weights and this IS
+# fastText linear inference at corpus scale.
+#
+# Scale shape: pure per-row map, zero shuffles, whole-stage codegen; the
+# D-entry weight vector rides the plan as literals. The per-token md5 is
+# the same hash family every dedup query already pays.
+# ---------------------------------------------------------------------------
+
+LQ_BUCKETS = 64
+LQ_BIAS = -0.01
+
+
+def _lq_weight(i: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"lq-w-{i}".encode()).hexdigest()
+    return (int(h[:8], 16) % 1000) / 1000.0 - 0.5
+
+
+_LQ_WEIGHTS = [_lq_weight(i) for i in range(LQ_BUCKETS)]
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # string-quoted double literals: DuckDB parses a bare 17-digit decimal
+    # literal through DECIMAL and drops the last ulp; CAST('…' AS DOUBLE)
+    # is an exact IEEE parse in both engines
+    weights = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _LQ_WEIGHTS)
+    score = F.expr(
+        f"aggregate(transform(split(text, ' '),"
+        f" t -> element_at(array({weights}),"
+        f"  CAST(pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
+        f" {LQ_BUCKETS}) AS INT) + 1)),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        f" / size(split(text, ' ')) + CAST('{LQ_BIAS!r}' AS DOUBLE)"
+    )
+    return docs.select(
+        "doc_id",
+        roundn(score, 6).alias("score"),
+        (roundn(score, 6) >= 0).alias("keep"),
+    )
+
+
+# the sum is a strict left fold on BOTH sides (Spark `aggregate`, DuckDB
+# `list_reduce`) — list_sum may reassociate, and a last-ulp difference can
+# land across the roundn floor boundary
+_LQ_SQL_SCORE = sql_roundn(
+    "list_reduce(list_transform(string_split(text, ' '), "
+    "t -> ([" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _LQ_WEIGHTS) + "])"
+    "[(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % " + str(LQ_BUCKETS) + ") + 1]),"
+    " (acc, v) -> acc + v)"
+    " / len(string_split(text, ' ')) + CAST('" + repr(LQ_BIAS) + "' AS DOUBLE)", 6)
+
+Q_LINEAR_QUALITY_SQL = f"""
+SELECT doc_id,
+       {_LQ_SQL_SCORE} AS score,
+       {_LQ_SQL_SCORE} >= 0 AS keep
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram association mining (PMI-style lift, log-free for cross-engine
+# determinism): lift(a,b) = c_ab * N / (c_a * c_b) over adjacent token
+# pairs — the phrase-mining signal used to build tokenizer seed vocab and
+# collocation lists. Monotone in PMI (log of it), so the ranking is
+# PMI-identical without transcendental functions.
+#
+# Scale shape: one corpus shuffle for the bigram counts; the unigram table
+# and the 1-row total are vocab-/driver-size and broadcast onto it; the
+# global top-k is orderBy+limit = TakeOrdered (per-partition partial top-k,
+# no single-partition global sort).
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 20
+PMI_TOP = 20
+
+
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("t"))
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "if(size(t) >= 2, transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS a, t[i] AS b)), array())"
+                )
+            ).alias("bg")
+        )
+        .groupBy(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    unigrams = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = unigrams.agg(F.sum("c").alias("n_total"))
+    ua = unigrams.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    ub = unigrams.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    lift = roundn(
+        F.col("c_ab").cast("double")
+        * F.col("n_total")
+        / (F.col("c_a").cast("double") * F.col("c_b")),
+        6,
+    )
+    return (
+        bigrams.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(total))
+        .select("a", "b", "c_ab", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(PMI_TOP)
+    )
+
+
+Q_BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT t[i] AS a, t[i + 1] AS b, COUNT(*) AS c_ab
+  FROM toks, UNNEST(range(1, GREATEST(len(t), 1))) u(i)
+  GROUP BY 1, 2
+), uni AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM uni
+)
+SELECT a, b, c_ab,
+       {sql_roundn("CAST(c_ab AS DOUBLE) * n_total / (CAST(ua.c AS DOUBLE) * ub.c)", 6)} AS lift
+FROM bg
+JOIN uni ua ON ua.tok = bg.a
+JOIN uni ub ON ub.tok = bg.b
+CROSS JOIN tot
+WHERE c_ab >= {PMI_MIN_COUNT}
+ORDER BY lift DESC, a, b
+LIMIT {PMI_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -1866,6 +2017,8 @@ QUERIES: dict[str, tuple] = {
     "q_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q_bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
     "q_bpe_vocab": (q_bpe_vocab, Q_BPE_VOCAB_SQL),
+    "q_linear_quality": (q_linear_quality, Q_LINEAR_QUALITY_SQL),
+    "q_bigram_pmi": (q_bigram_pmi, Q_BIGRAM_PMI_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
