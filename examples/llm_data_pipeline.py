@@ -7,7 +7,9 @@ The extension-surface workflow (BASELINE.json north star), one script:
      keep/drop dedup decision,
   3. language-ID the survivors,
   4. embedding side: LSH-bucketed near-dup pairs + batched top-k ANN,
-  5. PII-scrub the curated text and emit it as sorted Parquet.
+  5. PII-scrub the curated text and emit it as sorted Parquet,
+  6. simulate the NEXT ingest: incremental batch-vs-corpus dedup verdicts,
+  7. train tokenizer merges (BPE) on the curated corpus.
 
 Run: python examples/llm_data_pipeline.py [sf_dir] [workdir]
 """
@@ -87,6 +89,27 @@ def main(sf_dir: str, workdir: str) -> None:
     write_parquet(curated, out, sort_within_partitions_by=["doc_id"])
     n = spark.read.parquet(out).count()
     print(f"curated set written: {n} docs -> {out}")
+
+    # 6. the NEXT nightly ingest: dedup an incoming batch against the
+    #    curated corpus without re-deduplicating the corpus (mod split
+    #    stands in for the new crawl)
+    from ubparquet_spark.functions.incremental import incremental_dedup
+
+    corpus = spark.read.parquet(out)
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    verdicts = incremental_dedup(batch, corpus.select("doc_id", "text"))
+    dist = {r["verdict"]: r["n"] for r in
+            verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"incremental ingest verdicts: {dist}")
+
+    # 7. tokenizer induction on the curated text: 3 BPE merge rounds from
+    #    the word-frequency table (one corpus shuffle, vocab-bounded rounds)
+    from ubparquet_spark.plans.text import _bpe_train
+
+    with tempfile.TemporaryDirectory() as bpe_dir:
+        write_parquet(curated, f"{bpe_dir}/documents.parquet")
+        merges, _words = _bpe_train(spark, bpe_dir)
+    print("BPE merges:", [(m[1], m[2]) for m in merges])
     print("pipeline OK")
 
 

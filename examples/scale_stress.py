@@ -36,6 +36,12 @@ STRESS_QUERIES = (
     "q_minhash_lsh_buckets",
     "q_contamination",
     "q_doc_dedup_decisions",
+    # round-3 additions: segment-granularity dedup, batch-vs-corpus dedup,
+    # and the BPE distributed fold+inventory (its wordcount is the corpus-
+    # scaling part; the merge rounds are vocab-bounded)
+    "q_paragraph_dedup",
+    "q_incremental_dedup",
+    "q_bpe_vocab",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
