@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "q_bpe_vocab",
     "q_linear_quality",
     "q_bigram_pmi",
+    "q_contamination_bloom",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

@@ -103,3 +103,24 @@ def test_bpe_fold_is_left_to_right_non_overlapping(spark):
     df2 = spark.createDataFrame([("aa~a",), ("aa~aa",)], "syms string")
     got2 = [r[0] for r in df2.select(F.expr(_bpe_fold_expr("syms", "aa", "a"))).collect()]
     assert got2 == ["aaa", "aa~aa"]
+
+
+def test_bloom_contamination_matches_exact(spark, sf_dir):
+    """Bloom prefiltering has no false negatives: the exact-contamination
+    columns of q_contamination_bloom must equal q_contamination row for
+    row, and the bloom survivor count bounds the true overlap."""
+    from ubparquet_spark.plans.text import q_contamination, q_contamination_bloom
+
+    exact = {
+        r["doc_id"]: r for r in q_contamination(spark, sf_dir).collect()
+    }
+    bloom = {
+        r["doc_id"]: r for r in q_contamination_bloom(spark, sf_dir).collect()
+    }
+    assert set(bloom) == set(exact)
+    for did, b in bloom.items():
+        e = exact[did]
+        assert (b["n_grams"], b["n_overlap"], b["contaminated"]) == (
+            e["n_grams"], e["n_overlap"], e["contaminated"]
+        )
+        assert b["n_maybe"] >= b["n_overlap"]

@@ -1990,6 +1990,159 @@ LIMIT {PMI_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered contamination gate: the scale path of q_contamination.
+# The broadcast-exact-set join needs the benchmark shingle set to fit in a
+# broadcast; at 100 TB scale with a large eval suite the honest shape is
+#
+#   tiny Bloom filter (m bits, broadcast as plan literals)
+#     -> drops ~all clean grams BEFORE any join
+#   exact-verify join of the SURVIVORS against the benchmark table
+#     -> removes Bloom false positives; bench can be a real (shuffled)
+#        table since only maybe-hits reach it
+#
+# Bloom membership has NO false negatives by construction, so the final
+# (doc_id, n_overlap, contaminated) columns are EXACTLY q_contamination's —
+# the oracle recomputes the same bloom arithmetic (m, k, md5-substring
+# hashes are engine-identical) so even the false-positive count n_maybe
+# hash-matches. Filter bits are built from a driver collect of the
+# benchmark grams — a bounded artifact (held-out benchmarks are small by
+# definition; m scales as ~10 bits/gram in production).
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 32_768   # bits
+BLOOM_K = 3        # md5-substring hash functions
+_BLOOM_WORD = 32   # bits per word (shifts stay far from BIGINT sign overflow)
+
+
+def _bloom_hashes_py(g: str) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(g.encode()).hexdigest()
+    return [int(h[8 * j : 8 * j + 8], 16) % BLOOM_M for j in range(BLOOM_K)]
+
+
+def _bloom_member_expr(bits: list[int], col: str) -> str:
+    """All-k-bits-set test against a literal word array (JVM-side)."""
+    arr = f"array({', '.join(str(w) + 'L' for w in bits)})"
+    checks = []
+    for j in range(BLOOM_K):
+        h = (
+            f"(CAST(conv(substring(md5({col}), {8 * j + 1}, 8), 16, 10) AS BIGINT)"
+            f" % {BLOOM_M})"
+        )
+        checks.append(
+            f"(shiftright(element_at({arr}, CAST({h} DIV {_BLOOM_WORD} AS INT) + 1),"
+            f" CAST({h} % {_BLOOM_WORD} AS INT)) & 1 = 1)"
+        )
+    return " AND ".join(checks)
+
+
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("toks", F.split("text", " ")).withColumn(
+        "grams",
+        F.array_distinct(
+            F.expr(
+                "if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' ')),"
+                " array())"
+            )
+        ),
+    )
+    bench = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    # bounded driver artifact: the held-out benchmark's distinct shingles
+    bits = [0] * (BLOOM_M // _BLOOM_WORD)
+    for row in bench.collect():
+        for h in _bloom_hashes_py(row["g"]):
+            bits[h // _BLOOM_WORD] |= 1 << (h % _BLOOM_WORD)
+    cand = base.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
+    )
+    survivors = cand.filter(F.expr(_bloom_member_expr(bits, "g")))
+    hits = (
+        survivors.join(bench.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_maybe"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+    frac = F.expr("CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE)")
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_maybe",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        F.expr(
+            f"CAST(CAST(n_overlap AS DOUBLE) / CAST(n_grams AS DOUBLE)"
+            f" >= {CONTAM_FRAC_MIN} AS INT)"
+        ).alias("contaminated"),
+    )
+
+
+def _contamination_bloom_sql() -> str:
+    # the oracle BUILDS the same filter in SQL (bit_or over per-gram words)
+    # and applies the same member test — bit-identical to the Spark literals
+    h = (
+        "(CAST('0x' || substring(md5(g), {start}, 8) AS BIGINT)"
+        f" % {BLOOM_M})"
+    )
+    hash_rows = " UNION ALL ".join(
+        f"SELECT g, {h.format(start=8 * j + 1)} AS hv FROM bench"
+        for j in range(BLOOM_K)
+    )
+    member = " AND ".join(
+        f"""EXISTS (
+      SELECT 1 FROM bloomb
+      WHERE w = {h.format(start=8 * j + 1)} // {_BLOOM_WORD}
+        AND (mask >> CAST({h.format(start=8 * j + 1)} % {_BLOOM_WORD} AS INT)) & 1 = 1)"""
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS grams
+  FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS g FROM base WHERE doc_id % 97 = 0
+), bloomb AS (
+  SELECT hv // {_BLOOM_WORD} AS w,
+         CAST(bit_or(CAST(1 AS BIGINT) << CAST(hv % {_BLOOM_WORD} AS INT)) AS BIGINT) AS mask
+  FROM ({hash_rows})
+  GROUP BY 1
+), cand AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+  FROM base WHERE doc_id % 97 != 0
+), surv AS (
+  SELECT doc_id, n_grams, g FROM cand WHERE {member}
+)
+SELECT doc_id,
+       max(n_grams) AS n_grams,
+       count(*) AS n_maybe,
+       CAST(COALESCE(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+         / CAST(max(n_grams) AS DOUBLE) AS overlap_frac,
+       CAST(CAST(COALESCE(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 END), 0) AS DOUBLE)
+            / CAST(max(n_grams) AS DOUBLE) >= {CONTAM_FRAC_MIN} AS INT) AS contaminated
+FROM surv LEFT JOIN bench ON surv.g = bench.g
+GROUP BY doc_id
+HAVING COALESCE(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 END), 0) > 0
+"""
+
+
+Q_CONTAMINATION_BLOOM_SQL = _contamination_bloom_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2019,6 +2172,7 @@ QUERIES: dict[str, tuple] = {
     "q_bpe_vocab": (q_bpe_vocab, Q_BPE_VOCAB_SQL),
     "q_linear_quality": (q_linear_quality, Q_LINEAR_QUALITY_SQL),
     "q_bigram_pmi": (q_bigram_pmi, Q_BIGRAM_PMI_SQL),
+    "q_contamination_bloom": (q_contamination_bloom, Q_CONTAMINATION_BLOOM_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
