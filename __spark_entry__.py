@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "q_linear_quality",
     "q_bigram_pmi",
     "q_contamination_bloom",
+    "q_paragraph_dedup_text",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

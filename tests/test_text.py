@@ -124,3 +124,80 @@ def test_bloom_contamination_matches_exact(spark, sf_dir):
             e["n_grams"], e["n_overlap"], e["contaminated"]
         )
         assert b["n_maybe"] >= b["n_overlap"]
+
+
+def test_paragraph_dedup_matches_python_reference(spark, tmp_path):
+    """Stats and rebuilt text agree with a direct python implementation of
+    the keep rule (global first occurrence by (doc_id, seg_idx)) on a
+    crafted corpus with cross-doc and within-doc duplicate segments."""
+    import duckdb
+
+    from ubparquet_spark.plans.text import (
+        SEGMENT_TOKENS,
+        q_paragraph_dedup,
+        q_paragraph_dedup_text,
+    )
+
+    seg_a = " ".join(f"a{i}" for i in range(SEGMENT_TOKENS))
+    seg_b = " ".join(f"b{i}" for i in range(SEGMENT_TOKENS))
+    rows = [
+        (1, f"{seg_a} {seg_b}"),              # first owner of a and b
+        (2, f"{seg_b} unique tail words"),    # seg_b dup + remainder segment
+        (3, f"{seg_a} {seg_a}"),              # cross-doc dup + within-doc dup
+        (4, "tiny"),                          # single short segment
+    ]
+    out = tmp_path / "documents.parquet"
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', 'en', 'web', {len(t)})" for i, t in rows)
+        + ") t(doc_id, text, lang, source, n_chars)) TO '" + str(out) + "'"
+    )
+
+    def py_ref():
+        segs = []
+        for did, text in rows:
+            toks = text.split(" ")
+            for i in range(0, (len(toks) - 1) // SEGMENT_TOKENS + 1):
+                chunk = toks[i * SEGMENT_TOKENS : (i + 1) * SEGMENT_TOKENS]
+                segs.append((did, i, " ".join(chunk), len(chunk)))
+        seen, stats, texts = set(), {}, {}
+        for did, i, txt, n in sorted(segs):
+            ns, nd, tk = stats.get(did, (0, 0, 0))
+            if txt in seen:
+                stats[did] = (ns + 1, nd + 1, tk)
+            else:
+                seen.add(txt)
+                stats[did] = (ns + 1, nd, tk + n)
+                texts[did] = (texts.get(did, "") + " " + txt).strip()
+        return stats, texts
+
+    exp_stats, exp_texts = py_ref()
+    got = {
+        r["doc_id"]: (r["n_segments"], r["n_dropped"], r["tokens_kept"])
+        for r in q_paragraph_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == exp_stats
+    got_text = {
+        r["doc_id"]: r["dedup_text"]
+        for r in q_paragraph_dedup_text(spark, str(tmp_path)).collect()
+    }
+    assert got_text == exp_texts
+
+
+def test_reservoir_exact_group_sizes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.plans.text import RESERVOIR_K, q_reservoir_per_group
+
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in q_reservoir_per_group(spark, sf_dir)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {lang: min(RESERVOIR_K, n) for lang, n in sizes.items()}

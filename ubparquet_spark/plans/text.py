@@ -2143,6 +2143,75 @@ HAVING COALESCE(SUM(CASE WHEN bench.g IS NOT NULL THEN 1 END), 0) > 0
 Q_CONTAMINATION_BLOOM_SQL = _contamination_bloom_sql()
 
 
+# ---------------------------------------------------------------------------
+# Paragraph-dedup TEXT REBUILD: the transform itself (q_paragraph_dedup
+# reports the stats; this emits each document with its globally-duplicated
+# segments removed — what actually ships to training). Same keep rule:
+# corpus-global first occurrence survives. Segment text rides the shuffle
+# here so the doc can be reassembled without a second join back to the
+# corpus; at 100 TB the shuffle payload is bounded by the segment width
+# and is the price of a one-pass rebuild (the alternative — join kept
+# (doc_id, seg_idx) back to a re-tokenized corpus — trades a second scan
+# for a thinner shuffle; both shapes are linear).
+# ---------------------------------------------------------------------------
+
+def q_paragraph_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    s = SEGMENT_TOKENS
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    segs = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {s}) AS INT)),"
+                f" i -> struct(i AS seg_idx,"
+                f"  array_join(slice(toks, i * {s} + 1, {s}), ' ') AS seg_text))"
+            )
+        ).alias("seg"),
+    ).select(
+        "doc_id",
+        "seg.seg_idx",
+        "seg.seg_text",
+        F.substring(F.md5("seg.seg_text"), 1, 16).alias("seg_key"),
+    )
+    w = Window.partitionBy("seg_key").orderBy(
+        F.col("doc_id").asc(), F.col("seg_idx").asc()
+    )
+    kept = segs.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
+    return kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(seg_idx, seg_text))),"
+            " s -> s.seg_text), ' ')"
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).alias("n_kept_segments"),
+    )
+
+
+Q_PARAGRAPH_DEDUP_TEXT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(list_slice(t, i * {SEGMENT_TOKENS} + 1,
+           i * {SEGMENT_TOKENS} + {SEGMENT_TOKENS}), ' ') AS seg_text
+  FROM toks, UNNEST(range(0, CAST(floor((len(t) - 1) / {SEGMENT_TOKENS}) AS BIGINT) + 1)) AS u(i)
+), occ AS (
+  SELECT doc_id, seg_idx, seg_text,
+         ROW_NUMBER() OVER (PARTITION BY substring(md5(seg_text), 1, 16)
+                            ORDER BY doc_id, seg_idx) AS occ
+  FROM segs
+)
+SELECT doc_id,
+       string_agg(seg_text, ' ' ORDER BY seg_idx) AS dedup_text,
+       COUNT(*) AS n_kept_segments
+FROM occ
+WHERE occ = 1
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2173,6 +2242,7 @@ QUERIES: dict[str, tuple] = {
     "q_linear_quality": (q_linear_quality, Q_LINEAR_QUALITY_SQL),
     "q_bigram_pmi": (q_bigram_pmi, Q_BIGRAM_PMI_SQL),
     "q_contamination_bloom": (q_contamination_bloom, Q_CONTAMINATION_BLOOM_SQL),
+    "q_paragraph_dedup_text": (q_paragraph_dedup_text, Q_PARAGRAPH_DEDUP_TEXT_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
