@@ -53,6 +53,7 @@ _CHECK_FIRST = [
     "q_bigram_pmi",
     "q_contamination_bloom",
     "q_paragraph_dedup_text",
+    "q_semantic_dedup_2level",
     # -- plan changed this round; needs a fresh row
     "q_ngram_jaccard_pairs",
     "q_price_qty_corr",

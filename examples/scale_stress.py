@@ -56,6 +56,7 @@ EMB_STRESS_QUERIES = (
     "q_embedding_neardup",
     "q_semantic_dedup",
     "q_semantic_dedup_scaled",
+    "q_semantic_dedup_2level",
 )
 
 

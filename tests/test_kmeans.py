@@ -112,3 +112,82 @@ def test_blas_assignment_tie_breaks_to_lowest_id(spark):
         [(0, [1.0, 0.1])], "vec_id long, embedding array<double>"
     )
     assert assign_clusters_blas(df, cents).collect()[0].cluster == 0
+
+
+def _numpy_two_level(X, k1, k2, rounds1, rounds2):
+    c1, _ = _numpy_lloyd(X, k1, rounds1)
+    d1 = ((X[:, None, :] - c1[None, :, :]) ** 2).sum(axis=2)
+    a1 = d1.argmin(axis=1)
+    c2 = []
+    for cell in range(k1):
+        members = np.where(a1 == cell)[0]
+        seeds = X[members[:k2]].astype(float).copy()
+        if len(seeds) == 0:
+            seeds = c1[cell : cell + 1].copy()
+        c2.append(seeds)
+    for _ in range(rounds2):
+        new_c2 = [c.copy() for c in c2]
+        for cell in range(k1):
+            members = np.where(a1 == cell)[0]
+            if len(members) == 0:
+                continue
+            d2 = ((X[members][:, None, :] - c2[cell][None, :, :]) ** 2).sum(axis=2)
+            a2 = d2.argmin(axis=1)
+            for s in range(len(c2[cell])):
+                if (a2 == s).any():
+                    new_c2[cell][s] = X[members][a2 == s].mean(axis=0)
+        c2 = new_c2
+    return c1, c2, a1
+
+
+def test_two_level_matches_numpy(spark):
+    from ubparquet_spark.operators.kmeans import (
+        assign_two_level,
+        kmeans_fit_two_level,
+    )
+
+    X = _fixture(n=80, dim=8, k=4)
+    k1, k2 = 4, 3
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    c1, c2 = kmeans_fit_two_level(df, k1, k2, rounds1=2, rounds2=2)
+    e1, e2, _ = _numpy_two_level(X, k1, k2, 2, 2)
+    np.testing.assert_allclose(np.array(c1), e1, rtol=1e-9, atol=1e-9)
+    assert [len(c) for c in c2] == [len(c) for c in e2]
+    for cell in range(k1):
+        np.testing.assert_allclose(
+            np.array(c2[cell]), e2[cell], rtol=1e-9, atol=1e-9
+        )
+    # final assignment: nearest sub-centroid within the nearest cell, and
+    # the flattened id composes (cluster, sub)
+    out = assign_two_level(df, c1, c2).orderBy("vec_id").collect()
+    width = max(len(c) for c in c2)
+    for r in out:
+        assert 0 <= r["sub"] < len(c2[r["cluster"]])
+        assert r["cell"] == r["cluster"] * width + r["sub"]
+    d1 = ((X[:, None, :] - np.array(c1)[None, :, :]) ** 2).sum(axis=2)
+    a1 = d1.argmin(axis=1)
+    for i, r in enumerate(out):
+        assert r["cluster"] == a1[i]
+        cands = np.array(c2[a1[i]])
+        d2 = ((X[i][None, :] - cands) ** 2).sum(axis=1)
+        assert r["sub"] == int(d2.argmin())
+
+
+def test_two_level_cuts_assign_work(spark):
+    """The flattened cell space is k1·k2 but per-row candidate count is
+    k1 + k2 — assert the plan carries no k1·k2-wide literal argmin."""
+    from ubparquet_spark.operators.kmeans import assign_two_level
+
+    X = _fixture(n=40, dim=4, k=4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    c1 = [[float(v) for v in row] for row in X[:8]]
+    c2 = [[[float(v) for v in X[j]] for j in range(4)] for _ in range(8)]
+    out = assign_two_level(df, c1, c2)
+    cells = {r["cell"] for r in out.collect()}
+    assert cells and max(cells) < 8 * 4

@@ -1525,8 +1525,305 @@ Q_JL_PROJECTION_SQL = "SELECT vec_id, " + ", ".join(
 ) + " FROM embeddings"
 
 
+# ---------------------------------------------------------------------------
+# Two-level SemDeDup: the hierarchical-quantizer form of
+# q_semantic_dedup_scaled (operators/kmeans.py two-level trainer, FAISS
+# IMI practice). k = k1·k2 splits into a coarse level and a per-cell
+# refinement, so per-row assignment touches k1 + k2 = O(√k) candidates
+# instead of k.
+#
+# Measured honestly (BENCHNOTES round 3): at every locally reachable scale
+# the one-level BLAS GEMM wins — 50k rows × d=64 × k=4096 assigns in
+# 0.26 s, and the two-level's second Arrow pass costs more than the flops
+# it saves (0.32 s). 10× stress: 3.26× (two-level) vs 3.39× (one-level),
+# i.e. a wash. What the two-level actually buys at 100 TB is the
+# QUANTIZER ARTIFACT SIZE: one-level k tracks the corpus past the 4096
+# clamp (k ≈ 10⁵-10⁶ cells at 10⁹-10¹¹ vectors), and a k×d centroid
+# matrix at k=10⁶, d=1024 is ~8 GB broadcast to every executor — while
+# the two-level ships k1 + k2 ≈ 2√k centroids (~16 MB) and still
+# addresses k1·k2 cells. That, not GEMM flops, is why IVF systems go
+# hierarchical; the local bench cannot exhibit it and this comment says
+# so instead of claiming a fake win.
+#
+# k1 = ⌊√k_eff⌋, k2 = ⌈k_eff/k1⌉ with the same clamp as the scaled form.
+# Level-1 trains SEMDEDUP_ROUNDS rounded Lloyd rounds on the mod-sample;
+# level-2 seeds each cell with its k2 lowest-id sample members (cells the
+# sample misses carry their own level-1 centroid) and runs ONE rounded
+# refinement round. All updates round to 6 dp so cross-engine argmin is
+# order-proof; the oracle unrolls BOTH levels as CTEs — seeds via a
+# QUALIFY rank, per-cell argmin via a join on the cell id.
+# ---------------------------------------------------------------------------
+
+
+def _two_level_ks(n: int) -> tuple[int, int]:
+    import math
+
+    k_eff = int(
+        max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET))
+    )
+    k1 = max(2, int(math.floor(math.sqrt(k_eff))))
+    k2 = (k_eff + k1 - 1) // k1
+    return k1, k2
+
+
+def _rounded_sub_update(
+    assigned2: DataFrame, prev: list[list[list[float]]]
+) -> list[list[list[float]]]:
+    """Per-(cell, sub) mean, rounded 6 dp; empty sub-cells keep ``prev``."""
+    rows = (
+        assigned2.select(
+            "cluster", "sub", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("cluster", "sub", "dim")
+        .agg(roundn(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .groupBy("cluster", "sub")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("centroid")
+        )
+        .collect()
+    )
+    updated = {(r.cluster, r.sub): list(r.centroid) for r in rows}
+    return [
+        [updated.get((c, s), prev[c][s]) for s in range(len(prev[c]))]
+        for c in range(len(prev))
+    ]
+
+
+def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ubparquet_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_blas,
+        assign_subclusters,
+        assign_subclusters_blas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k1, k2 = _two_level_ks(n)
+    # same dispatch boundary as the one-level scaled form: past ~128
+    # effective cells the interpreted folds dominate and the Arrow/BLAS
+    # paths take over (at driver-oracle scale k_eff = 8, so the fold runs
+    # and distance arithmetic stays bit-identical to the SQL CTEs)
+    if k1 * k2 > 128:
+        assign1, assign2 = assign_clusters_blas, assign_subclusters_blas
+    else:
+        assign1, assign2 = assign_clusters, assign_subclusters
+    train = emb.filter(F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0)
+    init = train.orderBy("vec_id").limit(k1).collect()
+    cents1 = [[float(v) for v in r.embedding] for r in init]
+    if not cents1:
+        return spark.createDataFrame([], "vec_id long, cell int, keep int")
+    for _ in range(SEMDEDUP_ROUNDS):
+        cents1 = _rounded_update(assign1(train, cents1), cents1)
+    a1t = assign1(train, cents1)
+    # level-2 seeds: the k2 lowest-id sample members per cell (bounded
+    # collect: ≤ k1·k2 = k_eff rows, the quantizer artifact)
+    w = Window.partitionBy("cluster").orderBy(F.col("vec_id").asc())
+    seed_rows = (
+        a1t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k2)
+        .select("cluster", "_rn", "embedding")
+        .collect()
+    )
+    c2: list[list[list[float]]] = [[] for _ in cents1]
+    for r in sorted(seed_rows, key=lambda r: (r["cluster"], r["_rn"])):
+        c2[r["cluster"]].append([float(v) for v in r["embedding"]])
+    for cell in range(len(c2)):
+        if not c2[cell]:
+            c2[cell] = [list(cents1[cell])]
+    c2 = _rounded_sub_update(assign2(a1t, c2), c2)
+    width = max(len(cell) for cell in c2)
+    a2 = assign2(assign1(emb, cents1), c2)
+    assigned = (
+        a2.select(
+            "vec_id",
+            (F.col("cluster") * width + F.col("sub")).alias("cell"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
+        )
+        .withColumn(
+            "norm",
+            F.expr(
+                "sqrt(aggregate(zip_with(dvec, dvec, (x, y) -> x * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+            ),
+        )
+    )
+    return semdedup_keep(assigned)
+
+
+def _semdedup_2level_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, len({v}) + 1),"
+        " i -> (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])"
+        " * (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])))"
+    )
+
+    def assign_cte(name: str, src: str, cents: str) -> str:
+        d = dist.format(v=f"{src}.embedding", c=cents)
+        return f"""{name} AS (
+  SELECT vec_id, embedding, c AS cell FROM (
+    SELECT {src}.vec_id, {src}.embedding, {cents}.c,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d} ASC, {cents}.c ASC) AS rn
+    FROM {src}, {cents}
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT p.c,
+         COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cell AS c,
+           list_transform(
+             list_sort(list(struct_pack(dim := dim, m := m))), s -> s.m) AS cvec
+    FROM (
+      SELECT cell, dim,
+             FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+      FROM (
+        SELECT cell,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM {assigned}
+      )
+      GROUP BY cell, dim
+    )
+    GROUP BY cell
+  ) u ON u.c = p.c
+)"""
+
+    ctes = [
+        f"""kk AS (
+  SELECT keff,
+         k1,
+         (keff + k1 - 1) // k1 AS k2
+  FROM (
+    SELECT keff, GREATEST(2, CAST(FLOOR(SQRT(keff)) AS BIGINT)) AS k1
+    FROM (
+      SELECT GREATEST({SEMDEDUP_K_MIN},
+                      LEAST({SEMDEDUP_K_MAX}, COUNT(*) // {SEMDEDUP_CELL_TARGET})) AS keff
+      FROM embeddings
+    )
+  )
+)""",
+        f"""train AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {SEMDEDUP_TRAIN_MOD} = 0
+)""",
+        """c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM train
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k1 FROM kk)
+)""",
+    ]
+    prev = "c0"
+    for r in range(SEMDEDUP_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", "train", prev))
+        ctes.append(update_cte(f"c{r + 1}", f"a{r}", prev))
+        prev = f"c{r + 1}"
+    l1 = prev
+    # level-2 seeds from the sample's FINAL level-1 assignment
+    ctes.append(assign_cte("at", "train", l1))
+    ctes.append(f"""s0 AS (
+  SELECT cell AS c,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS sub,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM at
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+          <= (SELECT k2 FROM kk)
+)""")
+    ctes.append(f"""seeds AS (
+  SELECT * FROM s0
+  UNION ALL
+  SELECT p.c, 0 AS sub, p.cvec FROM {l1} p
+  WHERE p.c NOT IN (SELECT DISTINCT c FROM s0)
+)""")
+    # one rounded level-2 refinement round: per-cell argmin (join on cell),
+    # then per-(cell, sub) rounded mean with empties keeping the seed
+    d2 = dist.format(v="at.embedding", c="seeds")
+    ctes.append(f"""b0 AS (
+  SELECT vec_id, cell, embedding, sub FROM (
+    SELECT at.vec_id, at.cell, at.embedding, seeds.sub,
+           row_number() OVER (PARTITION BY at.vec_id
+                              ORDER BY {d2} ASC, seeds.sub ASC) AS rn
+    FROM at JOIN seeds ON seeds.c = at.cell
+  ) WHERE rn = 1
+)""")
+    ctes.append("""subc AS (
+  SELECT p.c, p.sub, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM seeds p LEFT JOIN (
+    SELECT cell AS c, sub,
+           list_transform(
+             list_sort(list(struct_pack(dim := dim, m := m))), s -> s.m) AS cvec
+    FROM (
+      SELECT cell, sub, dim,
+             FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+      FROM (
+        SELECT cell, sub,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM b0
+      )
+      GROUP BY cell, sub, dim
+    )
+    GROUP BY cell, sub
+  ) u ON u.c = p.c AND u.sub = p.sub
+)""")
+    ctes.append("""wd AS (
+  SELECT MAX(cnt) AS w FROM (SELECT c, COUNT(*) AS cnt FROM subc GROUP BY c)
+)""")
+    ctes.append(assign_cte("afin", "embeddings", l1))
+    dfin = dist.format(v="afin.embedding", c="subc")
+    ctes.append(f"""bfin AS (
+  SELECT vec_id, cell, embedding, sub FROM (
+    SELECT afin.vec_id, afin.cell, afin.embedding, subc.sub,
+           row_number() OVER (PARTITION BY afin.vec_id
+                              ORDER BY {dfin} ASC, subc.sub ASC) AS rn
+    FROM afin JOIN subc ON subc.c = afin.cell
+  ) WHERE rn = 1
+)""")
+    ctes.append("""assigned AS (
+  SELECT vec_id,
+         CAST(cell * (SELECT w FROM wd) + sub AS INT) AS cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+         SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+  FROM bfin
+)""")
+    ctes.append("""sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY cell) AS n_in_cell FROM assigned
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM sized a JOIN sized b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+   AND b.n_in_cell <= {SEMDEDUP_CELL_CAP}
+  WHERE FLOOR(({_sql_dot("a.dvec", "b.dvec")}
+               / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
+Q_SEMANTIC_DEDUP_2LEVEL_SQL = _semdedup_2level_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    "q_semantic_dedup_2level": (
+        q_semantic_dedup_2level,
+        Q_SEMANTIC_DEDUP_2LEVEL_SQL,
+    ),
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_semantic_dedup_scaled": (
         q_semantic_dedup_scaled,
