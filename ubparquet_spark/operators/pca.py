@@ -49,9 +49,16 @@ def _gram_partials(vec_col: str, dim: int):
 
     def gen(batches):
         for batch in batches:
-            x = np.asarray(
-                batch.column(vec_col).to_pylist(), dtype=np.float64
-            ).reshape(-1, dim)
+            col = batch.column(vec_col)
+            # flatten() hands back the underlying values buffer — no
+            # per-row Python list round-trip (vectors are non-null and
+            # fixed-width, so the reshape is exact)
+            x = (
+                col.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                .reshape(-1, dim)
+            )
             yield pa.RecordBatch.from_pylist(
                 [
                     {
