@@ -96,7 +96,13 @@ def main(sf_dir: str, workdir: str) -> None:
     from ubparquet_spark.functions.incremental import incremental_dedup
 
     corpus = spark.read.parquet(out)
-    batch = docs.filter(F.col("doc_id") % 10 == 7).select("doc_id", "text")
+    # the next crawl arrives with ITS OWN id space — offset the simulated
+    # batch ids so they are disjoint from the corpus ids, as
+    # incremental_dedup's contract requires (overlapping ids would pair a
+    # doc with itself through the band join)
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
     verdicts = incremental_dedup(batch, corpus.select("doc_id", "text"))
     dist = {r["verdict"]: r["n"] for r in
             verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}

@@ -177,8 +177,12 @@ def test_two_level_matches_numpy(spark):
 
 
 def test_two_level_cuts_assign_work(spark):
-    """The flattened cell space is k1·k2 but per-row candidate count is
-    k1 + k2 — assert the plan carries no k1·k2-wide literal argmin."""
+    """The flattened cell space is k1·k2 but per-row candidate work is
+    k1 + k2: the level-2 argmin must iterate only the OWN cell's
+    candidates — a ``transform`` over an ``element_at`` lookup into the
+    nested literal — never a flattened k1·k2-wide candidate array."""
+    import re
+
     from ubparquet_spark.operators.kmeans import assign_two_level
 
     X = _fixture(n=40, dim=4, k=4)
@@ -191,3 +195,11 @@ def test_two_level_cuts_assign_work(spark):
     out = assign_two_level(df, c1, c2)
     cells = {r["cell"] for r in out.collect()}
     assert cells and max(cells) < 8 * 4
+    # plan shape: the sub-assignment's candidate source must be a per-cell
+    # element_at lookup; a regression reintroducing a flattened argmin
+    # would transform the full nested literal directly
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"transform\(element_at\(", plan), (
+        "level-2 argmin no longer iterates a per-cell element_at lookup — "
+        "the O((k1+k2)·d) property regressed to O(k1·k2·d)"
+    )

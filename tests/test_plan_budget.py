@@ -41,6 +41,14 @@ SHUFFLE_BUDGETS = {
     "q_boilerplate_shingles": 2,
     # segment shuffle (keep decision rides the same exchange) + doc rollup
     "q_paragraph_dedup": 2,
+    "q_paragraph_dedup_text": 2,
+    # bloom survivors join bench + doc rollup (the filter itself is literal)
+    "q_contamination_bloom": 2,
+    # bigram counts + unigram/total agg branches feeding broadcasts +
+    # TakeOrdered top-k (which is not an Exchange)
+    "q_bigram_pmi": 5,
+    # band join + jaccard-verify melt/regroup + exact-hash join + verdicts
+    "q_incremental_dedup": 8,
     # broadcast-join plans: dims broadcast, ONE fact shuffle at most
     "q_point_lookup": 1,
     "q_knn_bruteforce": 1,

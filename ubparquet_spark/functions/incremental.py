@@ -57,13 +57,14 @@ def incremental_dedup(
         .filter(F.col("_n") <= bucket_cap)
         .drop("_n")
     )
-    a, b = in_bands.alias("a"), corp_bands.alias("b")
+    # shuffle_hash on the BATCH side: the hinted side becomes the hash-map
+    # build side, and per-ingest the batch is the bounded table — building
+    # over the corpus band keys (which grow with the corpus) would be the
+    # OOM-prone shape. Neither side is broadcastable at 100 TB.
+    a, b = in_bands.hint("shuffle_hash").alias("a"), corp_bands.alias("b")
     cand = (
         a.join(
-            # shuffle_hash: at scale neither the batch nor the corpus band
-            # table is broadcastable, and the equi-join keys are the bucket
-            # ids — the partition-balanced join this pipeline is shaped for
-            b.hint("shuffle_hash"),
+            b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key")),
         )

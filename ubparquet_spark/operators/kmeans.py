@@ -224,20 +224,21 @@ def assign_subclusters(
             for cell in sub_centroids
         ]
     )
+    # reference cell_col directly in the lookup — synthesizing a "cluster"
+    # column would silently clobber an unrelated one on the input frame
     best = F.expr(
-        "array_min(transform(element_at(_cells, cluster + 1), s -> struct("
+        f"array_min(transform(element_at(_cells, {cell_col} + 1), s -> struct("
         " aggregate(zip_with(_v, s.vec, (x, y) ->"
         "  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
         "  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
         " s.c AS c)))"
     )
-    out = (
+    return (
         assigned.withColumn("_cells", cell_lit)
         .withColumn("_v", F.col(vec_col))
+        .withColumn("sub", best["c"])
+        .drop("_cells", "_v")
     )
-    if cell_col != "cluster":
-        out = out.withColumn("cluster", F.col(cell_col))
-    return out.withColumn("sub", best["c"]).drop("_cells", "_v")
 
 
 def update_subcentroids(
@@ -358,19 +359,16 @@ def assign_subclusters_blas(
         if mask.any():
             x = np.stack(vec_s[mask].to_numpy()).astype(np.float64)
             cm = cells[mask].astype(np.int64)
-            sub = np.zeros(len(cm), dtype=np.int32)
+            sub = pd.array([None] * len(cm), dtype="Int32")
             for cell in np.unique(cm):
                 if not 0 <= cell < n_cells:
-                    raise ValueError(f"cell {cell} out of range [0, {n_cells})")
+                    continue  # out-of-range cell -> NULL, like the fold path
                 idx = np.where(cm == cell)[0]
                 scores = norms[cell][None, :] - 2.0 * (x[idx] @ mats[cell].T)
                 sub[idx] = np.argmin(scores, axis=1).astype(np.int32)
             out[mask] = sub
         return pd.Series(out)
 
-    prep = assigned
-    if cell_col != "cluster":
-        prep = prep.withColumn("cluster", F.col(cell_col))
-    return prep.withColumn(
-        "sub", pandas_udf(_assign, "int")(F.col("cluster"), F.col(vec_col))
+    return assigned.withColumn(
+        "sub", pandas_udf(_assign, "int")(F.col(cell_col), F.col(vec_col))
     )

@@ -1555,7 +1555,7 @@ Q_JL_PROJECTION_SQL = "SELECT vec_id, " + ", ".join(
 # ---------------------------------------------------------------------------
 
 
-def _two_level_ks(n: int) -> tuple[int, int]:
+def _two_level_ks(n: int) -> tuple[int, int, int]:
     import math
 
     k_eff = int(
@@ -1563,7 +1563,7 @@ def _two_level_ks(n: int) -> tuple[int, int]:
     )
     k1 = max(2, int(math.floor(math.sqrt(k_eff))))
     k2 = (k_eff + k1 - 1) // k1
-    return k1, k2
+    return k1, k2, k_eff
 
 
 def _rounded_sub_update(
@@ -1603,12 +1603,15 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    k1, k2 = _two_level_ks(n)
-    # same dispatch boundary as the one-level scaled form: past ~128
+    k1, k2, k_eff = _two_level_ks(n)
+    # same dispatch boundary as the one-level scaled form: past 128
     # effective cells the interpreted folds dominate and the Arrow/BLAS
     # paths take over (at driver-oracle scale k_eff = 8, so the fold runs
-    # and distance arithmetic stays bit-identical to the SQL CTEs)
-    if k1 * k2 > 128:
+    # and distance arithmetic stays bit-identical to the SQL CTEs).
+    # Dispatch on k_eff, not k1·k2: the ceil in k2 can push k1·k2 up to
+    # k1-1 past k_eff, which would flip to BLAS inside the promised
+    # fold-parity range.
+    if k_eff > 128:
         assign1, assign2 = assign_clusters_blas, assign_subclusters_blas
     else:
         assign1, assign2 = assign_clusters, assign_subclusters

@@ -1394,30 +1394,43 @@ GROUP BY t_pct
 SEGMENT_TOKENS = 16
 
 
-def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_segments(docs: DataFrame, *, carry_text: bool) -> DataFrame:
+    """(doc_id, seg_idx, seg_key, seg_tokens[, seg_text], occ): the shared
+    segmentation + first-occurrence numbering both paragraph-dedup queries
+    build on. One struct per segment: ceil(n/s) windows, the last one a
+    remainder. n >= 1 always (the schema forbids empty text), so the
+    sequence bound floor((n-1)/s) is >= 0 and never triggers the
+    negative-step hazard. ``carry_text`` adds the segment text to the
+    shuffle payload — only the rebuild query pays for it."""
     from pyspark.sql import Window
 
     s = SEGMENT_TOKENS
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    # one struct per segment: ceil(n/s) windows, the last one a remainder.
-    # n >= 1 always (the schema forbids empty text), so the sequence bound
-    # floor((n-1)/s) is >= 0 and never triggers the negative-step hazard.
-    segs = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {s}) AS INT)),"
-                f" i -> struct(i AS seg_idx,"
-                f"  substring(md5(array_join(slice(toks, i * {s} + 1, {s}), ' ')), 1, 16) AS seg_key,"
-                f"  size(slice(toks, i * {s} + 1, {s})) AS seg_tokens))"
-            )
-        ).alias("seg"),
-    ).select("doc_id", "seg.seg_idx", "seg.seg_key", "seg.seg_tokens")
+    text_field = " array_join(slice(toks, i * %d + 1, %d), ' ') AS seg_text," % (s, s)
+    segs = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(floor((size(toks) - 1) / {s}) AS INT)),"
+                    f" i -> struct(i AS seg_idx,"
+                    f"{text_field if carry_text else ''}"
+                    f"  substring(md5(array_join(slice(toks, i * {s} + 1, {s}), ' ')), 1, 16) AS seg_key,"
+                    f"  size(slice(toks, i * {s} + 1, {s})) AS seg_tokens))"
+                )
+            ).alias("seg"),
+        )
+        .select("doc_id", "seg.*")
+    )
     w = Window.partitionBy("seg_key").orderBy(
         F.col("doc_id").asc(), F.col("seg_idx").asc()
     )
-    kept = segs.withColumn("occ", F.row_number().over(w))
+    return segs.withColumn("occ", F.row_number().over(w))
+
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = _doc_segments(docs, carry_text=False)
     return kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum((F.col("occ") > 1).cast("bigint")).alias("n_dropped"),
@@ -1770,11 +1783,15 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("symbol")
         .agg(F.sum("cnt").alias("occurrences"), F.count(F.lit(1)).alias("n_words"))
     )
+    # top-k FIRST via orderBy+limit (TakeOrdered: per-partition partial
+    # top-k, no single-partition global sort), THEN the rank window — its
+    # input is the already-limited k rows, so the "no partition defined"
+    # degradation never touches the full symbol inventory
+    top = sym_counts.orderBy(
+        F.col("occurrences").desc(), F.col("symbol").asc()
+    ).limit(BPE_VOCAB_TOP)
     w = Window.orderBy(F.col("occurrences").desc(), F.col("symbol").asc())
-    return (
-        sym_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BPE_VOCAB_TOP)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def _bpe_ctes() -> str:
@@ -1804,13 +1821,18 @@ def _bpe_ctes() -> str:
 ), m{rnd} AS (
   SELECT l, r, pair_count FROM p{rnd} ORDER BY pair_count DESC, l, r LIMIT 1
 ), s{rnd} AS (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: a dry round (m{rnd} empty) must
+  -- pass the word table through unchanged, matching the Spark side's
+  -- `if not top: break`
   SELECT tok, cnt,
-         list_reduce(string_split(syms, '{s}'),
-           (acc, x) -> CASE WHEN (acc = m{rnd}.l
-                                  OR right(acc, 1 + length(m{rnd}.l)) = '{s}' || m{rnd}.l)
-                             AND x = m{rnd}.r
-                       THEN acc || x ELSE acc || '{s}' || x END) AS syms
-  FROM {prev} CROSS JOIN m{rnd}
+         CASE WHEN m{rnd}.l IS NULL THEN syms
+              ELSE list_reduce(string_split(syms, '{s}'),
+                (acc, x) -> CASE WHEN (acc = m{rnd}.l
+                                       OR right(acc, 1 + length(m{rnd}.l)) = '{s}' || m{rnd}.l)
+                                  AND x = m{rnd}.r
+                            THEN acc || x ELSE acc || '{s}' || x END)
+         END AS syms
+  FROM {prev} LEFT JOIN m{rnd} ON TRUE
 )""")
     return ",\n".join(parts)
 
@@ -2156,30 +2178,8 @@ Q_CONTAMINATION_BLOOM_SQL = _contamination_bloom_sql()
 # ---------------------------------------------------------------------------
 
 def q_paragraph_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    s = SEGMENT_TOKENS
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    segs = base.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, CAST(floor((size(toks) - 1) / {s}) AS INT)),"
-                f" i -> struct(i AS seg_idx,"
-                f"  array_join(slice(toks, i * {s} + 1, {s}), ' ') AS seg_text))"
-            )
-        ).alias("seg"),
-    ).select(
-        "doc_id",
-        "seg.seg_idx",
-        "seg.seg_text",
-        F.substring(F.md5("seg.seg_text"), 1, 16).alias("seg_key"),
-    )
-    w = Window.partitionBy("seg_key").orderBy(
-        F.col("doc_id").asc(), F.col("seg_idx").asc()
-    )
-    kept = segs.withColumn("occ", F.row_number().over(w)).filter(F.col("occ") == 1)
+    kept = _doc_segments(docs, carry_text=True).filter(F.col("occ") == 1)
     return kept.groupBy("doc_id").agg(
         F.expr(
             "array_join(transform(array_sort(collect_list(struct(seg_idx, seg_text))),"
