@@ -27,3 +27,45 @@ def test_dedup_stream_drops_duplicates(spark, sf_dir, tmp_path):
     out = spark.table("dedup_test")
     assert out.count() == 200
     assert out.select("event_id").distinct().count() == 200
+
+
+def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
+    """The foreachBatch ingest-dedup verdicts over a streamed batch equal
+    the batch incremental_dedup on the same data (AvailableNow drain)."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.functions.incremental import incremental_dedup
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.streaming.windows import streaming_ingest_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 10 == 7)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    src = str(tmp_path / "arrivals")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    transform = streaming_ingest_dedup(corpus)
+    collected = []
+
+    def sink(bdf, bid):
+        collected.extend(transform(bdf, bid).collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"]: (r["verdict"], r["n_matches"]) for r in collected}
+    want = {
+        r["doc_id"]: (r["verdict"], r["n_matches"])
+        for r in incremental_dedup(batch, corpus).collect()
+    }
+    assert got == want and len(got) > 0

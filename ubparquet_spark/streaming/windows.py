@@ -198,3 +198,37 @@ def enrich_stream_with_dim(
     return stream.join(
         F.broadcast(dim), stream[stream_key] == dim[dim_key], how
     )
+
+
+def streaming_ingest_dedup(
+    corpus: DataFrame,
+    *,
+    jaccard_threshold: float = 0.5,
+    bucket_cap: int = 10_000,
+):
+    """Continuous-ingest dedup: every arriving micro-batch of documents is
+    deduplicated against the static corpus via
+    ``functions.incremental.incremental_dedup`` (exact_dup / near_dup /
+    new verdicts), as a ``foreachBatch`` transform factory.
+
+    Returns a ``(batch_df, batch_id) -> DataFrame`` callable for
+    ``foreachBatch`` — the incremental pipeline needs a bounded candidate
+    checkpoint and multi-stage joins per batch, which is exactly the
+    foreachBatch contract (full batch-API plan per micro-batch) rather
+    than a continuous stateful operator. The corpus DataFrame is
+    re-evaluated per micro-batch, so a corpus table that grows between
+    batches (yesterday's accepted docs) is picked up automatically — the
+    standard nightly-ingest loop. Streaming state: none (the per-batch
+    work is stateless given the corpus table), so there is no watermark
+    to configure and no state store growth."""
+    from ubparquet_spark.functions.incremental import incremental_dedup
+
+    def verdicts_for_batch(batch_df: DataFrame, _batch_id: int) -> DataFrame:
+        return incremental_dedup(
+            batch_df,
+            corpus,
+            jaccard_threshold=jaccard_threshold,
+            bucket_cap=bucket_cap,
+        )
+
+    return verdicts_for_batch
