@@ -87,3 +87,38 @@ def test_semdedup_scaled_k_tracks_corpus(spark, sf_dir):
     # corpus the trained cells are all populated
     assert pdf["cell"].nunique() <= k_expect
     assert pdf["cell"].between(0, k_expect - 1).all()
+
+
+def test_ivf_cell_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
+    """The SCALING.md claim 'with vectors written partitioned by cell id,
+    the probe prunes whole files at the source': write the corpus
+    partitioned by assigned cell, probe one cell, and assert the scan
+    carries a PartitionFilters entry on the cell column (source-level
+    pruning, not a post-scan filter) and returns exactly the cell's
+    members."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.io import load_table, write_parquet
+    from ubparquet_spark.operators.kmeans import assign_clusters, kmeans_fit
+
+    from .test_plans_physical import plan_text
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, 4, rounds=2)
+    assigned = assign_clusters(emb, cents).select(
+        "vec_id", "embedding", F.col("cluster").alias("cell")
+    )
+    path = str(tmp_path / "ivf_cells")
+    write_parquet(assigned, path, partition_by=["cell"])
+
+    probe = spark.read.parquet(path).filter(F.col("cell") == 1)
+    plan = plan_text(probe)
+    idx = plan.index("PartitionFilters")
+    assert "cell" in plan[idx:].splitlines()[0], (
+        "cell predicate did not reach the source as a partition filter"
+    )
+    got = sorted(r["vec_id"] for r in probe.collect())
+    want = sorted(
+        r["vec_id"] for r in assigned.filter(F.col("cell") == 1).collect()
+    )
+    assert got == want and got
