@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "q_contamination_bloom",
     "q_paragraph_dedup_text",
     "q_semantic_dedup_2level",
+    "q_weighted_sample",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

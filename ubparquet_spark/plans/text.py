@@ -2212,6 +2212,84 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Quality-weighted (importance) sampling — the DCLM/FineWeb-Edu practice of
+# keeping documents with probability proportional to a quality score
+# instead of a per-source flat rate (q_mixture_sample's gate). The keep
+# decision stays a pure hash function of doc_id compared against the
+# per-DOC probability, so the sample is reproducible across engines,
+# reruns, task retries, and cluster layouts, and the whole gate runs
+# scan-side — zero shuffles before the audit aggregation.
+#
+# p(doc) = clamp(quality_score, P_FLOOR, 1): even junk keeps a floor
+# probability (unbiasedness under reweighting), clean docs always survive.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_P_FLOOR = 0.1
+_WSAMPLE_MOD = 10_000_019  # prime ≫ corpus, same class as packing.HASH_MOD
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
+    stop_ratio = roundn(n_stop.cast("double") / n_tokens)
+    quality = roundn(
+        stop_ratio * F.lit(0.5)
+        + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(200.0)
+    )
+    p = F.least(F.lit(1.0), F.greatest(F.lit(WSAMPLE_P_FLOOR), quality))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ws"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _WSAMPLE_MOD
+    ) / float(_WSAMPLE_MOD)
+    flagged = docs.select(
+        "lang", p.alias("p"), (u < p).cast("long").alias("keep")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("keep").alias("n_kept"),
+        roundn(F.avg("p"), 6).alias("mean_p"),
+        roundn(F.sum("keep").cast("double") / F.count(F.lit(1)), 6).alias("emp_rate"),
+    )
+
+
+Q_WEIGHTED_SAMPLE_SQL = f"""
+WITH scored AS (
+  SELECT lang,
+         LEAST(1.0, GREATEST({WSAMPLE_P_FLOOR},
+           FLOOR(((FLOOR((CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE)
+                  / len(string_split(text, ' '))) * 10000 + 0.5) / 10000) * 0.5
+               + CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE) / 200.0)
+             * 10000 + 0.5) / 10000)) AS p,
+         CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 15) AS BIGINT)
+                    % {_WSAMPLE_MOD}) / {float(_WSAMPLE_MOD)}
+              < LEAST(1.0, GREATEST({WSAMPLE_P_FLOOR},
+                  FLOOR(((FLOOR((CAST(len(list_filter(string_split(text, ' '),
+                           x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE)
+                         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000) * 0.5
+                      + CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE) / 200.0)
+                    * 10000 + 0.5) / 10000))
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       FLOOR(AVG(p) * 1000000 + 0.5) / 1000000 AS mean_p,
+       FLOOR((CAST(SUM(keep) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS emp_rate
+FROM scored
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2243,6 +2321,7 @@ QUERIES: dict[str, tuple] = {
     "q_bigram_pmi": (q_bigram_pmi, Q_BIGRAM_PMI_SQL),
     "q_contamination_bloom": (q_contamination_bloom, Q_CONTAMINATION_BLOOM_SQL),
     "q_paragraph_dedup_text": (q_paragraph_dedup_text, Q_PARAGRAPH_DEDUP_TEXT_SQL),
+    "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
