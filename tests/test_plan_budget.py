@@ -34,6 +34,8 @@ SHUFFLE_BUDGETS = {
     "q_simhash": 0,
     "q_jl_projection": 0,
     "q_linear_quality": 0,
+    # scan-side hash gate, one audit aggregation
+    "q_weighted_sample": 1,
     # rank-over-group plans: WindowGroupLimit pushes the top-k map-side
     # (asserted in test_plans_physical), so the single exchange carries at
     # most k rows per (group, mapper)
