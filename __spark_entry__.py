@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "q_paragraph_dedup_text",
     "q_semantic_dedup_2level",
     "q_weighted_sample",
+    "q_rfm_segments",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

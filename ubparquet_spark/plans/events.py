@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
-from ubparquet_spark.plans.tpch import roundn, sum_money
+from ubparquet_spark.plans.tpch import cents, roundn, sum_money
 
 
 # ---------------------------------------------------------------------------
@@ -829,7 +829,71 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-user Recency (days since last event vs the corpus
+# watermark), Frequency (event count), Monetary (summed value in exact
+# integer cents), each bucketed into quartiles with NTILE. The standard
+# user-value segmentation shape: one partial-aggregatable shuffle over
+# events grains to per-user rows; the NTILE windows then run over the
+# USER table (cardinality = users ≪ events — the same accepted
+# post-aggregation trade as q_vocab_coverage). The corpus watermark is a
+# broadcast 1-row aggregate, not an eager count. Tie-breaks are total
+# (metric, user_id), so quartile assignment is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    asof = ev.agg(F.max("ts").alias("asof"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents("value")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("asof"), F.to_date("last_ts")).alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )
+
+
+Q_RFM_SQL = """
+WITH wmark AS (
+  SELECT MAX(ts) AS w FROM events
+), per_user AS (
+  SELECT user_id,
+         date_diff('day', CAST(MAX(ts) AS DATE), CAST((SELECT w FROM wmark) AS DATE)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency, monetary_cents,
+       NTILE(4) OVER (ORDER BY recency_days ASC, user_id ASC) AS r_quartile,
+       NTILE(4) OVER (ORDER BY frequency DESC, user_id ASC) AS f_quartile,
+       NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id ASC) AS m_quartile
+FROM per_user
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_rfm_segments": (q_rfm_segments, Q_RFM_SQL),
     "q_fiducial_cut": (q_fiducial_cut, Q_FIDUCIAL_CUT_SQL),
     "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
