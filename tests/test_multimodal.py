@@ -63,3 +63,56 @@ def test_resize_plan(media):
     plans = mm.resize_plan(media, 224, 224).collect()
     assert all(abs(p.scale_x - 224 / p.src_w) < 1e-12 for p in plans)
     assert all(p.dst_w == 224 and p.dst_h == 224 for p in plans)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (10, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # netpbm comments in the header must be skipped
+    with_comment = b"P6\n# a comment line\n7 10\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(with_comment), img)
+
+
+def test_resize_nearest_matches_numpy_indexing():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import resize_nearest
+
+    arr = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = resize_nearest(arr, 3, 2)
+    assert out.shape == (2, 3)
+    # identity resize is exact
+    np.testing.assert_array_equal(resize_nearest(arr, 6, 4), arr)
+
+
+def test_real_multimodal_path_end_to_end(spark):
+    """decode -> resize -> features over REAL PPM payloads: values must
+    match a pure-numpy reference decode of the same bytes."""
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import (
+        decode_ppm,
+        decode_resize_features,
+        resize_nearest,
+        synth_ppm_df,
+    )
+
+    df = synth_ppm_df(spark, n=12)
+    got = {r["media_id"]: r for r in decode_resize_features(df).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in df.collect()}
+    assert set(got) == set(raw)
+    for mid, payload in raw.items():
+        img = decode_ppm(payload)
+        g = got[mid]
+        assert (g["height"], g["width"]) == img.shape[:2]
+        assert abs(g["mean_r"] - img[:, :, 0].mean()) < 1e-9
+        small = resize_nearest(img, 16, 12).astype(np.float64)
+        want = (small.mean(axis=2) / 255.0).ravel()
+        np.testing.assert_allclose(np.asarray(g["feature"]), want, rtol=1e-6)

@@ -175,3 +175,139 @@ def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
         (F.lit(target_w) / F.col("meta.width")).alias("scale_x"),
         (F.lit(target_h) / F.col("meta.height")).alias("scale_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A REAL codec, no external libraries: PPM (P6) / PGM (P5) are raw-bytes
+# formats parseable with numpy alone. This upgrades the decode stage from
+# "all formats stubbed" to "one modality fully real": payload bytes ->
+# pixel array -> resize -> features, end to end, with the same mapInPandas
+# plumbing the stubbed formats share. A corpus whose images are PPM/PGM
+# (or converted upstream) runs the whole multimodal path with zero
+# additional dependencies.
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 image -> PPM (H,W,3) / PGM (H,W) bytes."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects uint8")
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        magic = b"P6"
+    elif arr.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM/PGM bytes -> uint8 array (H,W,3) or (H,W). Pure numpy parser:
+    magic, whitespace-separated dims and maxval (comments supported), then
+    the raw sample plane."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    is_rgb = payload[:2] == b"P6"
+    # tokenize the header: 4 fields (magic, w, h, maxval); '#' comments
+    # run to end-of-line per the netpbm spec
+    fields: list[bytes] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = (int(f) for f in fields)
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    n = w * h * (3 if is_rgb else 1)
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+    return data.reshape((h, w, 3) if is_rgb else (h, w)).copy()
+
+
+def resize_nearest(arr: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure numpy index maps)."""
+    src_h, src_w = arr.shape[:2]
+    ys = (np.arange(dst_h) * src_h // dst_h).clip(0, src_h - 1)
+    xs = (np.arange(dst_w) * src_w // dst_w).clip(0, src_w - 1)
+    return arr[ys][:, xs]
+
+
+def synth_ppm_df(spark: SparkSession, n: int = 32, seed: int = 7) -> DataFrame:
+    """Media table whose image payloads are REAL encoded PPM bytes
+    (deterministic gradient + seeded noise patterns)."""
+    rows = []
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        w, h = 32 + (i % 3) * 16, 24 + (i % 4) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+                (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+                rng.integers(0, 256, (h, w), dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        meta = {
+            "width": w, "height": h, "channels": 3,
+            "sample_rate": None, "n_frames": None, "format": "ppm",
+        }
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": encode_ppm(img),
+                "meta": meta,
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def decode_resize_features(
+    df: DataFrame, *, dst_w: int = 16, dst_h: int = 12
+) -> DataFrame:
+    """The fully-real multimodal path for PPM/PGM images: decode payloads,
+    nearest-resize to (dst_w, dst_h), emit per-channel means + a flattened
+    downsampled luma feature — one Arrow-batched mapInPandas stage, no
+    shuffle, payloads never touch the driver."""
+    out_schema = (
+        "media_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, "
+        "feature array<float>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=2)
+                small = resize_nearest(img, dst_w, dst_h).astype(np.float64)
+                luma = small.mean(axis=2) / 255.0
+                recs.append(
+                    {
+                        "media_id": int(mid),
+                        "width": img.shape[1],
+                        "height": img.shape[0],
+                        "mean_r": float(img[:, :, 0].mean()),
+                        "mean_g": float(img[:, :, 1].mean()),
+                        "mean_b": float(img[:, :, 2].mean()),
+                        "feature": luma.ravel().astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return df.filter(F.col("meta.format").isin("ppm", "pgm")).mapInPandas(
+        batches, out_schema
+    )
