@@ -38,8 +38,9 @@ def test_streaming_ingest_dedup_matches_batch(spark, tmp_path):
     from ubparquet_spark.io import load_table
     from ubparquet_spark.streaming.windows import streaming_ingest_dedup
 
-    sf = "/root/testdata/sf0.001"
-    docs = load_table(spark, sf, "documents")
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 7).select("doc_id", "text")
     batch = (
         docs.filter(F.col("doc_id") % 10 == 7)

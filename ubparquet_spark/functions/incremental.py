@@ -38,24 +38,56 @@ from ubparquet_spark.functions.minhash_dedup import verify_pairs_jaccard
 from ubparquet_spark.plans.text import minhash_band_keys
 
 
+def corpus_band_keys(corpus: DataFrame, *, bucket_cap: int = 10_000) -> DataFrame:
+    """The corpus's (doc_id, band_id, band_key) table with over-full
+    (boilerplate) buckets already dropped — the corpus-side index of
+    :func:`incremental_dedup`. Compute it ONCE per corpus snapshot (persist
+    or localCheckpoint; at 100 TB store it as a table bucketed on
+    (band_id, band_key)) and pass it to every batch via ``corpus_bands`` —
+    otherwise each ingest pays a full corpus tokenization pass."""
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        minhash_band_keys(corpus)
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= bucket_cap)
+        .drop("_n")
+    )
+
+
+def corpus_text_hashes(corpus: DataFrame) -> DataFrame:
+    """Distinct md5(text) of the corpus — the exact-dup index; same
+    precompute-once guidance as :func:`corpus_band_keys`."""
+    return corpus.select(F.md5("text").alias("_h")).distinct()
+
+
 def incremental_dedup(
     incoming: DataFrame,
     corpus: DataFrame,
     *,
     jaccard_threshold: float = 0.5,
     bucket_cap: int = 10_000,
+    corpus_bands: DataFrame | None = None,
+    corpus_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Decision table for ``incoming`` (needs ``doc_id``, ``text``; ids
-    disjoint from ``corpus``): (doc_id, verdict, n_matches, best_match)
-    where ``n_matches`` counts Jaccard-verified corpus near-matches and
-    ``best_match`` is the lowest matching corpus doc id (NULL for new)."""
+    MUST be disjoint from ``corpus`` ids — overlapping ids would pair a
+    document with itself through the band join): (doc_id, verdict,
+    n_matches, best_match) where ``n_matches`` counts Jaccard-verified
+    corpus near-matches and ``best_match`` is the lowest matching corpus
+    doc id (NULL for new).
+
+    ``corpus_bands`` / ``corpus_hashes`` accept the precomputed outputs of
+    :func:`corpus_band_keys` / :func:`corpus_text_hashes`; when omitted
+    they are derived from ``corpus`` inline (fine for one-shot use; a
+    repeated-ingest loop should precompute so per-batch corpus cost is
+    the join probe, not a corpus scan). ``corpus`` itself is still needed
+    for Jaccard verification text, but only candidate documents are
+    tokenized (semi-join pre-filter in ``verify_pairs_jaccard``)."""
     in_bands = minhash_band_keys(incoming)
-    w = Window.partitionBy("band_id", "band_key")
     corp_bands = (
-        minhash_band_keys(corpus)
-        .withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") <= bucket_cap)
-        .drop("_n")
+        corpus_band_keys(corpus, bucket_cap=bucket_cap)
+        if corpus_bands is None
+        else corpus_bands
     )
     # shuffle_hash on the BATCH side: the hinted side becomes the hash-map
     # build side, and per-ingest the batch is the bounded table — building
@@ -77,13 +109,10 @@ def incremental_dedup(
         F.count(F.lit(1)).alias("n_matches"),
         F.min("dst").alias("best_match"),
     )
+    hashes = corpus_text_hashes(corpus) if corpus_hashes is None else corpus_hashes
     exact = (
         incoming.select("doc_id", F.md5("text").alias("_h"))
-        .join(
-            corpus.select(F.md5("text").alias("_h")).distinct(),
-            "_h",
-            "leftsemi",
-        )
+        .join(hashes, "_h", "leftsemi")
         .select("doc_id", F.lit(True).alias("_exact"))
     )
     return (

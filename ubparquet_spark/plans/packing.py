@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
+from ubparquet_spark.plans.tpch import hash_unit
 
 #: tokens per packed training sequence
 SEQ_LEN = 512
@@ -204,11 +205,9 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     under task retry).  One partial-aggregatable shuffle on ``source``.
     """
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-        % HASH_MOD
-    ) / float(HASH_MOD)
+    # unsalted draw: concat with '' is the identity on the non-null id
+    # string, so the shared helper reproduces the original md5 input
+    u = hash_unit(F.col("doc_id"), "", HASH_MOD)
     flagged = docs.select(
         "source", (u < _keep_rate()).cast("long").alias("keep")
     )

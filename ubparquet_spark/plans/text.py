@@ -69,23 +69,43 @@ GROUP BY lang
 # Per-document quality scoring (length/stopword-ratio features)
 # ---------------------------------------------------------------------------
 
-def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+def quality_cols() -> dict[str, Column]:
+    """The documented quality heuristic, shared by the scorer
+    (``q_doc_quality``) and the importance sampler (``q_weighted_sample``)
+    so the two can never drift: n_tokens, stop_ratio (4-dp rounded) and
+    quality = round(stop_ratio·0.5 + min(n_tokens, 100)/200)."""
     toks = tokens_col()
     n_tokens = F.size(toks)
     stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
     stop_ratio = roundn(n_stop.cast("double") / n_tokens)
-    chars_per_token = roundn(F.col("n_chars").cast("double") / n_tokens)
     quality = roundn(
-        stop_ratio * F.lit(0.5) + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(200.0)
+        stop_ratio * F.lit(0.5)
+        + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(200.0)
     )
+    return {"n_tokens": n_tokens, "stop_ratio": stop_ratio, "quality": quality}
+
+
+def _sql_quality(n_stop_expr: str, n_tokens_expr: str) -> str:
+    """DuckDB twin of ``quality_cols()['quality']`` given expressions for
+    the stopword count and token count."""
+    return (
+        f"FLOOR(((FLOOR((CAST({n_stop_expr} AS DOUBLE) / {n_tokens_expr}) * 10000 + 0.5)"
+        f" / 10000) * 0.5 + CAST(LEAST({n_tokens_expr}, 100) AS DOUBLE) / 200.0)"
+        f" * 10000 + 0.5) / 10000"
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    q = quality_cols()
+    chars_per_token = roundn(F.col("n_chars").cast("double") / q["n_tokens"])
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        q["n_tokens"].alias("n_tokens"),
         chars_per_token.alias("chars_per_token"),
-        stop_ratio.alias("stop_ratio"),
-        quality.alias("quality_score"),
+        q["stop_ratio"].alias("stop_ratio"),
+        q["quality"].alias("quality_score"),
     )
 
 
@@ -100,8 +120,7 @@ WITH t AS (
 SELECT doc_id, n_tokens,
        FLOOR((CAST(n_chars AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS chars_per_token,
        FLOOR((CAST(n_stop AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000 AS stop_ratio,
-       FLOOR(((FLOOR((CAST(n_stop AS DOUBLE) / n_tokens) * 10000 + 0.5) / 10000) * 0.5
-             + CAST(LEAST(n_tokens, 100) AS DOUBLE) / 200.0) * 10000 + 0.5) / 10000 AS quality_score
+       {_sql_quality("n_stop", "n_tokens")} AS quality_score
 FROM t
 """
 
@@ -2230,25 +2249,13 @@ _WSAMPLE_MOD = 10_000_019  # prime ≫ corpus, same class as packing.HASH_MOD
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.plans.tpch import hash_unit
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n_tokens = F.size(toks)
-    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
-    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({stop_list})))")
-    stop_ratio = roundn(n_stop.cast("double") / n_tokens)
-    quality = roundn(
-        stop_ratio * F.lit(0.5)
-        + F.least(n_tokens, F.lit(100)).cast("double") / F.lit(200.0)
+    p = F.least(
+        F.lit(1.0), F.greatest(F.lit(WSAMPLE_P_FLOOR), quality_cols()["quality"])
     )
-    p = F.least(F.lit(1.0), F.greatest(F.lit(WSAMPLE_P_FLOOR), quality))
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("ws"))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % _WSAMPLE_MOD
-    ) / float(_WSAMPLE_MOD)
+    u = hash_unit(F.col("doc_id"), "ws", _WSAMPLE_MOD)
     flagged = docs.select(
         "lang", p.alias("p"), (u < p).cast("long").alias("keep")
     )
@@ -2260,34 +2267,38 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_WEIGHTED_SAMPLE_SQL = f"""
+def _weighted_sample_sql() -> str:
+    from ubparquet_spark.plans.tpch import sql_hash_unit
+
+    n_stop = (
+        "len(list_filter(string_split(text, ' '), x -> x IN ("
+        + ", ".join(f"'{w}'" for w in STOPWORDS)
+        + ")))"
+    )
+    n_tokens = "len(string_split(text, ' '))"
+    # p computed ONCE in the scored layer; the keep flag references it —
+    # the formula lives in exactly one place per engine
+    return f"""
 WITH scored AS (
   SELECT lang,
          LEAST(1.0, GREATEST({WSAMPLE_P_FLOOR},
-           FLOOR(((FLOOR((CAST(len(list_filter(string_split(text, ' '),
-                    x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE)
-                  / len(string_split(text, ' '))) * 10000 + 0.5) / 10000) * 0.5
-               + CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE) / 200.0)
-             * 10000 + 0.5) / 10000)) AS p,
-         CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 15) AS BIGINT)
-                    % {_WSAMPLE_MOD}) / {float(_WSAMPLE_MOD)}
-              < LEAST(1.0, GREATEST({WSAMPLE_P_FLOOR},
-                  FLOOR(((FLOOR((CAST(len(list_filter(string_split(text, ' '),
-                           x -> x IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE)
-                         / len(string_split(text, ' '))) * 10000 + 0.5) / 10000) * 0.5
-                      + CAST(LEAST(len(string_split(text, ' ')), 100) AS DOUBLE) / 200.0)
-                    * 10000 + 0.5) / 10000))
-              THEN 1 ELSE 0 END AS keep
+           {_sql_quality(n_stop, n_tokens)})) AS p,
+         {sql_hash_unit("doc_id", "ws", _WSAMPLE_MOD)} AS u
   FROM documents
+), flagged AS (
+  SELECT lang, p, CASE WHEN u < p THEN 1 ELSE 0 END AS keep FROM scored
 )
 SELECT lang,
        COUNT(*) AS n_total,
        CAST(SUM(keep) AS BIGINT) AS n_kept,
        FLOOR(AVG(p) * 1000000 + 0.5) / 1000000 AS mean_p,
        FLOOR((CAST(SUM(keep) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000 AS emp_rate
-FROM scored
+FROM flagged
 GROUP BY lang
 """
+
+
+Q_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
 QUERIES: dict[str, tuple] = {

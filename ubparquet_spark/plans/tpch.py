@@ -79,6 +79,28 @@ def roundn(c: Column, n: int = 4) -> Column:
     return (F.floor(c.cast("double") * s + F.lit(0.5)) / s).cast("double")
 
 
+def hash_unit(col: Column, salt: str, mod: int) -> Column:
+    """Deterministic uniform draw in [0, 1) from a salted md5 of ``col`` —
+    the reproducible sampling gate shared by the mixture/weighted samplers
+    (stable across engines, reruns, task retries, and cluster layouts,
+    unlike ``rand()``). Cross-engine-sensitive expression: 15 hex digits
+    (< 2^60, fits BIGINT) → base conversion → modulus — keep this and
+    :func:`sql_hash_unit` in lockstep."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+    ) / float(mod)
+
+
+def sql_hash_unit(expr: str, salt: str, mod: int) -> str:
+    """DuckDB twin of :func:`hash_unit`."""
+    return (
+        f"(CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) || '{salt}'), 1, 15)"
+        f" AS BIGINT) % {mod}) / {float(mod)}"
+    )
+
+
 def sql_roundn(expr: str, n: int = 4) -> str:
     s = 10 ** n
     return f"FLOOR(({expr}) * {s} + 0.5) / {s}"
