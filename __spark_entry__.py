@@ -56,6 +56,8 @@ _CHECK_FIRST = [
     "q_semantic_dedup_2level",
     "q_weighted_sample",
     "q_rfm_segments",
+    "q_spatial_pairs",
+    "q_zorder_cells",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

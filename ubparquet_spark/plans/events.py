@@ -892,8 +892,148 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# Spatial radius self-join (J3, reference `larennet.py:55-57` radius_graph)
+# as an oracle-checked query: synthetic integer-derived coordinates (the
+# q_fiducial_cut technique) let the grid-bucket 27-cell equi-join operator
+# be verified against DuckDB's brute-force distance join. Membership is
+# decided on sqrt(exact-integer d²) vs an integer radius — IEEE sqrt is
+# exactly rounded, so the verdict is engine-deterministic even at d² = r²
+# — and the emitted d² is recomputed as a pure-integer function of the
+# pair ids, so the compared values carry no float at all.
+#
+# Scale: the operator's shape (cell bucketize → 27-cell replicate on the
+# build side → equi-join → exact filter) is linear in points × density;
+# the input filter bounds the BRUTE-FORCE ORACLE, not the operator.
+# ---------------------------------------------------------------------------
+
+SPATIAL_RADIUS_TENTHS = 600  # 60 cm in tenth-units
+
+
+def _spatial_points(ev: DataFrame) -> DataFrame:
+    return ev.filter(F.col("user_id") < 20).select(
+        "event_type",
+        F.col("event_id").alias("idx"),
+        ((F.col("event_id") * 131) % 3600).cast("double").alias("x"),
+        ((F.col("event_id") * 197) % 3000).cast("double").alias("y"),
+        ((F.col("event_id") * 73) % 12000).cast("double").alias("z"),
+    )
+
+
+def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.spatial import radius_self_join
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = radius_self_join(
+        _spatial_points(ev),
+        float(SPATIAL_RADIUS_TENTHS),
+        keys=["event_type"],
+        id_col="idx",
+    )
+
+    def _d(m: int, mod: int) -> F.Column:
+        return ((F.col("a_id") * m) % mod) - ((F.col("b_id") * m) % mod)
+
+    # plain integer multiplication, never pow(): Math.pow is libm (1-ulp
+    # slack) and a truncating bigint cast would amplify an off-by-ulp
+    dx, dy, dz = _d(131, 3600), _d(197, 3000), _d(73, 12000)
+    d2 = dx * dx + dy * dy + dz * dz
+    return pairs.select(
+        "event_type", "a_id", "b_id", d2.cast("bigint").alias("d2")
+    )
+
+
+Q_SPATIAL_PAIRS_SQL = f"""
+WITH pts AS (
+  SELECT event_type, event_id AS idx,
+         (event_id * 131) % 3600 AS ix,
+         (event_id * 197) % 3000 AS iy,
+         (event_id * 73) % 12000 AS iz
+  FROM events WHERE user_id < 20
+)
+SELECT a.event_type, a.idx AS a_id, b.idx AS b_id,
+       CAST((a.ix - b.ix) * (a.ix - b.ix)
+          + (a.iy - b.iy) * (a.iy - b.iy)
+          + (a.iz - b.iz) * (a.iz - b.iz) AS BIGINT) AS d2
+FROM pts a JOIN pts b
+  ON a.event_type = b.event_type AND a.idx <> b.idx
+WHERE SQRT(CAST((a.ix - b.ix) * (a.ix - b.ix)
+         + (a.iy - b.iy) * (a.iy - b.iy)
+         + (a.iz - b.iz) * (a.iz - b.iz) AS DOUBLE)) <= {SPATIAL_RADIUS_TENTHS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit: interleave 3-D bin indices into the
+# 30-bit Morton key (`operators.zorder.morton3_key` — the data-layout key
+# `write_zordered` sorts by so that spatially-close points land in the
+# same row groups) and report per-prefix cell occupancy. Pure integer bit
+# arithmetic on both engines; the oracle unrolls the identical interleave.
+# The prefix histogram is exactly the locality property that makes range
+# queries prune: one coarse cell = one contiguous Morton range.
+# ---------------------------------------------------------------------------
+
+ZORDER_PREFIX_SHIFT = 18  # keep the top 12 of 30 bits → coarse cells
+
+
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.zorder import morton3_key
+
+    ev = load_table(spark, sf_dir, "events")
+    # integer DIV, not `/`+cast: Spark's double->long cast truncates but
+    # DuckDB's CAST rounds — floor division sidesteps the divergence
+    pts = ev.select(
+        "event_id",
+        F.expr("CAST(((event_id * 131) % 3600) DIV 4 AS BIGINT)").alias("bx"),
+        F.expr("CAST(((event_id * 197) % 3000) DIV 4 AS BIGINT)").alias("by"),
+        F.expr("CAST(((event_id * 73) % 12000) DIV 16 AS BIGINT)").alias("bz"),
+    )
+    keyed = pts.withColumn("zorder", morton3_key("bx", "by", "bz"))
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zorder"), ZORDER_PREFIX_SHIFT).alias("cell")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("zorder").alias("min_key"),
+            F.max("zorder").alias("max_key"),
+        )
+    )
+
+
+def _zorder_sql() -> str:
+    from ubparquet_spark.operators.zorder import BITS
+
+    terms = []
+    for b in range(BITS):
+        for axis, c in enumerate(("bx", "by", "bz")):
+            terms.append(f"(({c} // {1 << b}) % 2) * {1 << (3 * b + axis)}")
+    key = " + ".join(terms)
+    return f"""
+WITH pts AS (
+  SELECT CAST(((event_id * 131) % 3600) // 4 AS BIGINT) AS bx,
+         CAST(((event_id * 197) % 3000) // 4 AS BIGINT) AS by,
+         CAST(((event_id * 73) % 12000) // 16 AS BIGINT) AS bz
+  FROM events
+), keyed AS (
+  SELECT CAST({key} AS BIGINT) AS zorder FROM pts
+)
+SELECT zorder // {1 << ZORDER_PREFIX_SHIFT} AS cell,
+       COUNT(*) AS n_points,
+       MIN(zorder) AS min_key,
+       MAX(zorder) AS max_key
+FROM keyed
+GROUP BY 1
+"""
+
+
+Q_ZORDER_CELLS_SQL = _zorder_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_rfm_segments": (q_rfm_segments, Q_RFM_SQL),
+    "q_spatial_pairs": (q_spatial_pairs, Q_SPATIAL_PAIRS_SQL),
+    "q_zorder_cells": (q_zorder_cells, Q_ZORDER_CELLS_SQL),
     "q_fiducial_cut": (q_fiducial_cut, Q_FIDUCIAL_CUT_SQL),
     "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
