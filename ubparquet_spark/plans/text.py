@@ -2301,6 +2301,76 @@ GROUP BY lang
 Q_WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
 
 
+# ---------------------------------------------------------------------------
+# Corpus drift monitor: compare the token distribution of two corpus
+# snapshots (the mod-2 split stands in for yesterday/today) and surface
+# the most divergent tokens by absolute probability delta — the per-token
+# decomposition of total-variation distance (TV = ½·Σ|p−q|), the standard
+# between-snapshot data-quality alarm for a continuously-crawled corpus.
+# Rational arithmetic only (no KL/log — transcendental-free policy).
+#
+# Scale shape: one partial-aggregatable shuffle carrying per-token
+# (count_a, count_b); the two totals are a broadcast 1-row aggregate; the
+# top-k is orderBy+limit (TakeOrdered, per-partition partial top-k).
+# ---------------------------------------------------------------------------
+
+DRIFT_TOP = 20
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(tokens_col()).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.col("in_a").cast("long")).alias("c_a"),
+        F.sum((~F.col("in_a")).cast("long")).alias("c_b"),
+    )
+    totals = counts.agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    p = F.col("c_a").cast("double") / F.col("t_a")
+    q = F.col("c_b").cast("double") / F.col("t_b")
+    delta = roundn(F.abs(p - q), 8)
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            "c_a",
+            "c_b",
+            roundn(p, 8).alias("p_a"),
+            roundn(q, 8).alias("p_b"),
+            delta.alias("abs_delta"),
+        )
+        .orderBy(F.col("abs_delta").desc(), F.col("tok").asc())
+        .limit(DRIFT_TOP)
+    )
+
+
+Q_TOKEN_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % 2 = 0 AS in_a, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+  FROM toks GROUP BY tok
+), totals AS (
+  SELECT CAST(SUM(c_a) AS BIGINT) AS t_a, CAST(SUM(c_b) AS BIGINT) AS t_b
+  FROM counts
+)
+SELECT tok, c_a, c_b,
+       {sql_roundn("CAST(c_a AS DOUBLE) / t_a", 8)} AS p_a,
+       {sql_roundn("CAST(c_b AS DOUBLE) / t_b", 8)} AS p_b,
+       {sql_roundn("ABS(CAST(c_a AS DOUBLE) / t_a - CAST(c_b AS DOUBLE) / t_b)", 8)} AS abs_delta
+FROM counts CROSS JOIN totals
+ORDER BY abs_delta DESC, tok
+LIMIT {DRIFT_TOP}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2333,6 +2403,7 @@ QUERIES: dict[str, tuple] = {
     "q_contamination_bloom": (q_contamination_bloom, Q_CONTAMINATION_BLOOM_SQL),
     "q_paragraph_dedup_text": (q_paragraph_dedup_text, Q_PARAGRAPH_DEDUP_TEXT_SQL),
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
+    "q_token_drift": (q_token_drift, Q_TOKEN_DRIFT_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
