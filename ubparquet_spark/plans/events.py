@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
-from ubparquet_spark.plans.tpch import cents, roundn, sum_money
+from ubparquet_spark.plans.tpch import cents, roundn, sql_roundn, sum_money
 
 
 # ---------------------------------------------------------------------------
@@ -1030,10 +1030,43 @@ GROUP BY 1
 Q_ZORDER_CELLS_SQL = _zorder_sql()
 
 
+# ---------------------------------------------------------------------------
+# Neighbor-degree stats (A11, reference `larennet.py:61-62`:
+# edges/num_nodes) over the radius-join edge list — the graph-density
+# audit a geometric-learning pipeline runs before training. Rides the
+# same grid-join edges as q_spatial_pairs; one additional
+# partial-aggregatable shuffle on the event key.
+# ---------------------------------------------------------------------------
+
+def q_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.spatial import neighbor_degree_stats
+
+    edges = q_spatial_pairs(spark, sf_dir)
+    stats = neighbor_degree_stats(edges, keys=["event_type"])
+    return stats.select(
+        "event_type",
+        "n_edges",
+        "n_nodes",
+        roundn(F.col("avg_degree"), 6).alias("avg_degree"),
+    )
+
+
+Q_NEIGHBOR_DEGREE_SQL = f"""
+WITH edges AS ({Q_SPATIAL_PAIRS_SQL})
+SELECT event_type,
+       COUNT(*) AS n_edges,
+       COUNT(DISTINCT a_id) AS n_nodes,
+       {sql_roundn("CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT a_id)", 6)} AS avg_degree
+FROM edges
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_rfm_segments": (q_rfm_segments, Q_RFM_SQL),
     "q_spatial_pairs": (q_spatial_pairs, Q_SPATIAL_PAIRS_SQL),
     "q_zorder_cells": (q_zorder_cells, Q_ZORDER_CELLS_SQL),
+    "q_neighbor_degree": (q_neighbor_degree, Q_NEIGHBOR_DEGREE_SQL),
     "q_fiducial_cut": (q_fiducial_cut, Q_FIDUCIAL_CUT_SQL),
     "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
