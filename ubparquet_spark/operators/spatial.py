@@ -92,13 +92,36 @@ def radius_self_join(
     return out
 
 
-def neighbor_degree_stats(edges: DataFrame, keys: list[str] = EVENT_KEY) -> DataFrame:
+def neighbor_degree_stats(
+    edges: DataFrame,
+    keys: list[str] = EVENT_KEY,
+    *,
+    points: DataFrame | None = None,
+    id_col: str = "idx",
+) -> DataFrame:
     """A11: average neighbor degree per event
-    (``larennet/larennet.py:61-62``: ``len(edge_src)/num_nodes``)."""
-    return edges.groupBy(*keys).agg(
-        F.count(F.lit(1)).alias("n_edges"),
-        F.countDistinct("a_id").alias("n_nodes"),
-        (F.count(F.lit(1)) / F.countDistinct("a_id")).alias("avg_degree"),
+    (``larennet/larennet.py:61-62``: ``len(edge_src)/num_nodes``).
+
+    The reference's ``num_nodes`` is the TOTAL point count — isolated
+    points (no neighbor within r) are in the denominator. Pass ``points``
+    (the radius join's input) to reproduce that exactly; without it the
+    denominator falls back to the count of CONNECTED nodes (the only
+    number recoverable from the edge list alone), which overstates density
+    whenever isolated points exist."""
+    stats = edges.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_edges"))
+    if points is None:
+        nodes = edges.groupBy(*keys).agg(
+            F.countDistinct("a_id").alias("n_nodes")
+        )
+    else:
+        nodes = points.groupBy(*keys).agg(
+            F.countDistinct(id_col).alias("n_nodes")
+        )
+    return stats.join(nodes, list(keys)).select(
+        *keys,
+        "n_edges",
+        "n_nodes",
+        (F.col("n_edges") / F.col("n_nodes")).alias("avg_degree"),
     )
 
 

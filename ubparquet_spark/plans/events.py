@@ -754,6 +754,24 @@ FROM zt
 # Fiducial cut (P6): geometry.in_tpc range predicates, oracle-checked
 # ---------------------------------------------------------------------------
 
+#: synthetic detector coordinates derived from event_id with pure integer
+#: arithmetic (bit-identical across engines): per axis (multiplier, modulus)
+#: in tenth-cm units — shared by the fiducial-cut, spatial-join, and
+#: Z-order queries and their SQL oracles (ONE definition; the f-string
+#: SQLs interpolate these same values).
+SYNTH_COORD = {"x": (131, 3600), "y": (197, 3000), "z": (73, 12000)}
+
+
+def _synth_int(axis: str):
+    m, mod = SYNTH_COORD[axis]
+    return (F.col("event_id") * m) % mod
+
+
+def _synth_int_sql(axis: str) -> str:
+    m, mod = SYNTH_COORD[axis]
+    return f"(event_id * {m}) % {mod}"
+
+
 def q_fiducial_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fiducial-volume cut over synthetic detector coordinates.
 
@@ -777,9 +795,9 @@ def q_fiducial_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "event_type",
-        ((F.col("event_id") * 131) % 3600).alias("ix"),
-        ((F.col("event_id") * 197) % 3000).alias("iy"),
-        ((F.col("event_id") * 73) % 12000).alias("iz"),
+        _synth_int("x").alias("ix"),
+        _synth_int("y").alias("iy"),
+        _synth_int("z").alias("iz"),
     ).withColumns(
         {
             "x": F.col("ix") / 10.0 - 50.0,    # [-50, 309.9] — spills both faces
@@ -806,12 +824,12 @@ def q_fiducial_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # margin=10 cm on the TPC volume x[0,256] y[-117,117] z[0,1036]
-Q_FIDUCIAL_CUT_SQL = """
+Q_FIDUCIAL_CUT_SQL = f"""
 WITH pts AS (
   SELECT event_type,
-         (event_id * 131) % 3600 AS ix,
-         (event_id * 197) % 3000 AS iy,
-         (event_id * 73) % 12000 AS iz
+         {_synth_int_sql("x")} AS ix,
+         {_synth_int_sql("y")} AS iy,
+         {_synth_int_sql("z")} AS iz
   FROM events
 ), kept AS (
   SELECT * FROM pts
@@ -914,9 +932,9 @@ def _spatial_points(ev: DataFrame) -> DataFrame:
     return ev.filter(F.col("user_id") < 20).select(
         "event_type",
         F.col("event_id").alias("idx"),
-        ((F.col("event_id") * 131) % 3600).cast("double").alias("x"),
-        ((F.col("event_id") * 197) % 3000).cast("double").alias("y"),
-        ((F.col("event_id") * 73) % 12000).cast("double").alias("z"),
+        _synth_int("x").cast("double").alias("x"),
+        _synth_int("y").cast("double").alias("y"),
+        _synth_int("z").cast("double").alias("z"),
     )
 
 
@@ -931,12 +949,13 @@ def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="idx",
     )
 
-    def _d(m: int, mod: int) -> F.Column:
+    def _d(axis: str) -> F.Column:
+        m, mod = SYNTH_COORD[axis]
         return ((F.col("a_id") * m) % mod) - ((F.col("b_id") * m) % mod)
 
     # plain integer multiplication, never pow(): Math.pow is libm (1-ulp
     # slack) and a truncating bigint cast would amplify an off-by-ulp
-    dx, dy, dz = _d(131, 3600), _d(197, 3000), _d(73, 12000)
+    dx, dy, dz = _d("x"), _d("y"), _d("z")
     d2 = dx * dx + dy * dy + dz * dz
     return pairs.select(
         "event_type", "a_id", "b_id", d2.cast("bigint").alias("d2")
@@ -946,9 +965,9 @@ def q_spatial_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_SPATIAL_PAIRS_SQL = f"""
 WITH pts AS (
   SELECT event_type, event_id AS idx,
-         (event_id * 131) % 3600 AS ix,
-         (event_id * 197) % 3000 AS iy,
-         (event_id * 73) % 12000 AS iz
+         {_synth_int_sql("x")} AS ix,
+         {_synth_int_sql("y")} AS iy,
+         {_synth_int_sql("z")} AS iz
   FROM events WHERE user_id < 20
 )
 SELECT a.event_type, a.idx AS a_id, b.idx AS b_id,
@@ -984,9 +1003,9 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's CAST rounds — floor division sidesteps the divergence
     pts = ev.select(
         "event_id",
-        F.expr("CAST(((event_id * 131) % 3600) DIV 4 AS BIGINT)").alias("bx"),
-        F.expr("CAST(((event_id * 197) % 3000) DIV 4 AS BIGINT)").alias("by"),
-        F.expr("CAST(((event_id * 73) % 12000) DIV 16 AS BIGINT)").alias("bz"),
+        F.expr(f"CAST(({_synth_int_sql('x')}) DIV 4 AS BIGINT)").alias("bx"),
+        F.expr(f"CAST(({_synth_int_sql('y')}) DIV 4 AS BIGINT)").alias("by"),
+        F.expr(f"CAST(({_synth_int_sql('z')}) DIV 16 AS BIGINT)").alias("bz"),
     )
     keyed = pts.withColumn("zorder", morton3_key("bx", "by", "bz"))
     return (
@@ -1011,9 +1030,9 @@ def _zorder_sql() -> str:
     key = " + ".join(terms)
     return f"""
 WITH pts AS (
-  SELECT CAST(((event_id * 131) % 3600) // 4 AS BIGINT) AS bx,
-         CAST(((event_id * 197) % 3000) // 4 AS BIGINT) AS by,
-         CAST(((event_id * 73) % 12000) // 16 AS BIGINT) AS bz
+  SELECT CAST(({_synth_int_sql("x")}) // 4 AS BIGINT) AS bx,
+         CAST(({_synth_int_sql("y")}) // 4 AS BIGINT) AS by,
+         CAST(({_synth_int_sql("z")}) // 16 AS BIGINT) AS bz
   FROM events
 ), keyed AS (
   SELECT CAST({key} AS BIGINT) AS zorder FROM pts
@@ -1041,8 +1060,13 @@ Q_ZORDER_CELLS_SQL = _zorder_sql()
 def q_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.spatial import neighbor_degree_stats
 
+    ev = load_table(spark, sf_dir, "events")
     edges = q_spatial_pairs(spark, sf_dir)
-    stats = neighbor_degree_stats(edges, keys=["event_type"])
+    # the reference's num_nodes is the TOTAL point count — isolated points
+    # dilute the density; pass the join's input so they are counted
+    stats = neighbor_degree_stats(
+        edges, keys=["event_type"], points=_spatial_points(ev)
+    )
     return stats.select(
         "event_type",
         "n_edges",
@@ -1052,13 +1076,16 @@ def q_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_NEIGHBOR_DEGREE_SQL = f"""
-WITH edges AS ({Q_SPATIAL_PAIRS_SQL})
-SELECT event_type,
-       COUNT(*) AS n_edges,
-       COUNT(DISTINCT a_id) AS n_nodes,
-       {sql_roundn("CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT a_id)", 6)} AS avg_degree
-FROM edges
-GROUP BY event_type
+WITH edges AS ({Q_SPATIAL_PAIRS_SQL}),
+estats AS (
+  SELECT event_type, COUNT(*) AS n_edges FROM edges GROUP BY event_type
+), nodes AS (
+  SELECT event_type, COUNT(DISTINCT event_id) AS n_nodes
+  FROM events WHERE user_id < 20 GROUP BY event_type
+)
+SELECT e.event_type, e.n_edges, n.n_nodes,
+       {sql_roundn("CAST(e.n_edges AS DOUBLE) / n.n_nodes", 6)} AS avg_degree
+FROM estats e JOIN nodes n ON e.event_type = n.event_type
 """
 
 
