@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "q_zorder_cells",
     "q_token_drift",
     "q_neighbor_degree",
+    "q_doc_embedding",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

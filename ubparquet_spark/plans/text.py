@@ -2371,6 +2371,76 @@ LIMIT {DRIFT_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Hashed-TF document embeddings: the classic no-model text vectorizer
+# (feature hashing, Weinberger 2009) — token -> md5 bucket in [0, D),
+# counts accumulated per bucket, L2-normalized. The cheap baseline that
+# feeds every downstream vector op in this engine (k-means, SemDeDup,
+# ANN, PCA, JL) when no trained encoder is available — the bridge from
+# the documents surface to the embeddings surface.
+#
+# Scale shape: pure per-row map (aggregate over the token array into a
+# D-slot array), zero shuffles, whole-stage codegen. The normalization
+# sqrt is IEEE-exact; components round to 6 dp for the cross-engine hash.
+# ---------------------------------------------------------------------------
+
+DOCEMB_DIM = 16
+
+
+def q_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bucket = (
+        f"CAST(pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
+        f" {DOCEMB_DIM}) AS INT)"
+    )
+    counts = F.expr(
+        f"aggregate(split(text, ' '),"
+        f" array_repeat(CAST(0 AS DOUBLE), {DOCEMB_DIM}),"
+        f" (acc, t) -> transform(acc, (v, i) -> if(i = {bucket}, v + 1, v)))"
+    )
+    cols = [F.col("doc_id")]
+    norm = F.expr(
+        "sqrt(aggregate(zip_with(_tf, _tf, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    for j in range(DOCEMB_DIM):
+        cols.append(
+            roundn(F.expr(f"element_at(_tf, {j + 1})") / F.col("_norm"), 6).alias(
+                f"e{j}"
+            )
+        )
+    return (
+        docs.withColumn("_tf", counts).withColumn("_norm", norm).select(*cols)
+    )
+
+
+def _doc_embedding_sql() -> str:
+    bucket = (
+        f"(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {DOCEMB_DIM})"
+    )
+    comps = ", ".join(
+        f"{sql_roundn(f'tf[{j + 1}] / nrm', 6)} AS e{j}" for j in range(DOCEMB_DIM)
+    )
+    return f"""
+WITH tfv AS (
+  SELECT doc_id,
+         list_transform(range(0, {DOCEMB_DIM}),
+           j -> CAST(len(list_filter(string_split(text, ' '),
+                t -> {bucket} = j)) AS DOUBLE)) AS tf
+  FROM documents WHERE doc_id < 200
+), normed AS (
+  SELECT doc_id, tf,
+         SQRT(list_sum(list_transform(tf, v -> v * v))) AS nrm
+  FROM tfv
+)
+SELECT doc_id, {comps}
+FROM normed
+"""
+
+
+Q_DOC_EMBEDDING_SQL = _doc_embedding_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2404,6 +2474,7 @@ QUERIES: dict[str, tuple] = {
     "q_paragraph_dedup_text": (q_paragraph_dedup_text, Q_PARAGRAPH_DEDUP_TEXT_SQL),
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "q_token_drift": (q_token_drift, Q_TOKEN_DRIFT_SQL),
+    "q_doc_embedding": (q_doc_embedding, Q_DOC_EMBEDDING_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
