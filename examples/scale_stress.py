@@ -42,6 +42,10 @@ STRESS_QUERIES = (
     "q_paragraph_dedup",
     "q_incremental_dedup",
     "q_bpe_vocab",
+    "q_paragraph_dedup_text",
+    "q_contamination_bloom",
+    "q_token_drift",
+    "q_doc_embedding",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so

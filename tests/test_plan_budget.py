@@ -36,6 +36,16 @@ SHUFFLE_BUDGETS = {
     "q_linear_quality": 0,
     # scan-side hash gate, one audit aggregation
     "q_weighted_sample": 1,
+    # zero-shuffle codegen vectorizer
+    "q_doc_embedding": 0,
+    # grid-bucket 27-cell equi-join: ONE shuffle on the cell key
+    "q_spatial_pairs": 1,
+    # Morton key is a narrow map; one rollup shuffle
+    "q_zorder_cells": 1,
+    # token counts + totals-agg branch + TakeOrdered (not an Exchange)
+    "q_token_drift": 3,
+    # per-user agg + the user-table NTILE windows
+    "q_rfm_segments": 3,
     # rank-over-group plans: WindowGroupLimit pushes the top-k map-side
     # (asserted in test_plans_physical), so the single exchange carries at
     # most k rows per (group, mapper)
