@@ -45,7 +45,9 @@ STRESS_QUERIES = (
     "q_paragraph_dedup_text",
     "q_contamination_bloom",
     "q_token_drift",
-    "q_doc_embedding",
+    # q_doc_embedding deliberately NOT stressed: its registered form is
+    # bounded by a doc_id filter, so a replicated corpus is pruned at the
+    # scan and the ratio would measure filter pushdown, not scaling
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
