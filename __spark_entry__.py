@@ -61,6 +61,7 @@ _CHECK_FIRST = [
     "q_token_drift",
     "q_neighbor_degree",
     "q_doc_embedding",
+    "q_source_concentration",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

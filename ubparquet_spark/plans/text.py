@@ -2441,6 +2441,54 @@ FROM normed
 Q_DOC_EMBEDDING_SQL = _doc_embedding_sql()
 
 
+# ---------------------------------------------------------------------------
+# Corpus concentration audit: Herfindahl–Hirschman index of the source mix
+# per language — HHI = Σ share², and 1/HHI is the "effective number of
+# sources" (the log-free cousin of perplexity-of-the-mix). The mixture-
+# balance alarm a curation pipeline checks after sampling/capping: a lang
+# whose effective source count collapses is dominated by one crawl.
+#
+# Scale shape: one (lang, source) count shuffle, then a lang-level rollup
+# of share² — both partial-aggregatable; shares divide by the lang total
+# computed in the same rollup (no separate broadcast needed).
+# ---------------------------------------------------------------------------
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    # Σn² and (Σn)² are exact integers; HHI = Σn²/(Σn)² in one division
+    agg = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+    )
+    hhi = F.col("_ss").cast("double") / (F.col("n_docs") * F.col("n_docs"))
+    return agg.select(
+        "lang",
+        "n_sources",
+        "n_docs",
+        roundn(hhi, 8).alias("hhi"),
+        roundn(F.lit(1.0) / hhi, 6).alias("effective_sources"),
+    )
+
+
+Q_SOURCE_CONCENTRATION_SQL = f"""
+WITH counts AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+), agg AS (
+  SELECT lang,
+         COUNT(*) AS n_sources,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_sources, n_docs,
+       {sql_roundn("CAST(ss AS DOUBLE) / (n_docs * n_docs)", 8)} AS hhi,
+       {sql_roundn("1.0 / (CAST(ss AS DOUBLE) / (n_docs * n_docs))", 6)} AS effective_sources
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2475,6 +2523,7 @@ QUERIES: dict[str, tuple] = {
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SAMPLE_SQL),
     "q_token_drift": (q_token_drift, Q_TOKEN_DRIFT_SQL),
     "q_doc_embedding": (q_doc_embedding, Q_DOC_EMBEDDING_SQL),
+    "q_source_concentration": (q_source_concentration, Q_SOURCE_CONCENTRATION_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
