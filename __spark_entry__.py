@@ -62,6 +62,7 @@ _CHECK_FIRST = [
     "q_neighbor_degree",
     "q_doc_embedding",
     "q_source_concentration",
+    "q_dedup_cluster_sizes",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

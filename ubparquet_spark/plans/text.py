@@ -2489,6 +2489,41 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup cluster-size histogram: the standard post-dedup report — how many
+# near-duplicate clusters of each size exist, and how many documents the
+# keep/drop decision removes at each size. Rides the full verified
+# pipeline (bands → capped candidates → Jaccard verify → connected
+# components); the oracle wraps the existing recursive-CTE closure.
+# Singleton clusters are reported too (size 1, zero dropped) — the
+# baseline mass against which the dup tail is judged.
+# ---------------------------------------------------------------------------
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decisions = q_doc_dedup_decisions(spark, sf_dir)
+    sizes = decisions.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("n_dropped"),
+    )
+
+
+Q_DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH decisions AS ({Q_DOC_DEDUP_DECISIONS_SQL}),
+sizes AS (
+  SELECT canonical_id, COUNT(*) AS cluster_size
+  FROM decisions GROUP BY canonical_id
+)
+SELECT cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_dropped
+FROM sizes
+GROUP BY cluster_size
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2524,6 +2559,7 @@ QUERIES: dict[str, tuple] = {
     "q_token_drift": (q_token_drift, Q_TOKEN_DRIFT_SQL),
     "q_doc_embedding": (q_doc_embedding, Q_DOC_EMBEDDING_SQL),
     "q_source_concentration": (q_source_concentration, Q_SOURCE_CONCENTRATION_SQL),
+    "q_dedup_cluster_sizes": (q_dedup_cluster_sizes, Q_DEDUP_CLUSTER_SIZES_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
