@@ -137,11 +137,11 @@ def _marker_counts_spark() -> list[Column]:
     ]
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("lang", *_marker_counts_spark())
+def _lang_pred_expr() -> Column:
+    """Marker-lexicon argmax over the `c_<lang>` columns; ties broken by
+    lexicon order, all-zero -> 'und'. Shared by the confusion matrix
+    (q_lang_id) and the per-doc mismatch audit (q_lang_mismatch)."""
     langs = [lang for _tok, lang in LANG_MARKERS]
-    # argmax with ties broken by lexicon order; all-zero -> 'und'
     pred = F.lit("und")
     for lang in reversed(langs):
         cond = F.col(f"c_{lang}") > 0
@@ -155,8 +155,28 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cond = cond & op
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def _lang_pred_sql_case() -> str:
+    langs = [lang for _tok, lang in LANG_MARKERS]
+    cases = []
+    for lang in langs:
+        conds = [f"c_{lang} > 0"]
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if langs.index(other) > langs.index(lang) else ">"
+            conds.append(f"c_{lang} {op} c_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("lang", *_marker_counts_spark())
     return (
-        scored.select("lang", pred.alias("pred_lang"))
+        scored.select("lang", _lang_pred_expr().alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -168,16 +188,7 @@ def _lang_id_sql() -> str:
         f"len(list_filter(string_split(text, ' '), x -> x = '{tok}')) AS c_{lang}"
         for tok, lang in LANG_MARKERS
     )
-    cases = []
-    for lang in langs:
-        conds = [f"c_{lang} > 0"]
-        for other in langs:
-            if other == lang:
-                continue
-            op = ">=" if langs.index(other) > langs.index(lang) else ">"
-            conds.append(f"c_{lang} {op} c_{other}")
-        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    case_sql = _lang_pred_sql_case()
     return f"""
 WITH scored AS (
   SELECT lang,
@@ -2524,6 +2535,47 @@ GROUP BY cluster_size
 """
 
 
+# ---------------------------------------------------------------------------
+# Language-mismatch audit: the per-document rows where the content-based
+# language prediction disagrees with the metadata label, WITH the marker
+# evidence — the actionable output (route to re-labeling or drop) behind
+# q_lang_id's aggregate confusion matrix. Shares the exact argmax
+# expression with q_lang_id via _lang_pred_expr, so matrix and audit can
+# never disagree. Zero-shuffle per-row scan.
+# ---------------------------------------------------------------------------
+
+def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    langs = [lang for _tok, lang in LANG_MARKERS]
+    scored = docs.select("doc_id", "lang", *_marker_counts_spark())
+    return (
+        scored.withColumn("pred_lang", _lang_pred_expr())
+        .filter(F.col("pred_lang") != F.col("lang"))
+        .select("doc_id", "lang", "pred_lang", *[f"c_{la}" for la in langs])
+    )
+
+
+def _lang_mismatch_sql() -> str:
+    counts = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{tok}')) AS c_{lang}"
+        for tok, lang in LANG_MARKERS
+    )
+    cols = ", ".join(f"c_{lang}" for _tok, lang in LANG_MARKERS)
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {counts}
+  FROM documents
+)
+SELECT doc_id, lang, {_lang_pred_sql_case()} AS pred_lang, {cols}
+FROM scored
+WHERE ({_lang_pred_sql_case()}) <> lang
+"""
+
+
+Q_LANG_MISMATCH_SQL = _lang_mismatch_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
@@ -2560,6 +2612,7 @@ QUERIES: dict[str, tuple] = {
     "q_doc_embedding": (q_doc_embedding, Q_DOC_EMBEDDING_SQL),
     "q_source_concentration": (q_source_concentration, Q_SOURCE_CONCENTRATION_SQL),
     "q_dedup_cluster_sizes": (q_dedup_cluster_sizes, Q_DEDUP_CLUSTER_SIZES_SQL),
+    "q_lang_mismatch": (q_lang_mismatch, Q_LANG_MISMATCH_SQL),
     "q_boilerplate_shingles": (q_boilerplate_shingles, Q_BOILERPLATE_SQL),
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
 }
