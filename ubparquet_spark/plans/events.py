@@ -848,6 +848,61 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Hourly volume-anomaly windows: flag (event_type, hour) windows whose
+# event count deviates from the type's mean by more than 3σ — the
+# ingestion-volume alarm of a streaming pipeline, evaluated in batch.
+# The z² test is ALL-INTEGER:   (c·n − S)² > 9·(n·Q − S²)
+# (multiply (c−S/n)² > 9·(Q−S²/n)/n through by n²), where S = Σc and
+# Q = Σc² over the type's windows — exact and order-independent under any
+# partial-aggregation layout, no float σ whose summation order could
+# diverge across engines. Safe while n·Q < 2⁶³ (counts ~10⁵ per window ×
+# ~10³ windows); past that, promote the two products to DECIMAL(38).
+#
+# Shape: one (type, hour) count shuffle; the per-type moment rollup is a
+# tiny second agg broadcast back onto the windows.
+# ---------------------------------------------------------------------------
+
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+    )
+    j = hourly.join(F.broadcast(moments), "event_type")
+    dev = F.col("n_events") * F.col("n_windows") - F.col("s")
+    thresh = 9 * (F.col("n_windows") * F.col("q") - F.col("s") * F.col("s"))
+    return j.select(
+        "event_type",
+        "window_start",
+        "n_events",
+        (dev * dev > thresh).alias("anomalous"),
+    ).filter(F.col("anomalous"))
+
+
+Q_VOLUME_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS window_start,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+), moments AS (
+  SELECT event_type,
+         COUNT(*) AS n_windows,
+         CAST(SUM(n_events) AS BIGINT) AS s,
+         CAST(SUM(n_events * n_events) AS BIGINT) AS q
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type, h.window_start, h.n_events, TRUE AS anomalous
+FROM hourly h JOIN moments m ON h.event_type = m.event_type
+WHERE (h.n_events * m.n_windows - m.s) * (h.n_events * m.n_windows - m.s)
+      > 9 * (m.n_windows * m.q - m.s * m.s)
+"""
+
+
+# ---------------------------------------------------------------------------
 # RFM segmentation: per-user Recency (days since last event vs the corpus
 # watermark), Frequency (event count), Monetary (summed value in exact
 # integer cents), each bucketed into quartiles with NTILE. The standard
@@ -1094,6 +1149,7 @@ QUERIES: dict[str, tuple] = {
     "q_spatial_pairs": (q_spatial_pairs, Q_SPATIAL_PAIRS_SQL),
     "q_zorder_cells": (q_zorder_cells, Q_ZORDER_CELLS_SQL),
     "q_neighbor_degree": (q_neighbor_degree, Q_NEIGHBOR_DEGREE_SQL),
+    "q_volume_anomaly": (q_volume_anomaly, Q_VOLUME_ANOMALY_SQL),
     "q_fiducial_cut": (q_fiducial_cut, Q_FIDUCIAL_CUT_SQL),
     "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
