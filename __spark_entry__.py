@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "q_dedup_cluster_sizes",
     "q_lang_mismatch",
     "q_volume_anomaly",
+    "q_customer_pareto",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

@@ -2087,7 +2087,75 @@ FROM branded JOIN t ON l_partkey = t_partkey AND l_quantity < qty_limit
 """
 
 
+# ---------------------------------------------------------------------------
+# Pareto / ABC analysis: cumulative revenue share of the top customers —
+# "what fraction of revenue do the top K customers carry". Revenue ranks
+# in exact integer cents; the top-K selection is orderBy+limit
+# (TakeOrdered — per-partition partial top-k, no global sort shuffle), and
+# the cumulative window then runs over the K winner rows only (the
+# q_bpe_vocab pattern). The grand total is a broadcast 1-row aggregate;
+# shares are single divisions of exact integers, rounded once.
+# ---------------------------------------------------------------------------
+
+PARETO_TOP = 100
+
+
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents")
+    )
+    total = per_cust.agg(F.sum("rev_cents").alias("total_cents"))
+    top = per_cust.orderBy(
+        F.col("rev_cents").desc(), F.col("o_custkey").asc()
+    ).limit(PARETO_TOP)
+    w = (
+        Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(
+            Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+        ))
+        .withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .select(
+            "rank",
+            "o_custkey",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            roundn(
+                F.col("cum_cents").cast("double") / F.col("total_cents"), 8
+            ).alias("cum_share"),
+        )
+    )
+
+
+Q_CUSTOMER_PARETO_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), total AS (
+  SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM per_cust
+), top AS (
+  SELECT o_custkey, rev_cents FROM per_cust
+  ORDER BY rev_cents DESC, o_custkey LIMIT {PARETO_TOP}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rev_cents DESC, o_custkey) AS rank,
+       o_custkey,
+       rev_cents / 100.0 AS revenue,
+       {sql_roundn(
+           "CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"
+           " / (SELECT total_cents FROM total)", 8)} AS cum_share
+FROM top
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_customer_pareto": (q_customer_pareto, Q_CUSTOMER_PARETO_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
