@@ -66,6 +66,8 @@ _CHECK_FIRST = [
     "q_lang_mismatch",
     "q_volume_anomaly",
     "q_customer_pareto",
+    "q_dau_mau",
+    "q_first_touch",
     # -- plan changed this round; needs a fresh row
     "q_doc_dedup_decisions",
     "q_ngram_jaccard_pairs",

@@ -903,6 +903,97 @@ WHERE (h.n_events * m.n_windows - m.s) * (h.n_events * m.n_windows - m.s)
 
 
 # ---------------------------------------------------------------------------
+# DAU/MAU stickiness: daily active users joined against the containing
+# month's monthly actives — the engagement ratio every product-analytics
+# stack reports. Two exact distinct-count aggregations at different
+# grains; the month table is tiny (one row per month) and broadcasts onto
+# the day table. The ratio is one division of exact integers, rounded.
+# ---------------------------------------------------------------------------
+
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        # date_trunc, not to_date: a DATE column round-trips as a python
+        # object dtype while the oracle yields datetime64 — timestamps
+        # compare cleanly in the hash harness
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("month", "ts").alias("month"),
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    monthly = ev.groupBy(F.date_trunc("month", "ts").alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return daily.join(F.broadcast(monthly), "month").select(
+        "day",
+        "dau",
+        "mau",
+        roundn(F.col("dau").cast("double") / F.col("mau"), 6).alias("stickiness"),
+    )
+
+
+Q_DAU_MAU_SQL = f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, date_trunc('month', ts) AS month,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1, 2
+), monthly AS (
+  SELECT date_trunc('month', ts) AS month, COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT d.day, d.dau, m.mau,
+       {sql_roundn("CAST(d.dau AS DOUBLE) / m.mau", 6)} AS stickiness
+FROM daily d JOIN monthly m ON d.month = m.month
+"""
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution: each user's FIRST event type (earliest ts,
+# event_id tie-break) vs whether they ever purchased — conversion rate by
+# acquisition channel, the standard attribution rollup. min_by gives the
+# first touch in ONE partial-aggregatable pass (no per-user sort window);
+# the purchase flag is a max-of-indicator in the same shuffle.
+# ---------------------------------------------------------------------------
+
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("first_touch"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    return per_user.groupBy("first_touch").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+        roundn(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )
+
+
+Q_FIRST_TOUCH_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), conv AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), per_user AS (
+  SELECT r.user_id, r.event_type AS first_touch, c.converted
+  FROM ranked r JOIN conv c USING (user_id)
+  WHERE r.rn = 1
+)
+SELECT first_touch,
+       COUNT(*) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       {sql_roundn("CAST(SUM(converted) AS DOUBLE) / COUNT(*)", 6)} AS conversion_rate
+FROM per_user
+GROUP BY first_touch
+"""
+
+
+# ---------------------------------------------------------------------------
 # RFM segmentation: per-user Recency (days since last event vs the corpus
 # watermark), Frequency (event count), Monetary (summed value in exact
 # integer cents), each bucketed into quartiles with NTILE. The standard
@@ -1150,6 +1241,8 @@ QUERIES: dict[str, tuple] = {
     "q_zorder_cells": (q_zorder_cells, Q_ZORDER_CELLS_SQL),
     "q_neighbor_degree": (q_neighbor_degree, Q_NEIGHBOR_DEGREE_SQL),
     "q_volume_anomaly": (q_volume_anomaly, Q_VOLUME_ANOMALY_SQL),
+    "q_dau_mau": (q_dau_mau, Q_DAU_MAU_SQL),
+    "q_first_touch": (q_first_touch, Q_FIRST_TOUCH_SQL),
     "q_fiducial_cut": (q_fiducial_cut, Q_FIDUCIAL_CUT_SQL),
     "q_events_outliers": (q_events_outliers, Q_EVENTS_OUTLIERS_SQL),
     "q_events_funnel": (q_events_funnel, Q_EVENTS_FUNNEL_SQL),
