@@ -2390,9 +2390,12 @@ LIMIT {DRIFT_TOP}
 # ANN, PCA, JL) when no trained encoder is available — the bridge from
 # the documents surface to the embeddings surface.
 #
-# Scale shape: pure per-row map (aggregate over the token array into a
-# D-slot array), zero shuffles, whole-stage codegen. The normalization
-# sqrt is IEEE-exact; components round to 6 dp for the cross-engine hash.
+# Scale shape: pure per-row map (tokens -> bucket ids, then one fold into
+# a D-slot array — the md5 is computed ONCE per token, not once per
+# slot), zero shuffles. Higher-order functions evaluate interpreted
+# (CodegenFallback), so keeping the hash out of the inner lambda is the
+# 16x constant that matters. Components round to 6 dp for the
+# cross-engine hash; the normalization sqrt is IEEE-exact.
 # ---------------------------------------------------------------------------
 
 DOCEMB_DIM = 16
@@ -2405,9 +2408,9 @@ def q_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" {DOCEMB_DIM}) AS INT)"
     )
     counts = F.expr(
-        f"aggregate(split(text, ' '),"
+        f"aggregate(transform(split(text, ' '), t -> {bucket}),"
         f" array_repeat(CAST(0 AS DOUBLE), {DOCEMB_DIM}),"
-        f" (acc, t) -> transform(acc, (v, i) -> if(i = {bucket}, v + 1, v)))"
+        f" (acc, b) -> transform(acc, (v, i) -> if(i = b, v + 1, v)))"
     )
     cols = [F.col("doc_id")]
     norm = F.expr(
@@ -2566,10 +2569,12 @@ WITH scored AS (
   SELECT doc_id, lang,
          {counts}
   FROM documents
+), pred AS (
+  SELECT *, {_lang_pred_sql_case()} AS pred_lang FROM scored
 )
-SELECT doc_id, lang, {_lang_pred_sql_case()} AS pred_lang, {cols}
-FROM scored
-WHERE ({_lang_pred_sql_case()}) <> lang
+SELECT doc_id, lang, pred_lang, {cols}
+FROM pred
+WHERE pred_lang <> lang
 """
 
 

@@ -2101,8 +2101,6 @@ PARETO_TOP = 100
 
 
 def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(cents("o_totalprice")).alias("rev_cents")
