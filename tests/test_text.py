@@ -201,3 +201,49 @@ def test_reservoir_exact_group_sizes(spark, sf_dir):
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == {lang: min(RESERVOIR_K, n) for lang, n in sizes.items()}
+
+
+def test_bpe_train_memoized_per_session(spark, sf_dir):
+    """q_bpe_merges and q_bpe_vocab share ONE training pass per
+    (application, sf_dir): _bpe_train must return the identical cached
+    artifact on the second call (ADVICE r03)."""
+    from ubparquet_spark.plans.text import _BPE_CACHE, _bpe_train
+
+    _BPE_CACHE.clear()
+    first = _bpe_train(spark, sf_dir)
+    assert len(_BPE_CACHE) == 1
+    second = _bpe_train(spark, sf_dir)
+    assert second is first
+    assert len(_BPE_CACHE) == 1
+
+
+def test_bpe_batched_matches_sequential_smoke(spark, tmp_path):
+    """Batched BPE (the standard non-conflicting-batch trick) must (a)
+    finish a round count that would be driver-bound sequentially, (b)
+    produce a valid merge list: pairs within one greedy batch share no
+    symbol, and the first merge equals sequential BPE's first merge."""
+    import duckdb
+
+    from ubparquet_spark.plans.text import bpe_train
+
+    words = ["banana"] * 8 + ["bandana"] * 5 + ["cabana"] * 3 + ["ban"] * 2
+    sf = str(tmp_path / "sf_bpe")
+    (tmp_path / "sf_bpe").mkdir()
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{w}', 'en', 'web', {len(w)})" for i, w in enumerate(words))
+        + ") t(doc_id, text, lang, source, n_chars)) TO '"
+        + sf
+        + "/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    seq, _ = bpe_train(spark, sf, rounds=3, batch=1)
+    batched, _ = bpe_train(spark, sf, rounds=24, batch=8, checkpoint_every=8)
+    # the corpus alphabet is tiny; training must run out of pairs and stop
+    # rather than loop — and in far fewer driver round-trips than rounds
+    assert 3 <= len(batched) <= 24
+    assert batched[0][1:3] == seq[0][1:3]  # identical first merge
+    # batch-internal conflict freedom is per greedy batch; globally, merge
+    # rounds must be 1..n consecutive and pair_counts positive
+    assert [m[0] for m in batched] == list(range(1, len(batched) + 1))
+    assert all(m[3] > 0 for m in batched)

@@ -225,11 +225,25 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             j += 1
         fields.append(payload[i:j])
         i = j
-    i += 1  # single whitespace after maxval, then raw data
+    # exactly ONE whitespace byte separates maxval from the raster (netpbm
+    # spec) — a '#' here means a malformed comment-before-raster, and a
+    # CRLF writer would put raster data one byte early; validate both.
+    if not payload[i : i + 1].isspace():
+        raise ValueError("malformed PPM/PGM: maxval not followed by whitespace")
+    i += 1
+    if payload[i : i + 1] == b"#":
+        raise ValueError(
+            "malformed PPM/PGM: comment between maxval and raster data"
+        )
     w, h, maxval = (int(f) for f in fields)
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     n = w * h * (3 if is_rgb else 1)
+    if len(payload) - i < n:
+        raise ValueError(
+            f"truncated PPM/PGM raster: need {n} bytes, have {len(payload) - i}"
+            " (header offset miscomputed or payload truncated)"
+        )
     data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
     return data.reshape((h, w, 3) if is_rgb else (h, w)).copy()
 

@@ -51,8 +51,15 @@ def _gram_partials(vec_col: str, dim: int):
         for batch in batches:
             col = batch.column(vec_col)
             # flatten() hands back the underlying values buffer — no
-            # per-row Python list round-trip (vectors are non-null and
-            # fixed-width, so the reshape is exact)
+            # per-row Python list round-trip. flatten() silently DROPS
+            # null rows, which would misalign the reshape(-1, dim) and
+            # corrupt the Gram partials; fail loudly instead.
+            if col.null_count:
+                raise ValueError(
+                    f"fit_pca: column {vec_col!r} contains "
+                    f"{col.null_count} NULL vector(s); filter them out "
+                    "(e.g. .filter(col.isNotNull())) before fitting"
+                )
             x = (
                 col.flatten()
                 .to_numpy(zero_copy_only=False)

@@ -76,11 +76,13 @@ def radius_self_join(
         F.col(f"_c{z}").alias("_kz"),
     )
     joined = probe.join(build, [*keys, "_kx", "_ky", "_kz"])
-    dist = F.sqrt(
-        (F.col("_ax") - F.col("_bx")) ** 2
-        + (F.col("_ay") - F.col("_by")) ** 2
-        + (F.col("_az") - F.col("_bz")) ** 2
-    )
+    # (a-b)*(a-b), never ** 2: Math.pow is only 1-ulp accurate, and pair
+    # membership at dist == radius exactly must match an oracle that squares
+    # with integer-exact multiplication.
+    dx = F.col("_ax") - F.col("_bx")
+    dy = F.col("_ay") - F.col("_by")
+    dz = F.col("_az") - F.col("_bz")
+    dist = F.sqrt(dx * dx + dy * dy + dz * dz)
     out = (
         joined.withColumn("dist", dist)
         .filter(F.col("dist") <= radius)
@@ -107,7 +109,11 @@ def neighbor_degree_stats(
     (the radius join's input) to reproduce that exactly; without it the
     denominator falls back to the count of CONNECTED nodes (the only
     number recoverable from the edge list alone), which overstates density
-    whenever isolated points exist."""
+    whenever isolated points exist.
+
+    Nodes LEFT JOIN edge stats: a key group whose points produce no edges
+    at all still appears, with n_edges=0 and avg_degree=0.0 (the reference
+    computes z = edges/num_nodes = 0 for such a graph)."""
     stats = edges.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_edges"))
     if points is None:
         nodes = edges.groupBy(*keys).agg(
@@ -117,11 +123,13 @@ def neighbor_degree_stats(
         nodes = points.groupBy(*keys).agg(
             F.countDistinct(id_col).alias("n_nodes")
         )
-    return stats.join(nodes, list(keys)).select(
+    return nodes.join(stats, list(keys), "left").select(
         *keys,
-        "n_edges",
+        F.coalesce(F.col("n_edges"), F.lit(0).cast("long")).alias("n_edges"),
         "n_nodes",
-        (F.col("n_edges") / F.col("n_nodes")).alias("avg_degree"),
+        F.coalesce(
+            F.col("n_edges") / F.col("n_nodes"), F.lit(0.0)
+        ).alias("avg_degree"),
     )
 
 

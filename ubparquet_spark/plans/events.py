@@ -1229,9 +1229,10 @@ estats AS (
   SELECT event_type, COUNT(DISTINCT event_id) AS n_nodes
   FROM events WHERE user_id < 20 GROUP BY event_type
 )
-SELECT e.event_type, e.n_edges, n.n_nodes,
-       {sql_roundn("CAST(e.n_edges AS DOUBLE) / n.n_nodes", 6)} AS avg_degree
-FROM estats e JOIN nodes n ON e.event_type = n.event_type
+SELECT n.event_type, COALESCE(e.n_edges, 0) AS n_edges, n.n_nodes,
+       COALESCE({sql_roundn("CAST(e.n_edges AS DOUBLE) / n.n_nodes", 6)}, 0.0)
+         AS avg_degree
+FROM nodes n LEFT JOIN estats e ON e.event_type = n.event_type
 """
 
 
