@@ -21,59 +21,67 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check records only the FIRST ~50 registry entries
-# (CORRECTNESS_r01/r02.json each stopped at exactly 50).  Order the registry
-# so the queries that most need a fresh green row come first.  Round-3
-# rotation: the five queries that have NEVER held a driver row (they
-# overflowed the window in rounds 1 and 2) lead, followed by every query
-# whose plan changed or is new this round, then the rest of the registry in
-# module order.  Queries past position ~50 this round all hold green rows
-# from CORRECTNESS_r01 or r02 and are re-checked every round by the repo's
-# own DuckDB-oracle pytest gate (tests/oracle.py).  The overflow set is
-# rotated each round so no entry is permanently invisible to the driver.
+# (CORRECTNESS_r01/r02/r03.json each stopped at exactly 50).  Order the
+# registry so the queries that most need a fresh green row come first.
+# Round-4 rotation: queries whose plan (or registered name) changed this
+# round lead, followed by the 42 queries whose newest driver row is from
+# round 1 (the stalest cohort — VERDICT r03 "Next round" #1).  The round-2
+# cohort (41 queries) rotates into round 5's window.  Everything past
+# position ~50 is re-checked every session by the repo's own DuckDB-oracle
+# pytest gate (tests/oracle.py), which as of round 4 runs at sf0.01 —
+# driver parity.
 _CHECK_FIRST = [
-    # -- never driver-checked (overflowed the r01 and r02 windows): must
-    # land in CORRECTNESS_r03 to complete 104/104 union coverage.
-    "q_events_user_mode",
-    "q_events_voxelize",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_service_levels",
-    # -- new this round
-    "q_fiducial_cut",
-    "q_semantic_dedup_scaled",
-    "q17_small_qty_revenue",
-    "q_paragraph_dedup",
-    "q_boilerplate_shingles",
-    "q_reservoir_per_group",
-    "q_jl_projection",
-    "q_incremental_dedup",
-    "q_bpe_merges",
+    # -- plan or name changed this round; needs a fresh row
+    "q_semantic_dedup",         # canonical swapped to the scale-true plan
+    "q_semantic_dedup_smallk",  # renamed from q_semantic_dedup (fixed-k)
+    "q_neighbor_degree",        # left-join + coalesce-0 for edge-free groups
+    "q_spatial_pairs",          # exact-square dist expression
+    "q_bpe_merges",             # memoized + batched trainer refactor
     "q_bpe_vocab",
-    "q_linear_quality",
-    "q_bigram_pmi",
-    "q_contamination_bloom",
-    "q_paragraph_dedup_text",
-    "q_semantic_dedup_2level",
-    "q_weighted_sample",
-    "q_rfm_segments",
-    "q_spatial_pairs",
-    "q_zorder_cells",
-    "q_token_drift",
-    "q_neighbor_degree",
-    "q_doc_embedding",
-    "q_source_concentration",
-    "q_dedup_cluster_sizes",
-    "q_lang_mismatch",
-    "q_volume_anomaly",
-    "q_customer_pareto",
-    "q_dau_mau",
-    "q_first_touch",
-    # -- plan changed this round; needs a fresh row
-    "q_doc_dedup_decisions",
-    "q_ngram_jaccard_pairs",
-    "q_price_qty_corr",
-    "q_semantic_dedup",
-    "q_exact_quantiles",
+    "q_contamination_bloom",    # bloom m sized from the benchmark gram count
+    # -- stalest driver rows (newest row is CORRECTNESS_r01)
+    "q16_part_supplier_variety",
+    "q15_top_supplier",
+    "q7_nation_volume",
+    "q_sketch_stats",
+    "q_set_ops_customers",
+    "q_string_funcs",
+    "q_rolling_7day_revenue",
+    "q_order_gaps",
+    "q_price_stats",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q19_disjunctive",
+    "q_regex_source_buckets",
+    "q_order_qty_profile",
+    "q_cube_orders",
+    "q_small_quantity_revenue",
+    "q_late_orders_semi",
+    "q_customers_without_orders",
+    "q_rollup_revenue",
+    "q_above_avg_balance",
+    "q_priority_remap",
+    "q_mod_sample",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q_point_lookup",
+    "q_dedup_audit",
+    "q_distinct_segments",
+    "q_sanity_bounds",
+    "q_top_orders_per_customer",
+    "q_cumulative_revenue",
+    "q_events_funnel",
+    "q_latest_event_per_user",
+    "q_stratified_sample",
+    "q_events_gap_fill",
+    "q_event_pairs_10min",
+    "q_events_time_rollup",
+    "q_asof_prev_click",
+    "q_pivot_user_events",
+    "q_unpivot_metrics",
+    "q_events_dow",
 ]
 
 

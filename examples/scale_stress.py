@@ -60,8 +60,8 @@ EMB_STRESS_QUERIES = (
     "q_label_centroids",
     "q_kmeans_clusters",
     "q_embedding_neardup",
-    "q_semantic_dedup",
-    "q_semantic_dedup_scaled",
+    "q_semantic_dedup",          # canonical = scale-true k ∝ n (round 4)
+    "q_semantic_dedup_smallk",   # fixed-k bit-parity form (quadratic)
     "q_semantic_dedup_2level",
 )
 

@@ -6,8 +6,12 @@ import pytest
 
 from ubparquet_spark.session import get_session
 
-SF_SMOKE = os.environ.get("UBSPARK_TEST_SF", "/root/testdata/sf0.001")
-SF_CORRECT = "/root/testdata/sf0.01"
+# The oracle-parametrized tests default to sf0.01 — the SAME scale the
+# driver's CORRECTNESS gate runs at (VERDICT r03 defect #1: the in-repo
+# gate previously defaulted to the 10×-smaller smoke dir). Override with
+# UBSPARK_TEST_SF=/root/testdata/sf0.001 for faster local iteration.
+SF_CORRECT = os.environ.get("UBSPARK_TEST_SF", "/root/testdata/sf0.01")
+SF_SMOKE = SF_CORRECT  # back-compat alias; tests all key off sf_dir
 
 
 @pytest.fixture(scope="session")
@@ -18,4 +22,4 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return SF_SMOKE
+    return SF_CORRECT

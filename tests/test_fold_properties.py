@@ -52,9 +52,9 @@ def test_bpe_fold_matches_python_on_random_sequences(spark):
 def test_bloom_never_rejects_inserted_elements(spark):
     from ubparquet_spark.plans.text import (
         _BLOOM_WORD,
-        BLOOM_M,
         _bloom_hashes_py,
         _bloom_member_expr,
+        bloom_m_for,
     )
 
     rng = random.Random(5)
@@ -66,10 +66,11 @@ def test_bloom_never_rejects_inserted_elements(spark):
         + f" {i}"
         for i in range(300)
     ]
-    bits = [0] * (BLOOM_M // _BLOOM_WORD)
+    m = bloom_m_for(len(inserted))
+    bits = [0] * (m // _BLOOM_WORD)
     for g in inserted:
-        for h in _bloom_hashes_py(g):
+        for h in _bloom_hashes_py(g, m):
             bits[h // _BLOOM_WORD] |= 1 << (h % _BLOOM_WORD)
     df = spark.createDataFrame([(g,) for g in inserted], "g string")
-    n_pass = df.filter(F.expr(_bloom_member_expr(bits, "g"))).count()
+    n_pass = df.filter(F.expr(_bloom_member_expr(bits, "g", m))).count()
     assert n_pass == len(inserted), "bloom produced a false negative"

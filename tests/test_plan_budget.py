@@ -74,8 +74,12 @@ SHUFFLE_BUDGETS = {
     # price of the faster plan — both passes shuffle only the distinct
     # (key, value) distribution, not the raw rows.
     "q_exact_quantiles": 4,
-    # multi-stage pipelines (documented in BENCHNOTES): still bounded
+    # multi-stage pipelines (documented in BENCHNOTES): still bounded.
+    # q_semantic_dedup is the scale-true k ∝ n plan since round 4 (train
+    # rounds + sized/capped cell self-join); the fixed-k bit-parity form
+    # keeps its old budget under the _smallk name.
     "q_semantic_dedup": 10,
+    "q_semantic_dedup_smallk": 10,
     "q_vocab_coverage": 6,
     "q5_local_supplier": 6,
 }

@@ -80,3 +80,45 @@ def test_distributed_rank_matches_window_functions(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_rank_canary_real_table_multi_partition(spark, sf_dir):
+    """Round-2 carry-over canary: at real multi-task scale (sf0.01 orders,
+    32 range partitions) recompute one group's ranks via a plain window
+    and compare against ranked()'s monotonically_increasing_id arithmetic.
+    A Spark upgrade that breaks id-consecutiveness within a partition
+    either trips the in-plan raise_error canary or fails this equality."""
+    from pyspark.sql import Window
+
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.operators.ranks import ranked
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    got = (
+        ranked(
+            orders,
+            ["o_orderpriority"],
+            ["o_totalprice", "o_orderkey"],
+            num_partitions=32,
+        )
+        .filter(F.col("o_orderpriority") == "3-MEDIUM")
+        .select("o_orderkey", "rank")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    expected = (
+        orders.withColumn("rank_w", F.row_number().over(w))
+        .filter(F.col("o_orderpriority") == "3-MEDIUM")
+        .select("o_orderkey", "rank_w")
+    )
+    diff = (
+        got.join(expected, "o_orderkey", "full")
+        .filter(
+            F.col("rank").isNull()
+            | F.col("rank_w").isNull()
+            | (F.col("rank") != F.col("rank_w"))
+        )
+        .count()
+    )
+    assert diff == 0

@@ -126,6 +126,34 @@ def test_bloom_contamination_matches_exact(spark, sf_dir):
         assert b["n_maybe"] >= b["n_overlap"]
 
 
+def test_bloom_fp_rate_bounded(spark):
+    """With m sized from the data (10 bits/gram, k=3) the theoretical FP
+    rate is (1 - e^{-3/10})^3 ≈ 1.7% CONSTANT in benchmark size — the
+    property the fixed-m filter lost as the benchmark grew. Probe with
+    disjoint member/non-member gram sets at two sizes a decade apart and
+    assert the measured FP rate stays under 5% at both."""
+    import pyspark.sql.functions as F
+
+    from ubparquet_spark.plans.text import (
+        _BLOOM_WORD,
+        _bloom_hashes_py,
+        _bloom_member_expr,
+        bloom_m_for,
+    )
+
+    for n in (300, 3000):
+        inserted = [f"gram {i} in" for i in range(n)]
+        probes = [f"gram {i} out" for i in range(n)]
+        m = bloom_m_for(n)
+        bits = [0] * (m // _BLOOM_WORD)
+        for g in inserted:
+            for h in _bloom_hashes_py(g, m):
+                bits[h // _BLOOM_WORD] |= 1 << (h % _BLOOM_WORD)
+        df = spark.createDataFrame([(g,) for g in probes], "g string")
+        fp = df.filter(F.expr(_bloom_member_expr(bits, "g", m))).count()
+        assert fp / n < 0.05, f"FP rate {fp / n:.3f} at n={n} exceeds bound"
+
+
 def test_paragraph_dedup_matches_python_reference(spark, tmp_path):
     """Stats and rebuilt text agree with a direct python implementation of
     the keep rule (global first occurrence by (doc_id, seg_idx)) on a

@@ -1116,7 +1116,7 @@ SEMDEDUP_THRESHOLD = 0.35
 _SEMDEDUP_DIMS = 64  # corpus embedding width (operators/pq.py relies on it)
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup_smallk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents1 = (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
@@ -1197,7 +1197,7 @@ _SEMDEDUP_SQDIST = (
     " i -> (CAST({v}[i] AS DOUBLE) - {c}[i]) * (CAST({v}[i] AS DOUBLE) - {c}[i])))"
 )
 
-Q_SEMANTIC_DEDUP_SQL = f"""
+Q_SEMANTIC_DEDUP_SMALLK_SQL = f"""
 WITH e AS (
   SELECT label,
          generate_subscripts(embedding, 1) - 1 AS dim,
@@ -1240,11 +1240,11 @@ FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
 
 
 # ---------------------------------------------------------------------------
-# Scale-true SemDeDup: the registered q_semantic_dedup above keeps the
-# paper's "cells = class labels" quantizer, which is a FIXED k — within-cell
-# pair work is O(n²/k) and therefore quadratic as the corpus grows (measured
-# 15.4× wall at 10× data, BENCHNOTES.md). This variant is the shape you run
-# at 100 TB:
+# Scale-true SemDeDup — the CANONICAL q_semantic_dedup since round 4.
+# The q_semantic_dedup_smallk variant above keeps the paper's "cells =
+# class labels" quantizer, which is a FIXED k — within-cell pair work is
+# O(n²/k) and therefore quadratic as the corpus grows (measured 15.4× wall
+# at 10× data, BENCHNOTES.md). This plan is the shape you run at 100 TB:
 #
 #   quantizer  k-means (operators/kmeans.py) with k TRACKING corpus size
 #              (k ≈ n / CELL_TARGET, clamped) trained on a 20% mod-sample
@@ -1280,7 +1280,7 @@ SEMDEDUP_ROUNDS = 2          # Lloyd rounds — matches KMEANS_ROUNDS
 SEMDEDUP_TRAIN_MOD = 5       # train on vec_id % 5 == 0 (20% mod-sample)
 
 
-def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.kmeans import (
         assign_clusters,
         assign_clusters_blas,
@@ -1459,7 +1459,11 @@ FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
 """
 
 
-Q_SEMANTIC_DEDUP_SCALED_SQL = _semdedup_scaled_sql()
+Q_SEMANTIC_DEDUP_SQL = _semdedup_scaled_sql()
+
+# backward-compat aliases for the pre-round-4 names
+q_semantic_dedup_scaled = q_semantic_dedup
+Q_SEMANTIC_DEDUP_SCALED_SQL = Q_SEMANTIC_DEDUP_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -1822,16 +1826,20 @@ Q_SEMANTIC_DEDUP_2LEVEL_SQL = _semdedup_2level_sql()
 
 
 QUERIES: dict[str, tuple] = {
+    # CANONICAL SemDeDup = the scale-true k ∝ n plan (round-4 swap per
+    # VERDICT r03: no default-name query may carry a quadratic shape).
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),
+    # the paper's fixed-k "cells = class labels" form, kept as the
+    # small-corpus/bit-parity variant (O(n²/k) within-cell work)
+    "q_semantic_dedup_smallk": (
+        q_semantic_dedup_smallk,
+        Q_SEMANTIC_DEDUP_SMALLK_SQL,
+    ),
     "q_semantic_dedup_2level": (
         q_semantic_dedup_2level,
         Q_SEMANTIC_DEDUP_2LEVEL_SQL,
     ),
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
-    "q_semantic_dedup_scaled": (
-        q_semantic_dedup_scaled,
-        Q_SEMANTIC_DEDUP_SCALED_SQL,
-    ),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),
     "q_ann_ivf_multiprobe": (q_ann_ivf_multiprobe, Q_ANN_IVF_MULTIPROBE_SQL),
     "q_ivf_recall": (q_ivf_recall, Q_IVF_RECALL_SQL),

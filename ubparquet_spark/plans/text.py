@@ -2121,29 +2121,48 @@ LIMIT {PMI_TOP}
 # hashes are engine-identical) so even the false-positive count n_maybe
 # hash-matches. Filter bits are built from a driver collect of the
 # benchmark grams — a bounded artifact (held-out benchmarks are small by
-# definition; m scales as ~10 bits/gram in production).
+# definition).
+#
+# m is SIZED FROM THE DATA at plan-build time (VERDICT r03 #3): the fixed
+# 32k-bit filter saturated as the benchmark grew (measured 2.27× at 10×
+# corpus — false positives flooding the exact join). m = 10 bits/gram
+# (k = 3 → theoretical FP rate (1 - e^{-k/10})^k ≈ 1.7%, constant in
+# benchmark size), word-aligned, floored at 1k bits and capped at 1M bits
+# — past the cap the literal-array form should hand off to a broadcast
+# word table (the benchmark would be ~100k grams by then, no longer a
+# plan-literal-sized artifact).
 # ---------------------------------------------------------------------------
 
-BLOOM_M = 32_768   # bits
-BLOOM_K = 3        # md5-substring hash functions
+BLOOM_BITS_PER_GRAM = 10
+BLOOM_M_MIN = 1_024       # bits
+BLOOM_M_CAP = 1 << 20     # bits; beyond this, broadcast a word table instead
+BLOOM_K = 3               # md5-substring hash functions
 _BLOOM_WORD = 32   # bits per word (shifts stay far from BIGINT sign overflow)
 
 
-def _bloom_hashes_py(g: str) -> list[int]:
+def bloom_m_for(n_grams: int) -> int:
+    """Word-aligned filter size in bits for an n-gram benchmark — integer
+    arithmetic only, so the DuckDB oracle reproduces it exactly."""
+    m = ((BLOOM_BITS_PER_GRAM * n_grams + _BLOOM_WORD - 1)
+         // _BLOOM_WORD) * _BLOOM_WORD
+    return min(BLOOM_M_CAP, max(BLOOM_M_MIN, m))
+
+
+def _bloom_hashes_py(g: str, m: int) -> list[int]:
     import hashlib
 
     h = hashlib.md5(g.encode()).hexdigest()
-    return [int(h[8 * j : 8 * j + 8], 16) % BLOOM_M for j in range(BLOOM_K)]
+    return [int(h[8 * j : 8 * j + 8], 16) % m for j in range(BLOOM_K)]
 
 
-def _bloom_member_expr(bits: list[int], col: str) -> str:
+def _bloom_member_expr(bits: list[int], col: str, m: int) -> str:
     """All-k-bits-set test against a literal word array (JVM-side)."""
     arr = f"array({', '.join(str(w) + 'L' for w in bits)})"
     checks = []
     for j in range(BLOOM_K):
         h = (
             f"(CAST(conv(substring(md5({col}), {8 * j + 1}, 8), 16, 10) AS BIGINT)"
-            f" % {BLOOM_M})"
+            f" % {m})"
         )
         checks.append(
             f"(shiftright(element_at({arr}, CAST({h} DIV {_BLOOM_WORD} AS INT) + 1),"
@@ -2170,15 +2189,19 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("g"))
         .distinct()
     )
-    # bounded driver artifact: the held-out benchmark's distinct shingles
-    bits = [0] * (BLOOM_M // _BLOOM_WORD)
-    for row in bench.collect():
-        for h in _bloom_hashes_py(row["g"]):
+    # bounded driver artifact: the held-out benchmark's distinct shingles;
+    # m tracks the gram count so the FP rate stays constant as the
+    # benchmark grows (the fixed-m filter saturated at 10× corpus)
+    grams = [row["g"] for row in bench.collect()]
+    m = bloom_m_for(len(grams))
+    bits = [0] * (m // _BLOOM_WORD)
+    for g in grams:
+        for h in _bloom_hashes_py(g, m):
             bits[h // _BLOOM_WORD] |= 1 << (h % _BLOOM_WORD)
     cand = base.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("g")
     )
-    survivors = cand.filter(F.expr(_bloom_member_expr(bits, "g")))
+    survivors = cand.filter(F.expr(_bloom_member_expr(bits, "g", m)))
     hits = (
         survivors.join(bench.withColumn("_hit", F.lit(1)), "g", "left")
         .groupBy("doc_id")
@@ -2205,10 +2228,12 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _contamination_bloom_sql() -> str:
     # the oracle BUILDS the same filter in SQL (bit_or over per-gram words)
-    # and applies the same member test — bit-identical to the Spark literals
+    # and applies the same member test — bit-identical to the Spark
+    # literals, including the data-sized m (the msel scalar subquery
+    # reproduces bloom_m_for()'s integer arithmetic exactly)
     h = (
         "(CAST('0x' || substring(md5(g), {start}, 8) AS BIGINT)"
-        f" % {BLOOM_M})"
+        " % (SELECT m FROM msel))"
     )
     hash_rows = " UNION ALL ".join(
         f"SELECT g, {h.format(start=8 * j + 1)} AS hv FROM bench"
@@ -2229,6 +2254,11 @@ WITH base AS (
   FROM documents
 ), bench AS (
   SELECT DISTINCT unnest(grams) AS g FROM base WHERE doc_id % 97 = 0
+), msel AS (
+  SELECT LEAST({BLOOM_M_CAP}, GREATEST({BLOOM_M_MIN},
+           (({BLOOM_BITS_PER_GRAM} * COUNT(*) + {_BLOOM_WORD - 1})
+            // {_BLOOM_WORD}) * {_BLOOM_WORD})) AS m
+  FROM bench
 ), bloomb AS (
   SELECT hv // {_BLOOM_WORD} AS w,
          CAST(bit_or(CAST(1 AS BIGINT) << CAST(hv % {_BLOOM_WORD} AS INT)) AS BIGINT) AS mask
