@@ -39,6 +39,7 @@ _CHECK_FIRST = [
     "q_bpe_merges",             # memoized + batched trainer refactor
     "q_bpe_vocab",
     "q_contamination_bloom",    # bloom m sized from the benchmark gram count
+    "q_bm25_topk",              # new this round (8 siblings rotate into r05)
     # -- stalest driver rows (newest row is CORRECTNESS_r01)
     "q16_part_supplier_variety",
     "q15_top_supplier",

@@ -74,6 +74,16 @@ SHUFFLE_BUDGETS = {
     # price of the faster plan — both passes shuffle only the distinct
     # (key, value) distribution, not the raw rows.
     "q_exact_quantiles": 4,
+    # round-4 additions: recorded at registration
+    "q_yoy_growth": 2,            # year rollup + 7-row lag window
+    "q_interarrival_stats": 2,    # (user,type) lag window + type rollup
+    "q_zipf_fit": 2,              # wordcount + vocab rank window
+    "q_copurchase_pairs": 2,      # distinct (order,brand) + pair counts
+    "q_winsorized_prices": 3,     # value distribution + cum window + clip agg
+    "q_cohort_ltv": 3,            # cohort min + purchase join + rollup
+    "q_bm25_topk": 5,             # postings + df/stats broadcast branches
+    "q_centroid_drift": 5,        # (label,par,dim) + collect + counts
+    "q_embedding_outliers": 6,    # centroid + dists + stats + final rollup
     # multi-stage pipelines (documented in BENCHNOTES): still bounded.
     # q_semantic_dedup is the scale-true k ∝ n plan since round 4 (train
     # rounds + sized/capped cell self-join); the fixed-k bit-parity form

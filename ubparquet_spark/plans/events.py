@@ -1236,7 +1236,109 @@ FROM nodes n LEFT JOIN estats e ON e.event_type = n.event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV: users cohorted by first-activity week; purchase revenue per
+# (cohort_week, week_offset) — the lifetime-value matrix a growth team
+# reads next to the retention triangle. Scale shape: the cohort table is
+# one per-user min (partial-aggregatable), joined back as a user->week map
+# (at 100 TB a shuffle join on user_id; the purchase side is pre-filtered
+# at the scan). Revenue sums exact integer cents.
+# ---------------------------------------------------------------------------
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
+    )
+    return (
+        buys.join(cohort, "user_id")
+        .withColumn(
+            "week_offset",
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS INT)"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.countDistinct("user_id").alias("n_buyers"),
+            (F.sum("vc") / 100.0).alias("revenue"),
+        )
+    )
+
+
+Q_COHORT_LTV_SQL = """
+WITH cohort AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), buys AS (
+  SELECT user_id, date_trunc('week', ts) AS week,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT b.user_id) AS n_buyers,
+       SUM(vc) / 100.0 AS revenue
+FROM buys b JOIN cohort c ON c.user_id = b.user_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per event type: lag over (user, type)
+# ordered by time, gaps in EXACT microseconds (unix_micros / epoch_us are
+# integer in both engines — no timestamp-subtraction double drift; the
+# parquet ts is TIMESTAMP_NTZ, cast under the UTC session TZ = identity),
+# then
+# one partial-aggregatable rollup per type. The window partitions by
+# (user_id, event_type) — millions of small partitions at 100 TB, the
+# scalable case (contrast the single-partition global windows the
+# operators/ranks module exists to avoid).
+# ---------------------------------------------------------------------------
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        roundn(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_s"),
+        (F.min("gap_us") / 1000000.0).alias("min_gap_s"),
+        (F.max("gap_us") / 1000000.0).alias("max_gap_s"),
+    )
+
+
+Q_INTERARRIVAL_SQL = f"""
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       {sql_roundn("AVG(gap_us / 1000000.0)", 4)} AS avg_gap_s,
+       MIN(gap_us) / 1000000.0 AS min_gap_s,
+       MAX(gap_us) / 1000000.0 AS max_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_cohort_ltv": (q_cohort_ltv, Q_COHORT_LTV_SQL),
+    "q_interarrival_stats": (q_interarrival_stats, Q_INTERARRIVAL_SQL),
     "q_rfm_segments": (q_rfm_segments, Q_RFM_SQL),
     "q_spatial_pairs": (q_spatial_pairs, Q_SPATIAL_PAIRS_SQL),
     "q_zorder_cells": (q_zorder_cells, Q_ZORDER_CELLS_SQL),

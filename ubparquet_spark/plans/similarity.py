@@ -1825,7 +1825,189 @@ FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id
 Q_SEMANTIC_DEDUP_2LEVEL_SQL = _semdedup_2level_sql()
 
 
+
+
+# ---------------------------------------------------------------------------
+# Centroid drift: per label, the L2 distance between the centroid of the
+# even-vec_id half and the odd-vec_id half — the train/serve embedding-
+# drift monitor an ML platform runs per model version. Corpus cost is one
+# (label, parity, dim) partial-aggregatable shuffle; the join + distance
+# run over the label-sized centroid tables. Centroids are rounded to 6dp
+# BEFORE the distance (both engines then square identical doubles), and
+# the Spark fold + DuckDB list_sum sum dims in the same index order.
+# ---------------------------------------------------------------------------
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).alias("par"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .groupBy("label", "par", "dim")
+        .agg(roundn(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label", "par")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+            ).alias("cvec"),
+        )
+    )
+    counts = emb.groupBy("label").agg(
+        F.sum(F.expr("CAST(vec_id % 2 = 0 AS INT)")).alias("n_even"),
+        F.sum(F.expr("CAST(vec_id % 2 = 1 AS INT)")).alias("n_odd"),
+    )
+    ev = halves.filter(F.col("par") == 0).select("label", F.col("cvec").alias("ce"))
+    od = halves.filter(F.col("par") == 1).select("label", F.col("cvec").alias("co"))
+    drift = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(ce, co, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    return (
+        ev.join(od, "label")
+        .join(counts, "label")
+        .select("label", "n_even", "n_odd", roundn(drift, 6).alias("drift"))
+    )
+
+
+Q_CENTROID_DRIFT_SQL = """
+WITH e AS (
+  SELECT label, vec_id % 2 AS par,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, par, dim,
+         FLOOR(AVG(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, par, dim
+), carr AS (
+  SELECT label, par, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label, par
+), counts AS (
+  SELECT label,
+         CAST(SUM(CAST(vec_id % 2 = 0 AS INT)) AS BIGINT) AS n_even,
+         CAST(SUM(CAST(vec_id % 2 = 1 AS INT)) AS BIGINT) AS n_odd
+  FROM embeddings GROUP BY label
+)
+SELECT a.label, counts.n_even, counts.n_odd,
+       FLOOR(SQRT(list_sum(list_transform(range(1, len(a.cvec) + 1),
+             i -> (a.cvec[i] - b.cvec[i]) * (a.cvec[i] - b.cvec[i]))))
+             * 1000000 + 0.5) / 1000000 AS drift
+FROM carr a
+JOIN carr b ON a.label = b.label AND a.par = 0 AND b.par = 1
+JOIN counts ON counts.label = a.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers: distance of every vector to its label centroid,
+# flagged past mean + 2σ — the mislabeled/corrupt-vector audit run before
+# training. Scale shape: centroid and distance-stat aggregations are both
+# partial-aggregatable label-keyed shuffles; the stats join back as a
+# label-sized broadcast. Distances quantize to exact integer micro-units
+# so Σd and Σd² are order-independent and both engines derive bit-equal
+# thresholds.
+# ---------------------------------------------------------------------------
+
+OUTLIER_SIGMA = 2.0
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(roundn(F.avg(F.col("v").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)"
+            ).alias("cvec")
+        )
+    )
+    dist = F.sqrt(
+        F.expr(
+            "aggregate(zip_with(embedding, cvec, (x, y) ->"
+            " (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    )
+    d6 = F.expr("CAST(floor(_dist * 1000000 + 0.5) AS BIGINT)")
+    dists = (
+        emb.join(F.broadcast(cents), "label")
+        .select("label", dist.alias("_dist"))
+        .select("label", d6.alias("d6"))
+    )
+    stats = dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("d6").alias("sd"),
+        F.sum(F.col("d6") * F.col("d6")).alias("sdd"),
+        F.max("d6").alias("maxd"),
+    )
+    mean = F.col("sd").cast("double") / F.col("n_vecs")
+    var = (
+        F.col("sdd").cast("double") / F.col("n_vecs") - mean * mean
+    )
+    thr = mean + OUTLIER_SIGMA * F.sqrt(var)
+    return (
+        dists.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            roundn(F.max(mean) / 1000000.0, 6).alias("avg_dist"),
+            roundn(F.max(F.sqrt(var)) / 1000000.0, 6).alias("std_dist"),
+            F.sum(F.when(F.col("d6") > thr, 1).otherwise(0)).alias("n_outliers"),
+            (F.max("maxd") / 1000000.0).alias("max_dist"),
+        )
+    )
+
+
+Q_EMBEDDING_OUTLIERS_SQL = f"""
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         UNNEST(embedding) AS v
+  FROM embeddings
+), cent AS (
+  SELECT label, dim,
+         FLOOR(AVG(CAST(v AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS cv
+  FROM e GROUP BY label, dim
+), carr AS (
+  SELECT label, list(cv ORDER BY dim) AS cvec FROM cent GROUP BY label
+), dists AS (
+  SELECT emb.label,
+         CAST(FLOOR(SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> (CAST(embedding[i] AS DOUBLE) - cvec[i])
+                   * (CAST(embedding[i] AS DOUBLE) - cvec[i]))))
+              * 1000000 + 0.5) AS BIGINT) AS d6
+  FROM embeddings emb JOIN carr ON carr.label = emb.label
+), stats AS (
+  SELECT label, COUNT(*) AS n_vecs, SUM(d6) AS sd,
+         SUM(CAST(d6 AS HUGEINT) * d6) AS sdd, MAX(d6) AS maxd
+  FROM dists GROUP BY label
+)
+SELECT d.label,
+       MAX(n_vecs) AS n_vecs,
+       {sql_roundn("MAX(CAST(sd AS DOUBLE) / n_vecs) / 1000000.0", 6)} AS avg_dist,
+       {sql_roundn(
+           "MAX(SQRT(CAST(sdd AS DOUBLE) / n_vecs"
+           " - (CAST(sd AS DOUBLE) / n_vecs) * (CAST(sd AS DOUBLE) / n_vecs)))"
+           " / 1000000.0", 6)} AS std_dist,
+       SUM(CASE WHEN d6 > CAST(sd AS DOUBLE) / n_vecs
+                + {OUTLIER_SIGMA} * SQRT(CAST(sdd AS DOUBLE) / n_vecs
+                  - (CAST(sd AS DOUBLE) / n_vecs) * (CAST(sd AS DOUBLE) / n_vecs))
+                THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+       MAX(maxd) / 1000000.0 AS max_dist
+FROM dists d JOIN stats USING (label)
+GROUP BY d.label
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_centroid_drift": (q_centroid_drift, Q_CENTROID_DRIFT_SQL),
+    "q_embedding_outliers": (q_embedding_outliers, Q_EMBEDDING_OUTLIERS_SQL),
     # CANONICAL SemDeDup = the scale-true k ∝ n plan (round-4 swap per
     # VERDICT r03: no default-name query may carry a quadratic shape).
     "q_semantic_dedup": (q_semantic_dedup, Q_SEMANTIC_DEDUP_SQL),

@@ -2686,7 +2686,174 @@ WHERE pred_lang <> lang
 Q_LANG_MISMATCH_SQL = _lang_mismatch_sql()
 
 
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (Robertson/Sparck Jones; the Lucene variant:
+# idf = ln(1 + (N - df + 0.5)/(df + 0.5))) for a literal query-term set.
+# Scale shape: the term filter applies AT THE EXPLODE (only query-term
+# postings survive into the shuffle), df/N/avgdl are tiny broadcast
+# aggregates, and the final top-k is TakeOrdered — the corpus never sorts
+# globally. Ranking uses the ROUNDED score with doc_id tiebreak so both
+# engines cut the same top-k under ulp-level libm differences.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("join", "hash", "scan", "filter")
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_TOP = 20
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).alias("dl"), tokens_col().alias("toks")
+    )
+    post = (
+        docs.select("doc_id", "dl", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    df_tab = post.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    term_score = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(df_tab), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            roundn(F.sum(term_score), 6).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP)
+
+
+Q_BM25_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         string_split(text, ' ') AS toks
+  FROM documents
+), post AS (
+  SELECT doc_id, dl, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl, UNNEST(toks) AS tok FROM docs)
+  WHERE tok IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, dl, tok
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs
+), dfs AS (
+  SELECT tok, COUNT(*) AS df FROM post GROUP BY tok
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit,
+       {sql_roundn(
+           "SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+           f" * (tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B}"
+           f" + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))))", 6)}
+         AS bm25
+FROM post JOIN dfs USING (tok) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the vocabulary
+# (the corpus-health check that a token distribution looks natural-
+# language-shaped, slope ≈ -1). The corpus contributes ONE wordcount
+# shuffle; the rank window and regression sums run over the VOCABULARY
+# (types ≪ tokens, Heaps' law). Regression sums are computed in exact
+# scaled-integer / decimal arithmetic so they are order-independent —
+# double summation over an unordered vocab would hash-differ per engine.
+# ---------------------------------------------------------------------------
+
+_ZIPF_SCALE = 10**12
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    pts = vocab.withColumn("rank", F.row_number().over(w)).select(
+        F.expr(f"CAST(floor(ln(rank) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("x"),
+        F.expr(f"CAST(floor(ln(c) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / _ZIPF_SCALE
+    sy = F.col("sy").cast("double") / _ZIPF_SCALE
+    sxy = F.col("sxy").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
+    sxx = F.col("sxx").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
+    syy = F.col("syy").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return sums.select(
+        F.col("n").alias("n_types"),
+        roundn(cov / varx, 6).alias("zipf_slope"),
+        roundn((sy - (cov / varx) * sx) / n, 6).alias("intercept"),
+        roundn(cov * cov / (varx * vary), 6).alias("r2"),
+    )
+
+
+Q_ZIPF_SQL = f"""
+WITH vocab AS (
+  SELECT tok, COUNT(*) AS c
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+), pts AS (
+  SELECT CAST(FLOOR(LN(ROW_NUMBER() OVER (ORDER BY c DESC, tok)) * {_ZIPF_SCALE} + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(c) * {_ZIPF_SCALE} + 0.5) AS BIGINT) AS y
+  FROM vocab
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts
+), d AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / {_ZIPF_SCALE} AS sxd,
+         CAST(sy AS DOUBLE) / {_ZIPF_SCALE} AS syd,
+         CAST(sxy AS DOUBLE) / ({_ZIPF_SCALE}.0 * {_ZIPF_SCALE}) AS sxyd,
+         CAST(sxx AS DOUBLE) / ({_ZIPF_SCALE}.0 * {_ZIPF_SCALE}) AS sxxd,
+         CAST(syy AS DOUBLE) / ({_ZIPF_SCALE}.0 * {_ZIPF_SCALE}) AS syyd,
+         n
+  FROM sums
+)
+SELECT n AS n_types,
+       {sql_roundn("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6)} AS zipf_slope,
+       {sql_roundn("(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd", 6)} AS intercept,
+       {sql_roundn("(nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)"
+                   " / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))", 6)} AS r2
+FROM d
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_bm25_topk": (q_bm25_topk, Q_BM25_SQL),
+    "q_zipf_fit": (q_zipf_fit, Q_ZIPF_SQL),
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),
     "q_vocab_coverage": (q_vocab_coverage, Q_VOCAB_COVERAGE_SQL),
     "q_crossdoc_spans": (q_crossdoc_spans, Q_CROSSDOC_SPANS_SQL),

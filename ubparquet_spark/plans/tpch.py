@@ -2152,7 +2152,183 @@ FROM top
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue growth: yearly rollup + lag on the YEAR-grain
+# aggregate. The window runs over ~7 rows (one per year), never the fact
+# table — the 100 TB cost is the one partial-aggregatable year shuffle.
+# Growth is computed on exact integer cents and only the ratio is rounded,
+# so both engines round the same rational.
+# ---------------------------------------------------------------------------
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = (
+        orders.groupBy(F.year("o_orderdate").alias("year"))
+        .agg(F.sum(cents("o_totalprice")).alias("_rc"),
+             F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy("year")
+    prev = F.lag("_rc").over(w)
+    return yearly.select(
+        "year",
+        (F.col("_rc") / 100.0).alias("revenue"),
+        "n_orders",
+        (prev / 100.0).alias("prev_revenue"),
+        roundn((F.col("_rc") - prev) / prev * 100.0, 4).alias("yoy_pct"),
+    )
+
+
+Q_YOY_GROWTH_SQL = f"""
+WITH yearly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS year,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rc,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(year AS INT) AS year,
+       rc / 100.0 AS revenue,
+       n_orders,
+       LAG(rc) OVER (ORDER BY year) / 100.0 AS prev_revenue,
+       {sql_roundn("CAST(rc - LAG(rc) OVER (ORDER BY year) AS DOUBLE)"
+                   " / LAG(rc) OVER (ORDER BY year) * 100.0", 4)} AS yoy_pct
+FROM yearly
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-purchase pairs: brands co-occurring within an order.
+# Shape at 100 TB: lineitem joins the broadcast part dim for the brand,
+# the distinct (order, brand) set shuffles ONCE on orderkey, and the
+# within-order pair fan-out is bounded by the brand cardinality (25), so
+# the self-join is collect_set + explode of pairs per order — never a
+# fact×fact shuffle join. Top pairs via TakeOrdered, not a global sort.
+# ---------------------------------------------------------------------------
+
+COPURCHASE_TOP = 20
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    # per-order sorted brand set -> all a<b pairs, exploded JVM-side
+    pairs = (
+        ob.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), "brand_a", "brand_b"
+    ).limit(COPURCHASE_TOP)
+
+
+Q_COPURCHASE_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_orders
+FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY 1, 2
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT {COPURCHASE_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized price statistics: robust mean/stddev of o_totalprice after
+# clipping to exact [p05, p95]. Percentiles come from the VALUE
+# DISTRIBUTION (groupBy value -> counts -> running total over the distinct
+# cents domain — the operators/quantiles technique), so the expensive pass
+# shuffles only distinct values, and the clip+agg second pass is one
+# partial-aggregatable scan with the two cut points as a broadcast row.
+# Lower-nearest-rank percentile definition mirrors exactly in SQL.
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pc = orders.select(cents("o_totalprice").alias("v"))
+    dist = pc.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    # nearest-rank (ceil) percentile: smallest v with cum >= ceil(q * n)
+    cuts = cum.select(
+        F.min(F.when(F.col("cum") >= F.ceil(WINSOR_LO * F.col("n")), F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.ceil(WINSOR_HI * F.col("n")), F.col("v"))).alias("hi"),
+    )
+    clipped = pc.crossJoin(F.broadcast(cuts)).select(
+        F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("cv"),
+        "lo", "hi",
+    )
+    return clipped.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        roundn(F.avg(F.col("cv") / 100.0), 4).alias("winsor_mean"),
+        roundn(
+            F.sqrt(
+                (F.sum((F.col("cv") / 100.0) * (F.col("cv") / 100.0))
+                 - F.sum(F.col("cv") / 100.0) * F.sum(F.col("cv") / 100.0)
+                 / F.count(F.lit(1)))
+                / F.count(F.lit(1))
+            ),
+            4,
+        ).alias("winsor_std"),
+    ).select(
+        (F.col("lo") / 100.0).alias("p05"),
+        (F.col("hi") / 100.0).alias("p95"),
+        "n_orders", "winsor_mean", "winsor_std",
+    )
+
+
+Q_WINSORIZED_SQL = f"""
+WITH pc AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders
+), dist AS (
+  SELECT v, COUNT(*) AS c FROM pc GROUP BY v
+), cum AS (
+  SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM dist
+), cuts AS (
+  SELECT MIN(CASE WHEN cum >= CEIL({WINSOR_LO} * n) THEN v END) AS lo,
+         MIN(CASE WHEN cum >= CEIL({WINSOR_HI} * n) THEN v END) AS hi
+  FROM cum
+), clipped AS (
+  SELECT GREATEST(lo, LEAST(hi, v)) AS cv, lo, hi FROM pc CROSS JOIN cuts
+)
+SELECT lo / 100.0 AS p05, hi / 100.0 AS p95,
+       COUNT(*) AS n_orders,
+       {sql_roundn("AVG(cv / 100.0)", 4)} AS winsor_mean,
+       {sql_roundn(
+           "SQRT((SUM((cv / 100.0) * (cv / 100.0))"
+           " - SUM(cv / 100.0) * SUM(cv / 100.0) / COUNT(*)) / COUNT(*))", 4)}
+         AS winsor_std
+FROM clipped GROUP BY lo, hi
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_yoy_growth": (q_yoy_growth, Q_YOY_GROWTH_SQL),
+    "q_copurchase_pairs": (q_copurchase_pairs, Q_COPURCHASE_SQL),
+    "q_winsorized_prices": (q_winsorized_prices, Q_WINSORIZED_SQL),
     "q_customer_pareto": (q_customer_pareto, Q_CUSTOMER_PARETO_SQL),
     "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
     "q20_excess_suppliers": (q20_excess_suppliers, Q20_SQL),
