@@ -84,6 +84,11 @@ SHUFFLE_BUDGETS = {
     "q_bm25_topk": 5,             # postings + df/stats broadcast branches
     "q_centroid_drift": 5,        # (label,par,dim) + collect + counts
     "q_embedding_outliers": 6,    # centroid + dists + stats + final rollup
+    # iterative showcase: ONE corpus aggregation (checkpointed), then each
+    # of the 3 unrolled power iterations shuffles only the ≤C(brands,2)-row
+    # edge/rank artifacts — per-iteration exchanges are the honest cost
+    # model of distributed PageRank (Pregel shape), tiny here by design
+    "q_brand_pagerank": 19,
     # multi-stage pipelines (documented in BENCHNOTES): still bounded.
     # q_semantic_dedup is the scale-true k ∝ n plan since round 4 (train
     # rounds + sized/capped cell self-join); the fixed-k bit-parity form

@@ -2325,7 +2325,140 @@ FROM clipped GROUP BY lo, hi
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the brand co-purchase graph — the iterative-algorithm
+# showcase. The CORPUS work is one distinct (order, brand) aggregation;
+# the graph itself (≤ C(brands, 2) edges) is a bounded artifact, so each
+# power iteration is a broadcast join over the edge table, unrolled a
+# fixed PAGERANK_ROUNDS times in-plan (no collect of ranks).
+#
+# Cross-engine determinism: ALL-INTEGER arithmetic. Edge weights
+# normalize to ppm of the source's out-weight (floor), ranks live in
+# 1e-12 units, the damping step is (S * 85) // 100 and the teleport term
+# 150e9 // N — every operation is exact BIGINT in both engines, so three
+# chained iterations stay bit-identical with no rounding policy at all.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ROUNDS = 3
+_PR_ONE = 10**12        # rank unit
+_PR_PPM = 10**6         # edge-weight normalization grain
+
+
+def q_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    # symmetric weighted edges; bounded artifact (brand-pair grain), so the
+    # checkpoint caps the corpus aggregation to ONE execution for all rounds
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") != F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("src"), F.col("b.p_brand").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    wn = edges.join(F.broadcast(outw), "src").select(
+        "src", "dst",
+        F.expr(f"CAST((w * {_PR_PPM}) DIV ow AS BIGINT)").alias("wn"),
+    )
+    nodes = edges.select(F.col("src").alias("brand")).distinct()
+    n_tab = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.crossJoin(F.broadcast(n_tab)).select(
+        "brand", "n", F.expr(f"CAST({_PR_ONE} DIV n AS BIGINT)").alias("r")
+    )
+    for _ in range(PAGERANK_ROUNDS):
+        contrib = (
+            wn.join(
+                F.broadcast(ranks.select(F.col("brand").alias("src"), "r")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.expr(f"CAST((r * wn) DIV {_PR_PPM} AS BIGINT)")).alias("s"))
+        )
+        ranks = (
+            ranks.join(
+                F.broadcast(contrib.select(F.col("dst").alias("brand"), "s")),
+                "brand",
+                "left",
+            )
+            .select(
+                "brand", "n",
+                F.expr(
+                    f"CAST(150000000000 DIV n + (coalesce(s, 0) * 85) DIV 100"
+                    " AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    deg = edges.groupBy(F.col("src").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_neighbors")
+    )
+    return ranks.join(deg, "brand").select(
+        "brand",
+        "n_neighbors",
+        (F.col("r") / float(_PR_ONE)).alias("pagerank"),
+    )
+
+
+def _pagerank_sql() -> str:
+    parts = [f"""ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), edges AS (
+  SELECT a.p_brand AS src, b.p_brand AS dst, COUNT(*) AS w
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand != b.p_brand
+  GROUP BY 1, 2
+), outw AS (
+  SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+), wn AS (
+  SELECT src, dst, (w * {_PR_PPM}) // ow AS wn
+  FROM edges JOIN outw USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS brand FROM edges
+), n_tab AS (
+  SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+  SELECT brand, n, {_PR_ONE} // n AS r FROM nodes CROSS JOIN n_tab
+)"""]
+    for k in range(1, PAGERANK_ROUNDS + 1):
+        prev = f"r{k - 1}"
+        parts.append(f"""s{k} AS (
+  SELECT wn.dst, SUM((p.r * wn.wn) // {_PR_PPM}) AS s
+  FROM wn JOIN {prev} p ON p.brand = wn.src
+  GROUP BY wn.dst
+), r{k} AS (
+  SELECT p.brand, p.n,
+         150000000000 // p.n + (COALESCE(s{k}.s, 0) * 85) // 100 AS r
+  FROM {prev} p LEFT JOIN s{k} ON s{k}.dst = p.brand
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT r.brand,
+       (SELECT COUNT(*) FROM edges e WHERE e.src = r.brand) AS n_neighbors,
+       CAST(r AS DOUBLE) / {float(_PR_ONE)} AS pagerank
+FROM r{PAGERANK_ROUNDS} r
+"""
+    )
+
+
+Q_BRAND_PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "q_brand_pagerank": (q_brand_pagerank, Q_BRAND_PAGERANK_SQL),
     "q_yoy_growth": (q_yoy_growth, Q_YOY_GROWTH_SQL),
     "q_copurchase_pairs": (q_copurchase_pairs, Q_COPURCHASE_SQL),
     "q_winsorized_prices": (q_winsorized_prices, Q_WINSORIZED_SQL),
