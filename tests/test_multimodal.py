@@ -202,3 +202,30 @@ def test_real_audio_path_end_to_end(spark):
         )
         # band energies are fractions of total power
         assert abs(sum(g["band_energy"]) - 1.0) < 1e-3
+
+
+def test_wav_roundtrip_property():
+    """Property: any int16 sample block (mono or stereo, any sample rate)
+    survives encode->decode exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ubparquet_spark.functions.multimodal import decode_wav, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        ch=st.integers(min_value=1, max_value=2),
+        sr=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, ch, sr, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+        x, got_sr = decode_wav(encode_wav(samples if ch > 1 else samples[:, 0], sr))
+        assert got_sr == sr
+        assert x.shape == (n, ch)
+        np.testing.assert_allclose(x, samples / 32768.0)
+
+    check()

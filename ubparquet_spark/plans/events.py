@@ -1336,7 +1336,134 @@ GROUP BY event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value (TWAP) per event type: integral of the
+# last-observation-carried-forward value over the observation span,
+# divided by the span — the financial/metrics convention when samples are
+# irregular. Each value holds from its event until the next event of the
+# SAME type (global per type, not per user). Weights are EXACT integer
+# microseconds (lag over the type-keyed window), the value is exact
+# integer cents, and the (cents × micros) products sum in DECIMAL(38,0) —
+# order-independent, so both engines produce the identical rational
+# before the single final division.
+# ---------------------------------------------------------------------------
+
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    seg = ev.withColumn("next_us", F.lead("us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dur = F.col("next_us") - F.col("us")
+    dec = F.col("vc").cast("decimal(38,0)") * dur.cast("decimal(38,0)")
+    return seg.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        (F.sum(dur) / 1000000.0).alias("span_s"),
+        roundn(
+            F.sum(dec).cast("double") / F.sum(dur).cast("double") / 100.0, 6
+        ).alias("twap"),
+    )
+
+
+Q_TWAP_SQL = f"""
+WITH seg AS (
+  SELECT event_type,
+         epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+         LEAD(epoch_us(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+         ) AS next_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_segments,
+       SUM(next_us - us) / 1000000.0 AS span_s,
+       {sql_roundn(
+           "CAST(SUM(CAST(vc AS HUGEINT) * (next_us - us)) AS DOUBLE)"
+           " / CAST(SUM(next_us - us) AS DOUBLE) / 100.0", 6)} AS twap
+FROM seg WHERE next_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency: per user, the gap between the FIRST signup and the
+# first purchase AFTER it; rolled up to count/mean/median. Scale shape:
+# two per-user min-aggregations (partial-aggregatable; the purchase min is
+# conditional on the signup time, computed after one user-keyed join of
+# two pre-filtered scans), then the median via the same value-
+# DISTRIBUTION technique as q_winsorized_prices — the final window runs
+# over distinct gap values, not users. Gaps are exact integer seconds.
+# ---------------------------------------------------------------------------
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("s_us"))
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("b_us")
+    )
+    gaps = (
+        buys.join(signup, "user_id")
+        .filter(F.col("b_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("b_us") - F.col("s_us")).alias("gap_us"))
+        .select(F.expr("gap_us DIV 1000000").alias("gap_s"))
+    )
+    dist = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    ).withColumn("sv", F.sum(F.col("gap_s") * F.col("c")).over(Window.partitionBy()))
+    return cum.select(
+        F.max("n").alias("n_converted"),
+        roundn(F.max(F.col("sv").cast("double") / F.col("n")), 4).alias("mean_gap_s"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n") / 2.0), F.col("gap_s"))
+        ).alias("median_gap_s"),
+    )
+
+
+Q_TIME_TO_CONVERT_SQL = f"""
+WITH signup AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), gaps AS (
+  SELECT b.user_id,
+         MIN(epoch_us(b.ts) - s.s_us) // 1000000 AS gap_s
+  FROM events b JOIN signup s ON s.user_id = b.user_id
+  WHERE b.event_type = 'purchase' AND epoch_us(b.ts) >= s.s_us
+  GROUP BY b.user_id
+), dist AS (
+  SELECT gap_s, COUNT(*) AS c FROM gaps GROUP BY gap_s
+), cum AS (
+  SELECT gap_s, c,
+         SUM(c) OVER (ORDER BY gap_s) AS cum,
+         SUM(c) OVER () AS n,
+         SUM(gap_s * c) OVER () AS sv
+  FROM dist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+       {sql_roundn("MAX(CAST(sv AS DOUBLE) / n)", 4)} AS mean_gap_s,
+       MIN(CASE WHEN cum >= CEIL(n / 2.0) THEN gap_s END) AS median_gap_s
+FROM cum
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_twap": (q_twap, Q_TWAP_SQL),
+    "q_time_to_convert": (q_time_to_convert, Q_TIME_TO_CONVERT_SQL),
     "q_cohort_ltv": (q_cohort_ltv, Q_COHORT_LTV_SQL),
     "q_interarrival_stats": (q_interarrival_stats, Q_INTERARRIVAL_SQL),
     "q_rfm_segments": (q_rfm_segments, Q_RFM_SQL),
