@@ -102,3 +102,43 @@ def test_save_npz_size_guard(spark, tmp_path):
     # under the limit (and with the guard disabled) it writes fine
     save_npz(df, str(tmp_path / "ok.npz"), max_rows=1000)
     assert np.load(str(tmp_path / "ok.npz"))["id"].shape == (100,)
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    """A 64-small-file dataset compacts to the byte-sized target count with
+    identical rows; partitioned compaction yields few files per dir."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.io import compact_parquet, dir_bytes, load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    shattered = str(tmp_path / "shattered")
+    li.repartition(64).write.parquet(shattered)
+    assert len(glob.glob(f"{shattered}/*.parquet")) == 64
+
+    total = dir_bytes(spark, shattered)
+    assert total > 0
+    compacted = str(tmp_path / "compacted")
+    # target half the total so exactly 2 files are requested
+    n = compact_parquet(spark, shattered, compacted,
+                        target_file_bytes=(total + 1) // 2)
+    assert n == 2
+    got = len(glob.glob(f"{compacted}/*.parquet"))
+    assert got <= 2
+    a = spark.read.parquet(shattered)
+    b = spark.read.parquet(compacted)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # partitioned: one directory per l_returnflag, few files within each
+    part_out = str(tmp_path / "by_flag")
+    compact_parquet(spark, shattered, part_out,
+                    target_file_bytes=total, partition_by=["l_returnflag"])
+    flags = [r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()]
+    for f in flags:
+        files = glob.glob(f"{part_out}/l_returnflag={f}/*.parquet")
+        assert 1 <= len(files) <= 2, files
+    c = spark.read.parquet(part_out).drop("l_returnflag")
+    assert c.count() == a.count()
