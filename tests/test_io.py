@@ -121,12 +121,14 @@ def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
     total = dir_bytes(spark, shattered)
     assert total > 0
     compacted = str(tmp_path / "compacted")
-    # target half the total so exactly 2 files are requested
+    # target half the total: 2 tasks requested; the per-file record cap
+    # may split a task once more, but the 64-file mess must collapse to a
+    # handful — and the return value must be the ACTUAL file count
     n = compact_parquet(spark, shattered, compacted,
                         target_file_bytes=(total + 1) // 2)
-    assert n == 2
     got = len(glob.glob(f"{compacted}/*.parquet"))
-    assert got <= 2
+    assert got == n
+    assert 2 <= n <= 6
     a = spark.read.parquet(shattered)
     b = spark.read.parquet(compacted)
     assert a.count() == b.count()
@@ -139,6 +141,31 @@ def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
     flags = [r["l_returnflag"] for r in li.select("l_returnflag").distinct().collect()]
     for f in flags:
         files = glob.glob(f"{part_out}/l_returnflag={f}/*.parquet")
-        assert 1 <= len(files) <= 2, files
+        assert 1 <= len(files) <= 4, files
     c = spark.read.parquet(part_out).drop("l_returnflag")
     assert c.count() == a.count()
+
+
+def test_compact_parquet_record_cap_splits_hot_partition(spark, sf_dir, tmp_path):
+    """A skewed partition value must NOT become one giant file: the
+    record-per-file cap derived from target_file_bytes splits it."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.io import compact_parquet, dir_bytes, load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "hot", F.lit("all-one-value")
+    )
+    src = str(tmp_path / "skew_src")
+    li.repartition(16).write.parquet(src)
+    total = dir_bytes(spark, src)
+    out = str(tmp_path / "skew_out")
+    # target 1/4 of the bytes -> the single hot partition dir must hold
+    # multiple ~quarter-sized files, not one everything-file
+    compact_parquet(spark, src, out, target_file_bytes=(total + 3) // 4,
+                    partition_by=["hot"])
+    files = glob.glob(f"{out}/hot=all-one-value/*.parquet")
+    assert len(files) >= 2, files
+    assert spark.read.parquet(out).count() == li.count()

@@ -227,10 +227,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(payload[i:j])
         i = j
     # exactly ONE whitespace byte separates maxval from the raster (netpbm
-    # spec) — a '#' here means a malformed comment-before-raster, and a
-    # CRLF writer would put raster data one byte early; validate both.
+    # spec). Deviations handled explicitly: a '#' here is a malformed
+    # comment-before-raster (rejected); a CRLF-writing encoder emits two
+    # separator bytes — disambiguated from a genuine 0x0A first raster
+    # byte by the exact byte count (a shifted read would otherwise corrupt
+    # every pixel silently).
     if not payload[i : i + 1].isspace():
         raise ValueError("malformed PPM/PGM: maxval not followed by whitespace")
+    sep = payload[i : i + 1]
     i += 1
     if payload[i : i + 1] == b"#":
         raise ValueError(
@@ -240,6 +244,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     n = w * h * (3 if is_rgb else 1)
+    if (
+        sep == b"\r"
+        and payload[i : i + 1] == b"\n"
+        and len(payload) - i == n + 1
+    ):
+        i += 1  # CRLF header: the LF is separator, not the first sample
     if len(payload) - i < n:
         raise ValueError(
             f"truncated PPM/PGM raster: need {n} bytes, have {len(payload) - i}"

@@ -151,14 +151,20 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     sort_within_partitions_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Parquet sink (S4/S5). Reference wrote GZIP single files
     (``root2parquet.py:85``); distributed writes partition the output, and
     sorting within partitions on the event key keeps Parquet row-group stats
-    tight so later point lookups prune (SURVEY.md §4 pain point)."""
+    tight so later point lookups prune (SURVEY.md §4 pain point).
+    ``max_records_per_file`` caps file size independently of task layout —
+    the guard against one hot partition value landing as a single giant
+    file."""
     if sort_within_partitions_by:
         df = df.sortWithinPartitions(*sort_within_partitions_by)
     writer = df.write.mode(mode).option("compression", compression)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
@@ -244,15 +250,26 @@ def compact_parquet(
     needs (thousands of per-microbatch files otherwise dominate scan
     planning and NameNode/liststore costs at 100 TB).
 
-    Sizing comes from the SOURCE's on-disk bytes (Hadoop FS metadata only,
-    no data read), so the rewrite is one job: read -> repartition to
-    ceil(bytes/target) -> write. With ``partition_by`` the repartition
-    keys on the partition columns so each output directory receives
-    coherent, few files. Returns the file count written."""
+    Sizing comes from SOURCE metadata only (Hadoop FS byte totals + the
+    parquet-footer row count), so the rewrite is one job: read ->
+    repartition to ceil(bytes/target) -> write with ``maxRecordsPerFile``
+    ≈ target_file_bytes / bytes-per-row. The record cap is what makes the
+    size promise hold under ``partition_by`` skew: a hot partition value
+    concentrates in one task but still splits into ~target-sized files
+    instead of one giant one. Returns the ACTUAL parquet file count
+    written to ``dst`` (listed back from the filesystem — the repartition
+    request is not what a partitioned or empty-task write produces)."""
     import math
 
     df = read_parquet(spark, src)
-    n_files = max(1, math.ceil(dir_bytes(spark, src) / target_file_bytes))
+    total = dir_bytes(spark, src)
+    n_rows = df.count()  # parquet footer metadata, no data scan
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    max_records = (
+        max(1, int(target_file_bytes / max(total / n_rows, 1e-9)))
+        if n_rows
+        else None
+    )
     if partition_by:
         parts = [F.col(c) for c in partition_by]
         df = df.repartition(n_files, *parts)
@@ -264,5 +281,14 @@ def compact_parquet(
         compression=compression,
         partition_by=partition_by,
         sort_within_partitions_by=sort_within_partitions_by,
+        max_records_per_file=max_records,
     )
-    return n_files
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    written = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            written += 1
+    return written

@@ -1310,9 +1310,13 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
         F.col("gap_us").isNotNull()
     )
+    # Σgap_us stays exact BIGINT; ONE division at the end — an AVG over
+    # per-row doubles would be partial-aggregation-order-dependent
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        roundn(F.avg(F.col("gap_us") / 1000000.0), 4).alias("avg_gap_s"),
+        roundn(
+            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 4
+        ).alias("avg_gap_s"),
         (F.min("gap_us") / 1000000.0).alias("min_gap_s"),
         (F.max("gap_us") / 1000000.0).alias("max_gap_s"),
     )
@@ -1328,7 +1332,7 @@ WITH gaps AS (
 )
 SELECT event_type,
        COUNT(*) AS n_gaps,
-       {sql_roundn("AVG(gap_us / 1000000.0)", 4)} AS avg_gap_s,
+       {sql_roundn("CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0", 4)} AS avg_gap_s,
        MIN(gap_us) / 1000000.0 AS min_gap_s,
        MAX(gap_us) / 1000000.0 AS max_gap_s
 FROM gaps WHERE gap_us IS NOT NULL

@@ -1947,8 +1947,11 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("d6").alias("maxd"),
     )
     mean = F.col("sd").cast("double") / F.col("n_vecs")
-    var = (
-        F.col("sdd").cast("double") / F.col("n_vecs") - mean * mean
+    # greatest(·, 0): an all-equal-distance label would otherwise produce
+    # var = -ε from the double mean², and sqrt(-ε) = NaN in both engines
+    var = F.greatest(
+        F.col("sdd").cast("double") / F.col("n_vecs") - mean * mean,
+        F.lit(0.0),
     )
     thr = mean + OUTLIER_SIGMA * F.sqrt(var)
     return (
@@ -1992,12 +1995,12 @@ SELECT d.label,
        MAX(n_vecs) AS n_vecs,
        {sql_roundn("MAX(CAST(sd AS DOUBLE) / n_vecs) / 1000000.0", 6)} AS avg_dist,
        {sql_roundn(
-           "MAX(SQRT(CAST(sdd AS DOUBLE) / n_vecs"
-           " - (CAST(sd AS DOUBLE) / n_vecs) * (CAST(sd AS DOUBLE) / n_vecs)))"
+           "MAX(SQRT(GREATEST(CAST(sdd AS DOUBLE) / n_vecs"
+           " - (CAST(sd AS DOUBLE) / n_vecs) * (CAST(sd AS DOUBLE) / n_vecs), 0)))"
            " / 1000000.0", 6)} AS std_dist,
        SUM(CASE WHEN d6 > CAST(sd AS DOUBLE) / n_vecs
-                + {OUTLIER_SIGMA} * SQRT(CAST(sdd AS DOUBLE) / n_vecs
-                  - (CAST(sd AS DOUBLE) / n_vecs) * (CAST(sd AS DOUBLE) / n_vecs))
+                + {OUTLIER_SIGMA} * SQRT(GREATEST(CAST(sdd AS DOUBLE) / n_vecs
+                  - (CAST(sd AS DOUBLE) / n_vecs) * (CAST(sd AS DOUBLE) / n_vecs), 0))
                 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
        MAX(maxd) / 1000000.0 AS max_dist
 FROM dists d JOIN stats USING (label)

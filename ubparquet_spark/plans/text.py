@@ -2756,8 +2756,8 @@ WITH docs AS (
 SELECT doc_id, COUNT(*) AS n_terms_hit,
        {sql_roundn(
            "SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-           f" * (tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B}"
-           f" + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))))", 6)}
+           f" * (tf * CAST({BM25_K1 + 1} AS DOUBLE) / (tf + CAST({BM25_K1} AS DOUBLE)"
+           f" * (1 - {BM25_B} + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))))", 6)}
          AS bm25
 FROM post JOIN dfs USING (tok) CROSS JOIN stats
 GROUP BY doc_id

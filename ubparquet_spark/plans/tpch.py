@@ -2206,17 +2206,24 @@ FROM yearly
 # fact×fact shuffle join. Top pairs via TakeOrdered, not a global sort.
 # ---------------------------------------------------------------------------
 
-COPURCHASE_TOP = 20
 
-
-def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, brand) incidence — the shared corpus aggregation
+    under both the co-purchase pair counts and the PageRank edge build."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
     )
+
+
+COPURCHASE_TOP = 20
+
+
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = _order_brand_pairs(spark, sf_dir)
     # per-order sorted brand set -> all a<b pairs, exploded JVM-side
     pairs = (
         ob.groupBy("l_orderkey")
@@ -2281,18 +2288,20 @@ def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("v"))).alias("cv"),
         "lo", "hi",
     )
+    # exact integer partials (Σcv as BIGINT cents, Σcv² as DECIMAL(38,0)) —
+    # a double sum here would be partial-aggregation-order-dependent and
+    # hash-diverge from the oracle on multi-partition scans
+    n = F.count(F.lit(1))
+    sc_ = F.sum("cv")
+    scc = F.sum(F.col("cv").cast("decimal(38,0)") * F.col("cv"))
+    mean_c = sc_.cast("double") / n
+    var_c = F.greatest(
+        scc.cast("double") / n - mean_c * mean_c, F.lit(0.0)
+    )
     return clipped.groupBy("lo", "hi").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        roundn(F.avg(F.col("cv") / 100.0), 4).alias("winsor_mean"),
-        roundn(
-            F.sqrt(
-                (F.sum((F.col("cv") / 100.0) * (F.col("cv") / 100.0))
-                 - F.sum(F.col("cv") / 100.0) * F.sum(F.col("cv") / 100.0)
-                 / F.count(F.lit(1)))
-                / F.count(F.lit(1))
-            ),
-            4,
-        ).alias("winsor_std"),
+        n.alias("n_orders"),
+        roundn(mean_c / 100.0, 4).alias("winsor_mean"),
+        roundn(F.sqrt(var_c) / 100.0, 4).alias("winsor_std"),
     ).select(
         (F.col("lo") / 100.0).alias("p05"),
         (F.col("hi") / 100.0).alias("p95"),
@@ -2316,10 +2325,11 @@ WITH pc AS (
 )
 SELECT lo / 100.0 AS p05, hi / 100.0 AS p95,
        COUNT(*) AS n_orders,
-       {sql_roundn("AVG(cv / 100.0)", 4)} AS winsor_mean,
+       {sql_roundn("(CAST(SUM(cv) AS DOUBLE) / COUNT(*)) / 100.0", 4)} AS winsor_mean,
        {sql_roundn(
-           "SQRT((SUM((cv / 100.0) * (cv / 100.0))"
-           " - SUM(cv / 100.0) * SUM(cv / 100.0) / COUNT(*)) / COUNT(*))", 4)}
+           "SQRT(GREATEST(CAST(SUM(CAST(cv AS HUGEINT) * cv) AS DOUBLE) / COUNT(*)"
+           " - (CAST(SUM(cv) AS DOUBLE) / COUNT(*))"
+           " * (CAST(SUM(cv) AS DOUBLE) / COUNT(*)), 0)) / 100.0", 4)}
          AS winsor_std
 FROM clipped GROUP BY lo, hi
 """
@@ -2347,13 +2357,7 @@ _PR_PPM = 10**6         # edge-weight normalization grain
 
 
 def q_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
+    ob = _order_brand_pairs(spark, sf_dir)
     a, b = ob.alias("a"), ob.alias("b")
     # symmetric weighted edges; bounded artifact (brand-pair grain), so the
     # checkpoint caps the corpus aggregation to ONE execution for all rounds
