@@ -2851,7 +2851,159 @@ FROM d
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# MinHash accuracy harness: for every LSH candidate pair, the k-component
+# signature ESTIMATE of Jaccard next to the exact shingle-set Jaccard and
+# the absolute error. The point: because the minhash family here is
+# deterministic (md5 base + affine transforms, no RNG), even the SKETCH
+# estimate is bit-reproducible cross-engine — so the sketch path itself
+# is oracle-checked, not just bounded by a tolerance test. Exact-Jaccard
+# verification touches only the candidate pairs (LSH-pruned), the same
+# scale shape as the dedup pipeline — including its hot-bucket guard: a
+# band bucket larger than MINHASH_EST_BUCKET_CAP (boilerplate collision)
+# is excluded from pair generation instead of exploding quadratically.
+# ---------------------------------------------------------------------------
+
+MINHASH_EST_BUCKET_CAP = 64
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.withColumn("toks", F.split("text", " ")).withColumn(
+        "grams",
+        F.array_distinct(
+            F.expr(
+                "if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' ')),"
+                " array())"
+            )
+        ),
+    ).withColumn(
+        "bases",
+        F.expr(
+            "transform(grams,"
+            " g -> pmod(CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT),"
+            f" {_MH_P}))"
+        ),
+    )
+    sigs = base.select(
+        "doc_id",
+        "grams",
+        *[
+            F.expr(
+                f"array_min(transform(bases, h -> pmod({_MH_A[j]} * h + {_MH_B[j]}, {_MH_P})))"
+            ).alias(f"h{j}")
+            for j in range(MINHASH_K)
+        ],
+    ).filter(F.size("grams") > 0)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("band_id", "band_key")
+    capped = (
+        minhash_band_keys(docs)
+        .withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= MINHASH_EST_BUCKET_CAP)
+        .drop("_bn")
+    )
+    pairs = (
+        capped.alias("x")
+        .join(
+            capped.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("ga"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gb"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_K)],
+    )
+    n_match = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(MINHASH_K)
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    est = F.col("n_match") / float(MINHASH_K)
+    true_j = F.col("n_inter") / F.col("n_union")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
+        .select(
+            "doc_a", "doc_b", "n_match",
+            roundn(est, 6).alias("jacc_est"),
+            roundn(true_j, 6).alias("jacc_true"),
+            roundn(F.abs(est - true_j), 6).alias("abs_err"),
+        )
+    )
+
+
+def _minhash_jaccard_sql() -> str:
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END" for j in range(MINHASH_K)
+    )
+    return f"""
+WITH {_minhash_band_ctes()},
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS grams
+  FROM documents
+), capped AS (
+  SELECT doc_id, band_id, band_key
+  FROM (SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn
+        FROM bands)
+  WHERE bn <= {MINHASH_EST_BUCKET_CAP}
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM capped x JOIN capped y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         ({match_sum}) AS n_match,
+         len(list_intersect(ha.grams, hb.grams)) AS n_inter,
+         len(ha.grams) + len(hb.grams) - len(list_intersect(ha.grams, hb.grams)) AS n_union
+  FROM pairs
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b
+  JOIN sh ha ON ha.doc_id = doc_a
+  JOIN sh hb ON hb.doc_id = doc_b
+  WHERE len(ha.grams) > 0 AND len(hb.grams) > 0
+)
+SELECT doc_a, doc_b, n_match,
+       {sql_roundn(f"n_match / {float(MINHASH_K)}", 6)} AS jacc_est,
+       {sql_roundn("CAST(n_inter AS DOUBLE) / n_union", 6)} AS jacc_true,
+       {sql_roundn(f"ABS(n_match / {float(MINHASH_K)} - CAST(n_inter AS DOUBLE) / n_union)", 6)} AS abs_err
+FROM scored
+"""
+
+
+Q_MINHASH_JACCARD_SQL = _minhash_jaccard_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "q_minhash_jaccard_est": (q_minhash_jaccard_est, Q_MINHASH_JACCARD_SQL),
     "q_bm25_topk": (q_bm25_topk, Q_BM25_SQL),
     "q_zipf_fit": (q_zipf_fit, Q_ZIPF_SQL),
     "q_gopher_rules": (q_gopher_rules, Q_GOPHER_RULES_SQL),

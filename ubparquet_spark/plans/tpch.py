@@ -2461,6 +2461,8 @@ FROM r{PAGERANK_ROUNDS} r
 Q_BRAND_PAGERANK_SQL = _pagerank_sql()
 
 
+
+
 QUERIES: dict[str, tuple] = {
     "q_brand_pagerank": (q_brand_pagerank, Q_BRAND_PAGERANK_SQL),
     "q_yoy_growth": (q_yoy_growth, Q_YOY_GROWTH_SQL),
