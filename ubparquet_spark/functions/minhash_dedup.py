@@ -72,13 +72,14 @@ def lsh_candidate_pairs(
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles): the distinct 3-token shingle set per doc."""
-    return docs.select(
+    return docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         F.array_distinct(
+            # toks materialized once (lambda-CSE caveat)
             F.expr(
-                "if(size(split(text, ' ')) >= 3,"
-                " transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> array_join(slice(split(text, ' '), i, 3), ' ')),"
+                "if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' ')),"
                 " array())"
             )
         ).alias("shingles"),

@@ -131,8 +131,11 @@ FROM t
 # ---------------------------------------------------------------------------
 
 def _marker_counts_spark() -> list[Column]:
+    """Counts read a pre-materialized `toks` column — one split() per row
+    shared by all marker columns (lambda-CSE caveat: an inline split would
+    re-tokenize once per language)."""
     return [
-        F.expr(f"size(filter(split(text, ' '), x -> x = '{tok}'))").alias(f"c_{lang}")
+        F.expr(f"size(filter(toks, x -> x = '{tok}'))").alias(f"c_{lang}")
         for tok, lang in LANG_MARKERS
     ]
 
@@ -174,7 +177,9 @@ def _lang_pred_sql_case() -> str:
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select("lang", *_marker_counts_spark())
+    scored = docs.withColumn("toks", F.split("text", " ")).select(
+        "lang", *_marker_counts_spark()
+    )
     return (
         scored.select("lang", _lang_pred_expr().alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -268,13 +273,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Guard the sequence upper bound: for docs shorter than the shingle
     # width, sequence(1, n) with n <= 0 infers step -1 and yields [1, 0],
     # producing phantom shingles (DuckDB's range() yields [] instead).
+    # toks materialized once (lambda-CSE caveat).
     fingerprint = F.expr(
-        "array_min(if(size(split(text, ' ')) >= 4,"
-        " transform(sequence(1, size(split(text, ' ')) - 3),"
-        " i -> md5(array_join(slice(split(text, ' '), i, 4), ' '))),"
+        "array_min(if(size(toks) >= 4,"
+        " transform(sequence(1, size(toks) - 3),"
+        " i -> md5(array_join(slice(toks, i, 4), ' '))),"
         " array()))"
     )
-    return docs.select("doc_id", fingerprint.alias("fingerprint"))
+    return docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", fingerprint.alias("fingerprint")
+    )
 
 
 Q_DOC_FINGERPRINT_SQL = """
@@ -512,15 +520,16 @@ def ngram_jaccard_pairs(
     """(doc_a, doc_b, n_inter, jaccard) for pairs over ``threshold``."""
     from pyspark.sql import Window
 
-    shingles = docs.select(
+    shingles = docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         F.explode(
             F.array_distinct(
-                # size >= 3 guard: sequence(1, n<=0) would yield [1, 0]
+                # size >= 3 guard: sequence(1, n<=0) would yield [1, 0];
+                # toks materialized once (lambda-CSE caveat)
                 F.expr(
-                    "if(size(split(text, ' ')) >= 3,"
-                    " transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> array_join(slice(split(text, ' '), i, 3), ' ')),"
+                    "if(size(toks) >= 3,"
+                    " transform(sequence(1, size(toks) - 2),"
+                    " i -> array_join(slice(toks, i, 3), ' ')),"
                     " array())"
                 )
             )
@@ -1519,14 +1528,16 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    shingles = docs.select(
+    # materialize the token array once — the documented lambda-CSE caveat:
+    # Spark re-evaluates split() per reference inside HOF bodies
+    shingles = docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         "source",
         F.explode(
             F.expr(
-                "array_distinct(if(size(split(text, ' ')) >= 3,"
-                " transform(sequence(1, size(split(text, ' ')) - 2),"
-                " i -> array_join(slice(split(text, ' '), i, 3), ' ')),"
+                "array_distinct(if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> array_join(slice(toks, i, 3), ' ')),"
                 " array()))"
             )
         ).alias("shingle"),
@@ -2655,7 +2666,9 @@ GROUP BY cluster_size
 def q_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     langs = [lang for _tok, lang in LANG_MARKERS]
-    scored = docs.select("doc_id", "lang", *_marker_counts_spark())
+    scored = docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", "lang", *_marker_counts_spark()
+    )
     return (
         scored.withColumn("pred_lang", _lang_pred_expr())
         .filter(F.col("pred_lang") != F.col("lang"))
@@ -2869,8 +2882,43 @@ FROM d
 MINHASH_EST_BUCKET_CAP = 64
 
 def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.withColumn("toks", F.split("text", " ")).withColumn(
+    # candidate pairs: capped band buckets, self-joined with the
+    # shuffle_hash hint so ReusedExchange computes the banding subplan
+    # ONCE (the lsh_candidate_pairs technique); pairs are a bounded
+    # artifact -> localCheckpoint stops the subplan re-executing per
+    # downstream reference
+    wb = Window.partitionBy("band_id", "band_key")
+    capped = (
+        minhash_band_keys(docs)
+        .withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= MINHASH_EST_BUCKET_CAP)
+        .drop("_bn")
+    )
+    a, b = capped.alias("x"), capped.alias("y")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # signatures + shingle sets ONLY for candidate docs (semi-join
+    # prefilter), joined through ONE melt — the verify_pairs_jaccard
+    # shape: tokenization cost is proportional to candidates, not corpus
+    ids = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    cand_docs = docs.join(ids, "doc_id", "leftsemi")
+    base = cand_docs.withColumn("toks", F.split("text", " ")).withColumn(
         "grams",
         F.array_distinct(
             F.expr(
@@ -2888,62 +2936,54 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" {_MH_P}))"
         ),
     )
-    sigs = base.select(
+    sig_tab = base.select(
         "doc_id",
         "grams",
-        *[
-            F.expr(
-                f"array_min(transform(bases, h -> pmod({_MH_A[j]} * h + {_MH_B[j]}, {_MH_P})))"
-            ).alias(f"h{j}")
-            for j in range(MINHASH_K)
-        ],
+        F.array(
+            *[
+                F.expr(
+                    f"array_min(transform(bases, h -> pmod({_MH_A[j]} * h + {_MH_B[j]}, {_MH_P})))"
+                )
+                for j in range(MINHASH_K)
+            ]
+        ).alias("hs"),
     ).filter(F.size("grams") > 0)
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("band_id", "band_key")
-    capped = (
-        minhash_band_keys(docs)
-        .withColumn("_bn", F.count(F.lit(1)).over(wb))
-        .filter(F.col("_bn") <= MINHASH_EST_BUCKET_CAP)
-        .drop("_bn")
+    pair = F.struct(F.col("doc_a"), F.col("doc_b")).alias("pair")
+    melted = pairs.select(F.col("doc_a").alias("doc_id"), pair).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"), pair)
     )
-    pairs = (
-        capped.alias("x")
-        .join(
-            capped.alias("y"),
-            (F.col("x.band_id") == F.col("y.band_id"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
+    gathered = (
+        melted.join(sig_tab, "doc_id")
         .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            "pair",
+            F.when(F.col("doc_id") == F.col("pair.doc_a"), F.col("grams")).alias("_ga"),
+            F.when(F.col("doc_id") == F.col("pair.doc_a"), F.col("hs")).alias("_ha"),
+            F.when(F.col("doc_id") == F.col("pair.doc_b"), F.col("grams")).alias("_gb"),
+            F.when(F.col("doc_id") == F.col("pair.doc_b"), F.col("hs")).alias("_hb"),
         )
-        .distinct()
+        .groupBy("pair")
+        .agg(
+            F.any_value("_ga", True).alias("ga"),
+            F.any_value("_ha", True).alias("ha"),
+            F.any_value("_gb", True).alias("gb"),
+            F.any_value("_hb", True).alias("hb"),
+        )
+        # a pair whose side was dropped by the empty-grams filter has a
+        # NULL array; the SQL's len(grams) > 0 join predicate drops it too
+        .filter(F.col("ga").isNotNull() & F.col("gb").isNotNull())
     )
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("ga"),
-        *[F.col(f"h{j}").alias(f"a{j}") for j in range(MINHASH_K)],
-    )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gb"),
-        *[F.col(f"h{j}").alias(f"b{j}") for j in range(MINHASH_K)],
-    )
-    n_match = sum(
-        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(MINHASH_K)
+    n_match = F.expr(
+        "aggregate(zip_with(ha, hb, (x, y) -> CAST(x = y AS INT)),"
+        " 0, (acc, v) -> acc + v)"
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
     est = F.col("n_match") / float(MINHASH_K)
     true_j = F.col("n_inter") / F.col("n_union")
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
+        gathered.select(
+            F.col("pair.doc_a").alias("doc_a"),
+            F.col("pair.doc_b").alias("doc_b"),
             n_match.alias("n_match"),
             inter.cast("long").alias("n_inter"),
             union.cast("long").alias("n_union"),
