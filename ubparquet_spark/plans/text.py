@@ -1121,17 +1121,21 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("total"),
         )
     )
+    # one materialized token array shared by both folds and the length
+    # (lambda-CSE caveat: inline split() would tokenize 4x per row)
     logprob_sum = F.expr(
-        "aggregate(split(text, ' '), CAST(0.0 AS DOUBLE),"
+        "aggregate(toks, CAST(0.0 AS DOUBLE),"
         " (acc, t) -> acc + ln(CAST(element_at(vocab, t) AS DOUBLE)"
         " / CAST(total AS DOUBLE)))"
     )
-    n_tokens = F.size(tokens_col())
+    n_tokens = F.size(F.col("toks"))
     freq_sum = F.expr(
-        "aggregate(split(text, ' '), CAST(0 AS BIGINT),"
+        "aggregate(toks, CAST(0 AS BIGINT),"
         " (acc, t) -> acc + element_at(vocab, t))"
     )
-    return docs.crossJoin(F.broadcast(vocab)).select(
+    return docs.withColumn("toks", F.split("text", " ")).crossJoin(
+        F.broadcast(vocab)
+    ).select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         roundn(logprob_sum / n_tokens).alias("avg_logprob"),
@@ -2000,14 +2004,14 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is an exact IEEE parse in both engines
     weights = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _LQ_WEIGHTS)
     score = F.expr(
-        f"aggregate(transform(split(text, ' '),"
+        f"aggregate(transform(toks,"
         f" t -> element_at(array({weights}),"
         f"  CAST(pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
         f" {LQ_BUCKETS}) AS INT) + 1)),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-        f" / size(split(text, ' ')) + CAST('{LQ_BIAS!r}' AS DOUBLE)"
+        f" / size(toks) + CAST('{LQ_BIAS!r}' AS DOUBLE)"
     )
-    return docs.select(
+    return docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         roundn(score, 6).alias("score"),
         (roundn(score, 6) >= 0).alias("keep"),
