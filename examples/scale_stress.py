@@ -45,6 +45,10 @@ STRESS_QUERIES = (
     "q_paragraph_dedup_text",
     "q_contamination_bloom",
     "q_token_drift",
+    # round-4 additions over documents
+    "q_bm25_topk",
+    "q_zipf_fit",
+    "q_minhash_jaccard_est",
     # q_doc_embedding deliberately NOT stressed: its registered form is
     # bounded by a doc_id filter, so a replicated corpus is pruned at the
     # scan and the ratio would measure filter pushdown, not scaling
@@ -57,6 +61,8 @@ STRESS_QUERIES = (
 # Labels offset per replica: cell count grows N×, per-cell population is
 # constant, so the O(n²/cell) stages should scale ~linearly.
 EMB_STRESS_QUERIES = (
+    "q_centroid_drift",
+    "q_embedding_outliers",
     "q_label_centroids",
     "q_kmeans_clusters",
     "q_embedding_neardup",

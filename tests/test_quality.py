@@ -78,3 +78,40 @@ def test_no_duplicate_points(spark):
         ),
     )
     assert quality.check_no_duplicate_points(dup, "voxcoord", KEYS).count() == 3
+
+
+def test_star_schema_audit_healthy_and_detects_violations(spark, sf_dir):
+    """The driver tables pass every relational invariant; a corrupted
+    frame is caught by the same checks."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.quality import (
+        audit_star_schema,
+        check_derived_column,
+        check_referential_integrity,
+    )
+
+    assert all(v == 0 for v in audit_star_schema(spark, sf_dir).values())
+
+    # inject an orphan FK and a derived-column lie; both must be caught
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bad_orders = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == 0, F.lit(10**9)).otherwise(F.col("o_custkey")),
+    )
+    orphans = check_referential_integrity(
+        bad_orders, cust, "o_custkey", "c_custkey"
+    ).collect()
+    assert [r["orphan_key"] for r in orphans] == [10**9]
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad_docs = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 1, F.lit(-5)).otherwise(F.col("n_chars")),
+    )
+    bad = check_derived_column(
+        bad_docs, "n_chars", F.length("text").cast("long"), ["doc_id"]
+    ).collect()
+    assert len(bad) == 1 and bad[0]["doc_id"] == 1 and bad[0]["stored"] == -5

@@ -105,3 +105,68 @@ def audit(df: DataFrame, keys: list[str]) -> dict[str, int]:
             df, tcols, keys
         ).count()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Relational invariants for the analytics star schema — the checks a lake
+# runs after every ingest. Same design as the tensor invariants above:
+# each check is a PLAN returning its violations, so it runs as a unit
+# test, a 100 TB batch audit, or a foreachBatch streaming monitor.
+# ---------------------------------------------------------------------------
+
+
+def check_referential_integrity(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
+) -> DataFrame:
+    """Orphaned foreign keys: child rows whose key has no parent. One
+    left-anti join; Spark broadcasts the parent when it is dim-sized."""
+    return (
+        child.select(F.col(child_key).alias("orphan_key"))
+        .distinct()
+        .join(
+            parent.select(F.col(parent_key).alias("orphan_key")).distinct(),
+            "orphan_key",
+            "left_anti",
+        )
+    )
+
+
+def check_derived_column(
+    df: DataFrame, derived: str, expr: F.Column, keys: list[str]
+) -> DataFrame:
+    """Stored-vs-recomputed consistency (e.g. documents.n_chars vs
+    length(text)): returns rows where the stored value disagrees."""
+    return df.filter(~F.col(derived).eqNullSafe(expr)).select(
+        *keys, F.col(derived).alias("stored"), expr.alias("recomputed")
+    )
+
+
+def audit_star_schema(spark, sf_dir: str) -> dict[str, int]:
+    """Violation counts for the driver schema's FK edges + derived
+    columns. Empty values everywhere = healthy lake."""
+    from ubparquet_spark.io import load_table
+
+    t = {n: load_table(spark, sf_dir, n) for n in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents",
+    )}
+    checks = {
+        "orders.custkey->customer": check_referential_integrity(
+            t["orders"], t["customer"], "o_custkey", "c_custkey"),
+        "lineitem.orderkey->orders": check_referential_integrity(
+            t["lineitem"], t["orders"], "l_orderkey", "o_orderkey"),
+        "lineitem.partkey->part": check_referential_integrity(
+            t["lineitem"], t["part"], "l_partkey", "p_partkey"),
+        "lineitem.suppkey->supplier": check_referential_integrity(
+            t["lineitem"], t["supplier"], "l_suppkey", "s_suppkey"),
+        "customer.nationkey->nation": check_referential_integrity(
+            t["customer"], t["nation"], "c_nationkey", "n_nationkey"),
+        "nation.regionkey->region": check_referential_integrity(
+            t["nation"], t["region"], "n_regionkey", "r_regionkey"),
+        "documents.n_chars==len(text)": check_derived_column(
+            t["documents"], "n_chars",
+            F.length("text").cast("long"), ["doc_id"]),
+        "orders.orderkey unique": check_unique_key(t["orders"], ["o_orderkey"]),
+        "documents.doc_id unique": check_unique_key(t["documents"], ["doc_id"]),
+    }
+    return {name: df.count() for name, df in checks.items()}
