@@ -43,3 +43,48 @@ def test_running_user_stats_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_running_twap_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming TWAP (applyInPandasWithState, exact-integer LOCF
+    integral) converges to the batch q_twap values once the stream
+    drains — including across multiple time-ordered micro-batch files."""
+    from ubparquet_spark.plans.events import q_twap
+    from ubparquet_spark.streaming.stateful import running_twap
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "twap_src")
+    # two time-ordered files -> at least two micro-batch candidates under
+    # maxFilesPerTrigger, exercising cross-batch LOCF state
+    cut = "2024-01-15"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = running_twap(stream)
+    (
+        out.writeStream.format("memory")
+        .queryName("twap_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    # memory sink in update mode appends one row per (batch, key): the
+    # final row per key is the drained running value
+    hist = spark.table("twap_test").toPandas()
+    finals = hist.groupby("event_type").tail(1).set_index("event_type")
+    batch = {
+        r["event_type"]: r for r in q_twap(spark, sf_dir).collect()
+    }
+    assert set(finals.index) == set(batch)
+    for et, row in finals.iterrows():
+        b = batch[et]
+        assert row["n_segments"] == b["n_segments"], et
+        assert abs(row["span_s"] - b["span_s"]) < 1e-9, et
+        # batch twap is roundn(…, 6) of the same exact rational; streaming
+        # emits it unrounded, so they agree within the rounding grain
+        assert abs(row["twap"] - b["twap"]) < 1e-6, et

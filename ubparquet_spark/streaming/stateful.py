@@ -66,3 +66,84 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP: the stateful twin of plans/events.q_twap. Per event
+# type, state carries (last_us, last_vc, weighted_sum, total_dur) — the
+# last observation plus the running LOCF integral in EXACT integer units
+# (cents × microseconds fits int; Python ints are unbounded, and the
+# state column is stored as DECIMAL-free strings of bounded longs via two
+# longs: ws_hi/ws_lo would be overkill — a float64 of cents·seconds loses
+# exactness past 2^53, so weighted work is kept in integer MICROcent-
+# seconds split across two longs).
+#
+# Ordering contract: rows WITHIN a micro-batch are sorted here; ACROSS
+# batches the source must deliver time-ordered files (the normal
+# append-only ingest layout) — same contract as any LOCF streaming
+# operator. Emitted value per batch: running TWAP so far.
+# ---------------------------------------------------------------------------
+
+TWAP_STATE_SCHEMA = (
+    "last_us long, last_vc long, ws_hi long, ws_lo long, total_dur long,"
+    " n_segments long"
+)
+TWAP_OUTPUT_SCHEMA = (
+    "event_type string, n_segments long, span_s double, twap double"
+)
+_WS_BASE = 10**18  # split base: weighted sums as hi*BASE + lo, exact in ints
+
+
+def _update_twap(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_us, last_vc, ws_hi, ws_lo, total_dur, n_seg = state.get
+        ws = ws_hi * _WS_BASE + ws_lo
+        have_last = True
+    else:
+        last_us, last_vc, ws, total_dur, n_seg = 0, 0, 0, 0, 0
+        have_last = False
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+    us = rows["us"].to_numpy()
+    vc = rows["vc"].to_numpy()
+    for j in range(len(rows)):
+        if have_last:
+            dur = int(us[j]) - last_us
+            ws += last_vc * dur
+            total_dur += dur
+            n_seg += 1
+        last_us, last_vc, have_last = int(us[j]), int(vc[j]), True
+    state.update(
+        (last_us, last_vc, ws // _WS_BASE, ws % _WS_BASE, total_dur, n_seg)
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_segments": [n_seg],
+            "span_s": [total_dur / 1e6],
+            "twap": [(ws / total_dur / 100.0) if total_dur else 0.0],
+        }
+    )
+
+
+def running_twap(stream: DataFrame) -> DataFrame:
+    """Per-event-type running time-weighted average value."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
+        "event_id",
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _update_twap,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
