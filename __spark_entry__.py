@@ -25,11 +25,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry so the queries that most need a fresh green row come first.
 # Round-4 rotation: queries whose plan (or registered name) changed this
 # round lead, followed by the 42 queries whose newest driver row is from
-# round 1 (the stalest cohort — VERDICT r03 "Next round" #1).  The round-2
-# cohort (41 queries) rotates into round 5's window.  Everything past
-# position ~50 is re-checked every session by the repo's own DuckDB-oracle
-# pytest gate (tests/oracle.py), which as of round 4 runs at sf0.01 —
-# driver parity.
+# round 1 (the stalest cohort — VERDICT r03 "Next round" #1).  Everything
+# past position ~50 is re-checked every session by the repo's own
+# DuckDB-oracle pytest gate (tests/oracle.py), which as of round 4 runs at
+# sf0.01 — driver parity.
+#
+# ROUND-5 ROTATION PLAN (for the next builder session): the window must
+# cover the 41 r02-stale queries PLUS the 12 round-4 registrations that
+# missed this round's window (q_yoy_growth, q_copurchase_pairs,
+# q_winsorized_prices, q_cohort_ltv, q_interarrival_stats, q_zipf_fit,
+# q_centroid_drift, q_embedding_outliers, q_brand_pagerank, q_twap,
+# q_time_to_convert, q_minhash_jaccard_est) = 53 entries — lead with the
+# 12 never-checked, then r02-stale; the ~3 overflow r02 entries rotate to
+# round 6 (they stay covered by the sf0.01 pytest gate meanwhile).
 _CHECK_FIRST = [
     # -- plan or name changed this round; needs a fresh row
     "q_semantic_dedup",         # canonical swapped to the scale-true plan

@@ -45,8 +45,10 @@ STRESS_QUERIES = (
     "q_paragraph_dedup_text",
     "q_contamination_bloom",
     "q_token_drift",
-    # round-4 additions over documents
-    "q_bm25_topk",
+    # round-4 additions over documents. q_bm25_topk deliberately NOT
+    # stressed: the replica token salting renames every token, so its
+    # literal query-term filter matches nothing and the ratio would
+    # measure an empty-postings plan, not BM25 work.
     "q_zipf_fit",
     "q_minhash_jaccard_est",
     # q_doc_embedding deliberately NOT stressed: its registered form is

@@ -112,26 +112,3 @@ def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
             failures.append(f"{name}: {str(e).splitlines()[0][:100]}")
     assert not failures, failures
 
-
-def test_all_registered_queries_survive_empty_tables(spark, tmp_path_factory):
-    """Every registry query must run (not necessarily return rows) against
-    0-row tables with production schemas — the guard against .first()[0],
-    collect()[0], seq-over-empty and divide-by-zero crashes a 100 TB lake
-    partition-prunes its way into daily."""
-    import pyarrow.parquet as pq
-
-    import __spark_entry__ as entry
-
-    src = "/root/testdata/sf0.001"
-    dst = str(tmp_path_factory.mktemp("sf_empty"))
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"):
-        sch = pq.read_schema(f"{src}/{t}.parquet")
-        pq.write_table(sch.empty_table(), f"{dst}/{t}.parquet")
-    failures = []
-    for name, fn in entry.queries().items():
-        try:
-            fn(spark, dst).count()
-        except Exception as e:  # noqa: BLE001 — audit, report all at once
-            failures.append(f"{name}: {type(e).__name__}: {e}")
-    assert not failures, "\n".join(failures)

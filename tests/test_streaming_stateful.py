@@ -88,3 +88,57 @@ def test_running_twap_matches_batch(spark, sf_dir, tmp_path):
         # batch twap is roundn(…, 6) of the same exact rational; streaming
         # emits it unrounded, so they agree within the rounding grain
         assert abs(row["twap"] - b["twap"]) < 1e-6, et
+
+
+def test_running_twap_edge_semantics(spark, tmp_path):
+    """Review-hardened semantics: a single-event key emits nothing (no
+    fabricated 0.0); an equal-timestamp row in a LATER batch only replaces
+    the carry when its event_id is higher; a late row is skipped, not
+    integrated negatively."""
+    from ubparquet_spark.streaming.stateful import running_twap
+
+    ddl = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    base = "2024-01-01 00:00:"
+    batch1 = [
+        # 'solo': single event -> must never emit
+        (1, f"{base}00", 1, "solo", 10.0, "{}"),
+        # 'tie': two rows; batch 2 adds an equal-ts row with LOWER event_id
+        (9, f"{base}10", 1, "tie", 2.0, "{}"),
+        (10, f"{base}20", 1, "tie", 4.0, "{}"),  # carry = (t20, id10, 4.0)
+    ]
+    batch2 = [
+        # equal ts, lower id: must NOT replace the carried 4.0
+        (5, f"{base}20", 1, "tie", 100.0, "{}"),
+        # late row (before the carry): must be skipped entirely
+        (11, f"{base}15", 1, "tie", 500.0, "{}"),
+        # advances time by 10s: integral += 4.0 * 10s
+        (12, f"{base}30", 1, "tie", 7.0, "{}"),
+    ]
+    src = str(tmp_path / "twap_edge_src")
+    for i, rows in enumerate((batch1, batch2)):
+        spark.createDataFrame(
+            [(e, __import__("datetime").datetime.fromisoformat(t), u, k, v, p)
+             for e, t, u, k, v, p in rows],
+            ddl,
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(src)
+    (
+        running_twap(stream)
+        .writeStream.format("memory")
+        .queryName("twap_edge")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twap_edge_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    hist = spark.table("twap_edge").toPandas()
+    assert "solo" not in set(hist["event_type"])
+    final = hist[hist["event_type"] == "tie"].iloc[-1]
+    # segments: t10->t20 (2.0 for 10s) and t20->t30 (4.0 for 10s, NOT
+    # 100.0 — the tie keeps the higher event_id's value; NOT 500.0 — the
+    # late row is skipped)
+    assert final["n_segments"] == 2
+    assert abs(final["span_s"] - 20.0) < 1e-9
+    assert abs(final["twap"] - (2.0 * 10 + 4.0 * 10) / 20) < 1e-9

@@ -119,9 +119,13 @@ def check_referential_integrity(
     child: DataFrame, parent: DataFrame, child_key: str, parent_key: str
 ) -> DataFrame:
     """Orphaned foreign keys: child rows whose key has no parent. One
-    left-anti join; Spark broadcasts the parent when it is dim-sized."""
+    left-anti join; Spark broadcasts the parent when it is dim-sized.
+
+    NULL child keys follow SQL FK semantics — not violations (pair with a
+    separate not-null check when the column is mandatory)."""
     return (
         child.select(F.col(child_key).alias("orphan_key"))
+        .filter(F.col("orphan_key").isNotNull())
         .distinct()
         .join(
             parent.select(F.col(parent_key).alias("orphan_key")).distinct(),

@@ -81,12 +81,20 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
 # Ordering contract: rows WITHIN a micro-batch are sorted here; ACROSS
 # batches the source must deliver time-ordered files (the normal
 # append-only ingest layout) — same contract as any LOCF streaming
-# operator. Emitted value per batch: running TWAP so far.
+# operator. Defensive departures from that contract are handled, not
+# crashed on: LATE rows (us < carried us) are skipped and counted in
+# state; an equal-timestamp row arriving in a later batch only replaces
+# the carried value when its event_id is higher (matching the batch
+# twin's (us, event_id) total order — duration contribution at a tie is
+# zero either way). Emitted value per batch: running TWAP so far; a key
+# with zero accumulated duration (single event, or all events at one
+# microsecond) emits NOTHING, matching the batch query which drops such
+# groups — 0.0 would be a plausible-but-fabricated TWAP.
 # ---------------------------------------------------------------------------
 
 TWAP_STATE_SCHEMA = (
-    "last_us long, last_vc long, ws_hi long, ws_lo long, total_dur long,"
-    " n_segments long"
+    "last_us long, last_vc long, last_eid long, ws_hi long, ws_lo long,"
+    " total_dur long, n_segments long, n_late long"
 )
 TWAP_OUTPUT_SCHEMA = (
     "event_type string, n_segments long, span_s double, twap double"
@@ -100,34 +108,57 @@ def _update_twap(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
-        last_us, last_vc, ws_hi, ws_lo, total_dur, n_seg = state.get
+        last_us, last_vc, last_eid, ws_hi, ws_lo, total_dur, n_seg, n_late = (
+            state.get
+        )
         ws = ws_hi * _WS_BASE + ws_lo
         have_last = True
     else:
-        last_us, last_vc, ws, total_dur, n_seg = 0, 0, 0, 0, 0
+        last_us, last_vc, last_eid, ws, total_dur, n_seg, n_late = (
+            0, 0, 0, 0, 0, 0, 0
+        )
         have_last = False
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["us", "event_id"], ignore_index=True)
     us = rows["us"].to_numpy()
     vc = rows["vc"].to_numpy()
+    eid = rows["event_id"].to_numpy()
     for j in range(len(rows)):
-        if have_last:
-            dur = int(us[j]) - last_us
-            ws += last_vc * dur
-            total_dur += dur
-            n_seg += 1
-        last_us, last_vc, have_last = int(us[j]), int(vc[j]), True
+        u, v, e = int(us[j]), int(vc[j]), int(eid[j])
+        if not have_last:
+            last_us, last_vc, last_eid, have_last = u, v, e, True
+            continue
+        if u < last_us:
+            n_late += 1  # contract violation: skip, don't corrupt the integral
+            continue
+        if u == last_us:
+            # zero-duration tie: batch total order (us, event_id) carries
+            # the HIGHEST event_id's value forward
+            if e > last_eid:
+                last_vc, last_eid = v, e
+            continue
+        dur = u - last_us
+        ws += last_vc * dur
+        total_dur += dur
+        n_seg += 1
+        last_us, last_vc, last_eid = u, v, e
     state.update(
-        (last_us, last_vc, ws // _WS_BASE, ws % _WS_BASE, total_dur, n_seg)
+        (last_us, last_vc, last_eid, ws // _WS_BASE, ws % _WS_BASE,
+         total_dur, n_seg, n_late)
     )
-    yield pd.DataFrame(
-        {
-            "event_type": [key[0]],
-            "n_segments": [n_seg],
-            "span_s": [total_dur / 1e6],
-            "twap": [(ws / total_dur / 100.0) if total_dur else 0.0],
-        }
-    )
+    if total_dur > 0:
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_segments": [n_seg],
+                "span_s": [total_dur / 1e6],
+                "twap": [ws / total_dur / 100.0],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {"event_type": [], "n_segments": [], "span_s": [], "twap": []}
+        )
 
 
 def running_twap(stream: DataFrame) -> DataFrame:
@@ -139,6 +170,10 @@ def running_twap(stream: DataFrame) -> DataFrame:
         F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
         "event_id",
+    ).filter(
+        # a null ts/value would arrive as NaN in the Arrow batch and crash
+        # the int conversion; the batch twin's window/agg skips them too
+        F.col("us").isNotNull() & F.col("vc").isNotNull()
     )
     return prepared.groupBy("event_type").applyInPandasWithState(
         _update_twap,
