@@ -31,13 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 — driver parity.
 #
 # ROUND-5 ROTATION PLAN (for the next builder session): the window must
-# cover the 41 r02-stale queries PLUS the 12 round-4 registrations that
+# cover the 41 r02-stale queries PLUS the 13 round-4 registrations that
 # missed this round's window (q_yoy_growth, q_copurchase_pairs,
 # q_winsorized_prices, q_cohort_ltv, q_interarrival_stats, q_zipf_fit,
 # q_centroid_drift, q_embedding_outliers, q_brand_pagerank, q_twap,
-# q_time_to_convert, q_minhash_jaccard_est) = 53 entries — lead with the
-# 12 never-checked, then r02-stale; the ~3 overflow r02 entries rotate to
-# round 6 (they stay covered by the sf0.01 pytest gate meanwhile).
+# q_time_to_convert, q_minhash_jaccard_est, q_concurrent_sessions) = 54
+# entries — lead with the 13 never-checked, then r02-stale; the ~4
+# overflow r02 entries rotate to round 6 (they stay covered by the
+# sf0.01 pytest gate meanwhile).
 _CHECK_FIRST = [
     # -- plan or name changed this round; needs a fresh row
     "q_semantic_dedup",         # canonical swapped to the scale-true plan

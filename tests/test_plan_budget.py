@@ -83,6 +83,7 @@ SHUFFLE_BUDGETS = {
     "q_cohort_ltv": 3,            # cohort min + purchase join + rollup
     "q_twap": 1,                  # one type-keyed window + rollup ride it
     "q_time_to_convert": 4,       # signup min + join + gap dist + cum window
+    "q_concurrent_sessions": 2,   # session window + cell-join pair rollup
     "q_bm25_topk": 5,             # postings + df/stats broadcast branches
     "q_centroid_drift": 5,        # (label,par,dim) + collect + counts
     "q_embedding_outliers": 6,    # centroid + dists + stats + final rollup

@@ -1465,7 +1465,123 @@ FROM cum
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Concurrent sessions: INTERVAL-OVERLAP self-join — which user pairs were
+# active simultaneously, and for how long. The missing join shape next to
+# the point-proximity join (q_event_pairs_10min): intervals × intervals.
+# Scale shape: sessions bucketize into hour cells and explode into the
+# cells they COVER (bounded by session length / cell width), the pair
+# join is an equi-join on the cell key, duplicates from multi-cell
+# overlaps collapse via per-pair max, and the exact overlap filter runs
+# on the joined row — never an inequality (theta) join over the full
+# session table. Overlaps accumulate in EXACT integer microseconds. The
+# oracle mirrors with a plain range join (fine at oracle scale).
+# ---------------------------------------------------------------------------
+
+CONCURRENT_MAX_USER = 20
+_SESS_GAP_US = 30 * 60 * 1000000
+_CELL_US = 3600 * 1000000
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < CONCURRENT_MAX_USER
+    )
+    sess = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(CAST(w.start AS TIMESTAMP))").alias("s_us"),
+            F.expr("unix_micros(CAST(w.end AS TIMESTAMP))").alias("e_us"),
+        )
+    )
+    cells = sess.select(
+        "user_id", "s_us", "e_us",
+        F.explode(
+            F.expr(f"sequence(s_us DIV {_CELL_US}, e_us DIV {_CELL_US})")
+        ).alias("cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    overlap = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
+        F.col("a.s_us"), F.col("b.s_us")
+    )
+    pair_overlaps = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(overlap > 0)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.s_us").alias("sa"),
+            F.col("b.s_us").alias("sb"),
+            overlap.alias("ov_us"),
+        )
+        # a session pair spanning k shared cells matched k times: collapse
+        # to one row per session pair (identified by user+start) — max is
+        # safe, every duplicate carries the identical exact overlap
+        .groupBy("user_a", "user_b", "sa", "sb")
+        .agg(F.max("ov_us").alias("ov_us"))
+    )
+    return (
+        pair_overlaps.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_session_pairs"),
+            (F.sum("ov_us") / 1000000.0).alias("overlap_s"),
+        )
+        .orderBy(F.col("overlap_s").desc(), "user_a", "user_b")
+        .limit(20)
+    )
+
+
+Q_CONCURRENT_SESSIONS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WHERE user_id < {CONCURRENT_MAX_USER}
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess_id
+  FROM flagged
+), sess AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) AS s_us,
+         epoch_us(MAX(ts)) + {_SESS_GAP_US} AS e_us
+  FROM numbered GROUP BY user_id, sess_id
+), pair_overlaps AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS ov_us
+  FROM sess a JOIN sess b
+    ON a.user_id < b.user_id
+   AND a.s_us < b.e_us AND b.s_us < a.e_us
+  WHERE LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) > 0
+)
+SELECT user_a, user_b,
+       COUNT(*) AS n_session_pairs,
+       SUM(ov_us) / 1000000.0 AS overlap_s
+FROM pair_overlaps
+GROUP BY user_a, user_b
+ORDER BY overlap_s DESC, user_a, user_b
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_concurrent_sessions": (q_concurrent_sessions, Q_CONCURRENT_SESSIONS_SQL),
     "q_twap": (q_twap, Q_TWAP_SQL),
     "q_time_to_convert": (q_time_to_convert, Q_TIME_TO_CONVERT_SQL),
     "q_cohort_ltv": (q_cohort_ltv, Q_COHORT_LTV_SQL),
