@@ -85,3 +85,38 @@ def test_edge_semantics(spark):
     # same-instant rows never pair (strict lower bound); the gap bound is
     # inclusive; one microsecond past the bound is out
     assert got == {(1, 3), (2, 3), (3, 4)}
+
+
+def test_interval_overlap_self_join_matches_bruteforce(spark):
+    """Property: the cell-bucketed overlap join finds EXACTLY the pairs a
+    brute-force O(n²) reference finds, with identical exact overlaps —
+    across random interval sets whose lengths straddle the cell width."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.interval import interval_overlap_self_join
+
+    rng = random.Random(17)
+    CELL = 1000  # small cell so intervals span 0..several cells
+    for trial in range(4):
+        rows = []
+        for i in range(40):
+            s = rng.randrange(0, 20_000)
+            e = s + rng.randrange(1, 3_500)  # up to 3.5 cells long
+            rows.append((i, s, e))
+        df = spark.createDataFrame(rows, "iid long, s_us long, e_us long")
+        got = {
+            (r["a_iid"], r["b_iid"]): r["overlap_us"]
+            for r in interval_overlap_self_join(
+                df, id_cols=["iid"], cell_us=CELL
+            ).collect()
+        }
+        want = {}
+        for i, s1, e1 in rows:
+            for j, s2, e2 in rows:
+                if i < j:
+                    ov = min(e1, e2) - max(s1, s2)
+                    if ov > 0:
+                        want[(i, j)] = ov
+        assert got == want, f"trial {trial}"

@@ -120,3 +120,65 @@ def event_pairs_within(
     return paired.select(
         *keys, f"{id_col}_a", f"{id_col}_b", gap.alias("gap_us")
     )
+
+
+def interval_overlap_self_join(
+    intervals: DataFrame,
+    *,
+    id_cols: Sequence[str],
+    start_col: str = "s_us",
+    end_col: str = "e_us",
+    cell_us: int = 3600 * 1000000,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """All pairs of OVERLAPPING intervals (exact integer-microsecond
+    bounds), as a cell-bucketed equi-join — the interval×interval analog
+    of :func:`time_range_join` (never a theta join over the full table).
+
+    Each interval explodes into the ``cell_us``-wide cells it covers
+    (bounded by interval length / cell width), candidates equi-join on
+    the cell key, duplicates from multi-cell overlaps collapse via
+    identical-value max, and the exact ``overlap > 0`` filter runs on the
+    candidate set. ``partition_col`` optionally restricts pairs to equal
+    values (e.g. a tenant key); pairs are emitted once with
+    ``a.<id> < b.<id>`` on the first id column.
+
+    Returns one row per overlapping pair: the a-side ids (``a_<id>``),
+    b-side ids (``b_<id>``), and ``overlap_us``."""
+    cells = intervals.select(
+        *([partition_col] if partition_col else []),
+        *id_cols,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.explode(
+            F.expr(f"sequence({start_col} DIV {cell_us}, {end_col} DIV {cell_us})")
+        ).alias("_cell"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = (F.col("a._cell") == F.col("b._cell")) & (
+        F.col(f"a.{id_cols[0]}") < F.col(f"b.{id_cols[0]}")
+    )
+    if partition_col:
+        cond = cond & (F.col(f"a.{partition_col}") == F.col(f"b.{partition_col}"))
+    overlap = F.least(F.col("a._e"), F.col("b._e")) - F.greatest(
+        F.col("a._s"), F.col("b._s")
+    )
+    out_ids = [F.col(f"a.{c}").alias(f"a_{c}") for c in id_cols] + [
+        F.col(f"b.{c}").alias(f"b_{c}") for c in id_cols
+    ]
+    return (
+        a.join(b, cond)
+        .filter(overlap > 0)
+        .select(
+            *([F.col(f"a.{partition_col}").alias(partition_col)]
+              if partition_col else []),
+            *out_ids,
+            overlap.alias("overlap_us"),
+        )
+        .groupBy(
+            *([partition_col] if partition_col else []),
+            *[f"a_{c}" for c in id_cols],
+            *[f"b_{c}" for c in id_cols],
+        )
+        .agg(F.max("overlap_us").alias("overlap_us"))
+    )

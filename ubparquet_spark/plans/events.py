@@ -1500,41 +1500,29 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("unix_micros(CAST(w.end AS TIMESTAMP))").alias("e_us"),
         )
     )
-    cells = sess.select(
-        "user_id", "s_us", "e_us",
-        F.explode(
-            F.expr(f"sequence(s_us DIV {_CELL_US}, e_us DIV {_CELL_US})")
-        ).alias("cell"),
-    )
-    a, b = cells.alias("a"), cells.alias("b")
-    overlap = F.least(F.col("a.e_us"), F.col("b.e_us")) - F.greatest(
-        F.col("a.s_us"), F.col("b.s_us")
-    )
-    pair_overlaps = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .filter(overlap > 0)
-        .select(
-            F.col("a.user_id").alias("user_a"),
-            F.col("b.user_id").alias("user_b"),
-            F.col("a.s_us").alias("sa"),
-            F.col("b.s_us").alias("sb"),
-            overlap.alias("ov_us"),
-        )
-        # a session pair spanning k shared cells matched k times: collapse
-        # to one row per session pair (identified by user+start) — max is
-        # safe, every duplicate carries the identical exact overlap
-        .groupBy("user_a", "user_b", "sa", "sb")
-        .agg(F.max("ov_us").alias("ov_us"))
+    from ubparquet_spark.operators.interval import interval_overlap_self_join
+
+    # the generic cell-bucketed interval×interval join (property-tested
+    # against brute force in test_interval.py); sessions are identified
+    # by (user_id, s_us) — per-user sessions are disjoint, so s_us is a
+    # unique session key within a user
+    # pairs are already emitted once with a.user_id < b.user_id (the
+    # operator orders on the first id col), so same-user session pairs
+    # never appear and no symmetric re-keying is needed
+    pair_overlaps = interval_overlap_self_join(
+        sess,
+        id_cols=["user_id", "s_us"],
+        cell_us=_CELL_US,
+    ).select(
+        F.col("a_user_id").alias("user_a"),
+        F.col("b_user_id").alias("user_b"),
+        "overlap_us",
     )
     return (
         pair_overlaps.groupBy("user_a", "user_b")
         .agg(
             F.count(F.lit(1)).alias("n_session_pairs"),
-            (F.sum("ov_us") / 1000000.0).alias("overlap_s"),
+            (F.sum("overlap_us") / 1000000.0).alias("overlap_s"),
         )
         .orderBy(F.col("overlap_s").desc(), "user_a", "user_b")
         .limit(20)
