@@ -93,8 +93,6 @@ def test_interval_overlap_self_join_matches_bruteforce(spark):
     across random interval sets whose lengths straddle the cell width."""
     import random
 
-    from pyspark.sql import functions as F
-
     from ubparquet_spark.operators.interval import interval_overlap_self_join
 
     rng = random.Random(17)

@@ -131,9 +131,14 @@ def interval_overlap_self_join(
     cell_us: int = 3600 * 1000000,
     partition_col: str | None = None,
 ) -> DataFrame:
-    """All pairs of OVERLAPPING intervals (exact integer-microsecond
-    bounds), as a cell-bucketed equi-join — the interval×interval analog
-    of :func:`time_range_join` (never a theta join over the full table).
+    """Pairs of overlapping intervals with DISTINCT first-id values
+    (exact integer-microsecond bounds), as a cell-bucketed equi-join —
+    the interval×interval analog of :func:`time_range_join` (never a
+    theta join over the full table). The once-per-pair dedup orders on
+    ``id_cols[0]`` alone, so two intervals sharing the first id (e.g.
+    two sessions of the same user) are NOT emitted — the contract the
+    cross-entity use cases want; compare a composite key yourself if you
+    need same-entity pairs.
 
     Each interval explodes into the ``cell_us``-wide cells it covers
     (bounded by interval length / cell width), candidates equi-join on

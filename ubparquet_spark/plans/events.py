@@ -116,17 +116,20 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_EVENTS_SESSIONIZE_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
+    -- strictly greater: session_window MERGES an event exactly gap
+    -- after the previous one (verified empirically; end bound is the
+    -- last event + gap, so equality is within the window)
     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              >= INTERVAL 30 MINUTE
+              > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_sess
   FROM events
   WHERE user_id < 100
 ), numbered AS (
   SELECT user_id, ts, value,
          SUM(new_sess) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS sess_id
   FROM flagged
@@ -1291,10 +1294,10 @@ GROUP BY 1, 2
 
 # ---------------------------------------------------------------------------
 # Inter-arrival gap statistics per event type: lag over (user, type)
-# ordered by time, gaps in EXACT microseconds (unix_micros / epoch_us are
-# integer in both engines — no timestamp-subtraction double drift; the
-# parquet ts is TIMESTAMP_NTZ, cast under the UTC session TZ = identity),
-# then
+# ordered by time, gaps in EXACT microseconds (NTZ-epoch timestampdiff /
+# epoch_us are integer in both engines — no timestamp-subtraction double
+# drift, and no NTZ→LTZ cast whose offset would shift across a DST
+# boundary under a foreign session timezone), then
 # one partial-aggregatable rollup per type. The window partitions by
 # (user_id, event_type) — millions of small partitions at 100 TB, the
 # scalable case (contrast the single-partition global windows the
@@ -1303,7 +1306,7 @@ GROUP BY 1, 2
 
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        "user_id", "event_type", F.expr("timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)").alias("us"),
         "event_id",
     )
     w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
@@ -1357,7 +1360,7 @@ GROUP BY event_type
 def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)").alias("us"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
         "event_id",
     )
@@ -1409,7 +1412,7 @@ GROUP BY event_type
 
 def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    us = F.expr("timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)")
     signup = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -1496,8 +1499,17 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.expr("unix_micros(CAST(w.start AS TIMESTAMP))").alias("s_us"),
-            F.expr("unix_micros(CAST(w.end AS TIMESTAMP))").alias("e_us"),
+            # timestampdiff against the NTZ epoch, NOT a CAST to LTZ: the
+            # cast is session-timezone-dependent and shifts across DST
+            # (the operators/interval._epoch_micros hazard)
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " to_timestamp_ntz('1970-01-01 00:00:00'), w.start)"
+            ).alias("s_us"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " to_timestamp_ntz('1970-01-01 00:00:00'), w.end)"
+            ).alias("e_us"),
         )
     )
     from ubparquet_spark.operators.interval import interval_overlap_self_join
@@ -1531,17 +1543,20 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_CONCURRENT_SESSIONS_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
+    -- strictly greater: session_window MERGES an event exactly gap
+    -- after the previous one (verified empirically; end bound is the
+    -- last event + gap, so equality is within the window)
     CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
            OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-              >= INTERVAL 30 MINUTE
+              > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_sess
   FROM events
   WHERE user_id < {CONCURRENT_MAX_USER}
 ), numbered AS (
   SELECT user_id, ts,
          SUM(new_sess) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS sess_id
   FROM flagged

@@ -167,7 +167,7 @@ def running_twap(stream: DataFrame) -> DataFrame:
 
     prepared = stream.select(
         "event_type",
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.expr("timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)").alias("us"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
         "event_id",
     ).filter(
