@@ -91,7 +91,9 @@ GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # Session windows (30-minute gap). Spark merges events while
-# next_ts - prev_ts < gap; session_end = last_ts + gap.
+# next_ts - prev_ts <= gap (a new session starts only when the gap is
+# STRICTLY exceeded — the strict-gap `>` split encoded in the SQL
+# oracles); session_end = last_ts + gap.
 # ---------------------------------------------------------------------------
 
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,12 +1315,16 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
         F.col("gap_us").isNotNull()
     )
-    # Σgap_us stays exact BIGINT; ONE division at the end — an AVG over
-    # per-row doubles would be partial-aggregation-order-dependent
+    # Σgap_us accumulates in decimal(38,0) (not BIGINT: DuckDB's
+    # SUM(BIGINT) widens to HUGEINT, and at extreme row counts a Spark
+    # BIGINT sum would wrap silently in non-ANSI mode); ONE division at
+    # the end — an AVG over per-row doubles would be
+    # partial-aggregation-order-dependent
     return gaps.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
         roundn(
-            F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1000000.0, 4
+            F.sum(F.col("gap_us").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)) / 1000000.0, 4
         ).alias("avg_gap_s"),
         (F.min("gap_us") / 1000000.0).alias("min_gap_s"),
         (F.max("gap_us") / 1000000.0).alias("max_gap_s"),
@@ -1363,7 +1369,13 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)").alias("us"),
         F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("vc"),
         "event_id",
-    )
+    ).filter(F.col("us").isNotNull() & F.col("vc").isNotNull())
+    # Null-value/null-ts observations are dropped BEFORE the lead window —
+    # LOCF semantics: an unobserved sample neither starts a segment nor
+    # advances the span; the previous value carries across it.  This is
+    # exactly what the streaming twin (streaming/stateful.running_twap)
+    # does by filtering nulls at the source, so batch and stream agree on
+    # n_segments / span_s / twap in the presence of nulls.
     w = Window.partitionBy("event_type").orderBy("us", "event_id")
     seg = ev.withColumn("next_us", F.lead("us").over(w)).filter(
         F.col("next_us").isNotNull()
@@ -1388,6 +1400,7 @@ WITH seg AS (
            PARTITION BY event_type ORDER BY epoch_us(ts), event_id
          ) AS next_us
   FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
 )
 SELECT event_type,
        COUNT(*) AS n_segments,

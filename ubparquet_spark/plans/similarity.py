@@ -1943,7 +1943,11 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = dists.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum("d6").alias("sd"),
-        F.sum(F.col("d6") * F.col("d6")).alias("sdd"),
+        # decimal(38,0) accumulation: d6 can reach ~1.6e7, so a BIGINT
+        # Σd6² wraps silently past a few 1e4 vectors/label in non-ANSI
+        # mode while the oracle's SUM(HUGEINT) widens — cast BEFORE the
+        # square, as q_twap/q_winsorized_prices do
+        F.sum(F.col("d6").cast("decimal(38,0)") * F.col("d6")).alias("sdd"),
         F.max("d6").alias("maxd"),
     )
     mean = F.col("sd").cast("double") / F.col("n_vecs")

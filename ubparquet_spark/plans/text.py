@@ -2813,8 +2813,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = lambda c: c.cast("decimal(38,0)")
     sums = pts.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
+        # decimal(38,0) even for the linear sums: x/y are ln·1e12 ≈ 1.6e13
+        # each, so a BIGINT Σx wraps silently past ~600k vocabulary types in
+        # non-ANSI mode while DuckDB's SUM(BIGINT) widens to HUGEINT
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
         F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
         F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
         F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),

@@ -172,7 +172,10 @@ def running_twap(stream: DataFrame) -> DataFrame:
         "event_id",
     ).filter(
         # a null ts/value would arrive as NaN in the Arrow batch and crash
-        # the int conversion; the batch twin's window/agg skips them too
+        # the int conversion; the batch twin (plans/events.q_twap) filters
+        # null us/vc before its lead window with the same LOCF semantics —
+        # an unobserved sample neither starts a segment nor advances the
+        # span — so batch and stream stay value-equal on null-bearing input
         F.col("us").isNotNull() & F.col("vc").isNotNull()
     )
     return prepared.groupBy("event_type").applyInPandasWithState(
