@@ -20,78 +20,76 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness check records only the FIRST ~50 registry entries
-# (CORRECTNESS_r01/r02/r03.json each stopped at exactly 50).  Order the
-# registry so the queries that most need a fresh green row come first.
-# Round-4 rotation: queries whose plan (or registered name) changed this
-# round lead, followed by the 42 queries whose newest driver row is from
-# round 1 (the stalest cohort — VERDICT r03 "Next round" #1).  Everything
-# past position ~50 is re-checked every session by the repo's own
-# DuckDB-oracle pytest gate (tests/oracle.py), which as of round 4 runs at
-# sf0.01 — driver parity.
+# The driver's correctness check records only the FIRST ~50 registry
+# entries (CORRECTNESS_r01..r04.json each stopped at exactly 50).  Order
+# the registry so the queries that most need a fresh green row come first.
 #
-# ROUND-5 ROTATION PLAN (for the next builder session): the window must
-# cover the 41 r02-stale queries PLUS the 13 round-4 registrations that
-# missed this round's window (q_yoy_growth, q_copurchase_pairs,
-# q_winsorized_prices, q_cohort_ltv, q_interarrival_stats, q_zipf_fit,
-# q_centroid_drift, q_embedding_outliers, q_brand_pagerank, q_twap,
-# q_time_to_convert, q_minhash_jaccard_est, q_concurrent_sessions) = 54
-# entries — lead with the 13 never-checked, then r02-stale; the ~4
-# overflow r02 entries rotate to round 6 (they stay covered by the
-# sf0.01 pytest gate meanwhile).
+# ROUND-5 ROTATION (executes the plan VERDICT r04 "Next round" #1):
+#   1. the 13 round-4 registrations that have NEVER held a driver row
+#      (q_twap leads — its plan was rebuilt this round onto the
+#      segmented-lead operator, so it needs the freshest signal);
+#   2. q_sketch_stats, promoted this round from rows-only to a full
+#      bounded-error hash oracle (exact aggregates + within-bounds
+#      booleans vs literal TRUE) — its first hash row;
+#   3. 36 of the 41 queries whose newest driver row is CORRECTNESS_r02.
+# The 5 deferred r02-stale entries (q_ann_ivf_multiprobe, q_ann_recall,
+# q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint — each a close
+# variant of a sibling that IS in this window) rotate to round 6; they
+# stay covered every session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
-    # -- plan or name changed this round; needs a fresh row
-    "q_semantic_dedup",         # canonical swapped to the scale-true plan
-    "q_semantic_dedup_smallk",  # renamed from q_semantic_dedup (fixed-k)
-    "q_neighbor_degree",        # left-join + coalesce-0 for edge-free groups
-    "q_spatial_pairs",          # exact-square dist expression
-    "q_bpe_merges",             # memoized + batched trainer refactor
-    "q_bpe_vocab",
-    "q_contamination_bloom",    # bloom m sized from the benchmark gram count
-    "q_bm25_topk",              # new this round (8 siblings rotate into r05)
-    # -- stalest driver rows (newest row is CORRECTNESS_r01)
-    "q16_part_supplier_variety",
-    "q15_top_supplier",
-    "q7_nation_volume",
+    # -- never driver-checked (registered round 4)
+    "q_twap",
+    "q_brand_pagerank",
+    "q_minhash_jaccard_est",
+    "q_concurrent_sessions",
+    "q_yoy_growth",
+    "q_copurchase_pairs",
+    "q_winsorized_prices",
+    "q_cohort_ltv",
+    "q_interarrival_stats",
+    "q_zipf_fit",
+    "q_centroid_drift",
+    "q_embedding_outliers",
+    "q_time_to_convert",
+    # -- first hash row after the bounded-error-oracle promotion
     "q_sketch_stats",
-    "q_set_ops_customers",
-    "q_string_funcs",
-    "q_rolling_7day_revenue",
-    "q_order_gaps",
-    "q_price_stats",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q19_disjunctive",
-    "q_regex_source_buckets",
-    "q_order_qty_profile",
-    "q_cube_orders",
-    "q_small_quantity_revenue",
-    "q_late_orders_semi",
-    "q_customers_without_orders",
-    "q_rollup_revenue",
-    "q_above_avg_balance",
-    "q_priority_remap",
-    "q_mod_sample",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q_point_lookup",
-    "q_dedup_audit",
-    "q_distinct_segments",
-    "q_sanity_bounds",
-    "q_top_orders_per_customer",
-    "q_cumulative_revenue",
-    "q_events_funnel",
-    "q_latest_event_per_user",
-    "q_stratified_sample",
-    "q_events_gap_fill",
-    "q_event_pairs_10min",
-    "q_events_time_rollup",
-    "q_asof_prev_click",
-    "q_pivot_user_events",
-    "q_unpivot_metrics",
-    "q_events_dow",
+    # -- stalest driver rows (newest row is CORRECTNESS_r02)
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_bpe_token_stats",
+    "q_chunk_overlap",
+    "q_contamination",
+    "q_crossdoc_spans",
+    "q_doc_exact_dedup",
+    "q_doc_quality",
+    "q_doc_repetition",
+    "q_doc_rolling_hash",
+    "q_doc_stats",
+    "q_domain_cap",
+    "q_embedding_neardup",
+    "q_embedding_norms",
+    "q_events_hourly",
+    "q_events_json",
+    "q_events_outliers",
+    "q_events_retention",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_gopher_rules",
+    "q_ivf_recall",
+    "q_kmeans_clusters",
+    "q_knn_bruteforce",
+    "q_label_centroids",
+    "q_lang_id",
+    "q_lexical_diversity",
+    "q_minhash_lsh_buckets",
+    "q_mixture_sample",
+    "q_pack_sequences",
+    "q_pq_topk",
+    "q_simhash",
+    "q_tfidf_top_term",
+    "q_token_histogram",
+    "q_unigram_logprob",
+    "q_vocab_coverage",
 ]
 
 
