@@ -81,7 +81,13 @@ SHUFFLE_BUDGETS = {
     "q_copurchase_pairs": 2,      # distinct (order,brand) + pair counts
     "q_winsorized_prices": 3,     # value distribution + cum window + clip agg
     "q_cohort_ltv": 3,            # cohort min + purchase join + rollup
-    "q_twap": 1,                  # one type-keyed window + rollup ride it
+    # q_twap rewired onto operators/segmented.segmented_lead (round 5):
+    # [fact (type,bucket) window] + [firsts groupBy — map-side combined to
+    # one row per (type,bucket,task)] + [tiny bucket-handoff window] +
+    # [final rollup].  Only the first Exchange carries fact rows, and its
+    # window tasks are day-bounded — the old budget-1 plan was cheaper on
+    # paper but sorted each type's whole history in ONE task.
+    "q_twap": 4,
     "q_time_to_convert": 4,       # signup min + join + gap dist + cum window
     "q_concurrent_sessions": 2,   # session window + cell-join pair rollup
     "q_bm25_topk": 5,             # postings + df/stats broadcast branches

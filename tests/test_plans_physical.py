@@ -160,3 +160,24 @@ def test_gopher_rules_single_scan_no_shuffle(spark, sf_dir):
 
     plan = plan_text(text.q_gopher_rules(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_twap_has_no_whole_type_fact_window(spark, sf_dir):
+    """VERDICT r04 defect #1: q_twap's lead must NOT run in a window
+    partitioned by event_type alone — with a handful of event types that
+    sorts each type's entire 100 TB history in one task.  After the
+    segmented_lead rewire, the fact-side window spec must include the
+    day-bucket column; the only type-alone spec allowed is the boundary
+    handoff, which runs over the per-bucket FIRSTS aggregate (one row per
+    non-empty (type, day)), never over fact rows."""
+    from ubparquet_spark.plans import events
+
+    plan = plan_text(events.q_twap(spark, sf_dir))
+    specs = [seg.split(")")[0] for seg in plan.split("windowspecdefinition(")[1:]]
+    assert specs, "expected Window operators in the q_twap plan"
+    bucketed = [s for s in specs if "__seg" in s]
+    plain = [s for s in specs if "__seg" not in s]
+    assert bucketed, f"fact-side lead lost its bucket column: {specs}"
+    # the non-bucketed spec is the handoff lead over the aggregated firsts
+    # artifact — it reads the struct-min output, never a fact column
+    assert all("_first_t" in s for s in plain), plain
