@@ -100,3 +100,110 @@ def test_root_reader_roundtrip(spark, tmp_path):
     )
     rows = sorted((r.run, r.x) for r in df.collect())
     assert rows == [(1, 0.5), (1, 1.5), (2, 2.5)]
+
+
+class _FakeTree:
+    """Stands in for an uproot TTree: .keys() + .iterate(names, library,
+    step_size) yielding numpy batches, the exact surface root_reader uses."""
+
+    def __init__(self, data, batch_bounds):
+        self._data = data
+        self._bounds = batch_bounds
+        self.calls = []
+
+    def keys(self):
+        return list(self._data)
+
+    def iterate(self, names, library=None, step_size=None):
+        self.calls.append({"names": list(names), "library": library,
+                           "step_size": step_size})
+        for lo, hi in self._bounds:
+            yield {k: self._data[k][lo:hi] for k in names}
+
+
+def _install_fake_uproot(monkeypatch, tree_obj, opened):
+    import sys
+    import types
+
+    class _FakeFile:
+        def __init__(self, path):
+            opened.append(path)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            return False
+
+        def __getitem__(self, name):
+            assert name == "events"
+            return tree_obj
+
+    fake = types.ModuleType("uproot")
+    fake.open = _FakeFile
+    monkeypatch.setitem(sys.modules, "uproot", fake)
+
+
+def test_root_reader_contract_with_fake_uproot(monkeypatch):
+    """VERDICT r04 #6: the env-gated uproot bridge, driven end-to-end by a
+    pure-Python shim so its iteration contract is tested WITHOUT the
+    library: (a) branch selection is passed verbatim to iterate(),
+    (b) step_size is forwarded, (c) entries flatten across batch
+    boundaries in order, (d) jagged branches arrive per-entry as ndarrays
+    and encode to the flat+shape column pair.  (The shim drives the reader
+    in-process; convert_files() executes readers inside separate worker
+    processes where a sys.modules patch cannot reach, and its plumbing is
+    already covered by the synthetic-reader tests above.)"""
+    import numpy as np
+
+    from ubparquet_spark.ingest import encode_event, root_reader
+
+    jag = np.empty(3, dtype=object)
+    jag[0] = np.array([1.0, 2.0])
+    jag[1] = np.array([], dtype=float)
+    jag[2] = np.array([3.0, 4.0, 5.0])
+    data = {
+        "run": np.array([10, 10, 20], dtype=np.int64),
+        "x": np.array([0.5, 1.5, 2.5]),
+        "hits": jag,
+    }
+    tree = _FakeTree(data, batch_bounds=[(0, 2), (2, 3)])
+    opened = []
+    _install_fake_uproot(monkeypatch, tree, opened)
+
+    reader = root_reader("events", ["run", "hits"], step_size="7 MB")
+    events = list(reader("/fake/a.root"))
+
+    assert opened == ["/fake/a.root"]
+    # (a)+(b): exactly one iterate call, only the requested branches,
+    # step_size forwarded untouched
+    assert tree.calls == [
+        {"names": ["run", "hits"], "library": "np", "step_size": "7 MB"}
+    ]
+    # (c): 3 entries in order despite the 2/1 batch split
+    assert [e["run"] for e in events] == [10, 10, 20]
+    # (d): jagged branch is a per-entry ndarray; encode_event turns it
+    # into the reference's flat+shape pair (root2parquet.py:72-80)
+    assert all(isinstance(e["hits"], np.ndarray) for e in events)
+    enc = encode_event(events[2])
+    assert list(enc["hits"]) == [3.0, 4.0, 5.0]
+    assert list(enc["hits_shape"]) == [3]
+    assert enc["run"] == 20
+
+
+def test_root_reader_default_branches_use_tree_keys(monkeypatch):
+    """branches=None must fall back to every tree key, in tree order."""
+    import numpy as np
+
+    from ubparquet_spark.ingest import root_reader
+
+    data = {
+        "b": np.array([1, 2], dtype=np.int64),
+        "a": np.array([3, 4], dtype=np.int64),
+    }
+    tree = _FakeTree(data, batch_bounds=[(0, 2)])
+    _install_fake_uproot(monkeypatch, tree, opened=[])
+
+    events = list(root_reader("events")("/fake/b.root"))
+    assert tree.calls[0]["names"] == ["b", "a"]
+    assert events == [{"b": 1, "a": 3}, {"b": 2, "a": 4}]
