@@ -229,3 +229,95 @@ def test_wav_roundtrip_property():
         np.testing.assert_allclose(x, samples / 32768.0)
 
     check()
+
+
+def test_bmp_roundtrip_padding_and_topdown():
+    """24-bit BMP encode/decode round-trips every row-padding remainder;
+    a hand-built top-down (negative height) payload and a nonstandard
+    pixel-data offset both decode per spec; malformed payloads raise."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from ubparquet_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for w in (1, 2, 3, 4, 5, 13):  # w*3 mod 4 covers 0..3
+        img = rng.integers(0, 256, (6, w, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+    # top-down variant: encode_bmp(img[::-1]) lays img's rows on disk in
+    # top-to-bottom order (the encoder writes bottom-up); flipping the
+    # height sign marks the payload top-down, so decoding yields img
+    img = rng.integers(0, 256, (5, 3, 3)).astype(np.uint8)
+    buf = bytearray(encode_bmp(img[::-1]))
+    buf[22:26] = struct.pack("<i", -5)  # height = -5 -> stored top-down
+    np.testing.assert_array_equal(decode_bmp(bytes(buf)), img)
+
+    # offset honoured: insert 12 junk bytes between headers and raster
+    raw = encode_bmp(img)
+    moved = bytearray(raw[:54]) + b"\0" * 12 + raw[54:]
+    moved[10:14] = struct.pack("<I", 54 + 12)
+    np.testing.assert_array_equal(decode_bmp(bytes(moved)), img)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG whatever")
+    with pytest.raises(ValueError, match="truncated BMP raster"):
+        decode_bmp(raw[:-4])
+    with pytest.raises(ValueError, match="only 24-bit"):
+        bad = bytearray(raw)
+        bad[28:30] = struct.pack("<H", 8)
+        decode_bmp(bytes(bad))
+    with pytest.raises(ValueError, match="expects uint8"):
+        encode_bmp(img.astype(np.int32))
+
+
+def test_real_bmp_path_end_to_end_and_cross_codec_parity(spark):
+    """decode_resize_features over REAL BMP payloads (per-row format
+    dispatch), checked against a pure-numpy reference — and cross-codec:
+    the same image encoded as PPM and as BMP must produce IDENTICAL
+    feature rows through the shared Spark stage."""
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import (
+        MEDIA_DDL,
+        decode_bmp,
+        decode_resize_features,
+        encode_bmp,
+        encode_ppm,
+        resize_nearest,
+        synth_bmp_df,
+    )
+
+    df = synth_bmp_df(spark, n=8)
+    got = {r["media_id"]: r for r in decode_resize_features(df).collect()}
+    raw = {r["media_id"]: bytes(r["payload"]) for r in df.collect()}
+    assert set(got) == set(raw)
+    for mid, payload in raw.items():
+        img = decode_bmp(payload)
+        g = got[mid]
+        assert (g["height"], g["width"]) == img.shape[:2]
+        assert abs(g["mean_g"] - img[:, :, 1].mean()) < 1e-9
+        small = resize_nearest(img, 16, 12).astype(np.float64)
+        want = (small.mean(axis=2) / 255.0).ravel()
+        np.testing.assert_allclose(np.asarray(g["feature"]), want, rtol=1e-6)
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (10, 14, 3)).astype(np.uint8)
+
+    def row(mid, fmt, payload):
+        return {
+            "media_id": mid, "kind": "image", "payload": payload,
+            "meta": {"width": 14, "height": 10, "channels": 3,
+                     "sample_rate": None, "n_frames": None, "format": fmt},
+        }
+
+    both = spark.createDataFrame(
+        [row(0, "ppm", encode_ppm(img)), row(1, "bmp", encode_bmp(img))],
+        MEDIA_DDL,
+    )
+    a, b = sorted(
+        decode_resize_features(both).collect(), key=lambda r: r["media_id"]
+    )
+    assert a.asDict(True) | {"media_id": 1} == b.asDict(True)

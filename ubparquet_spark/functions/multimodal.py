@@ -301,10 +301,11 @@ def synth_ppm_df(spark: SparkSession, n: int = 32, seed: int = 7) -> DataFrame:
 def decode_resize_features(
     df: DataFrame, *, dst_w: int = 16, dst_h: int = 12
 ) -> DataFrame:
-    """The fully-real multimodal path for PPM/PGM images: decode payloads,
-    nearest-resize to (dst_w, dst_h), emit per-channel means + a flattened
-    downsampled luma feature — one Arrow-batched mapInPandas stage, no
-    shuffle, payloads never touch the driver."""
+    """The fully-real multimodal path for PPM/PGM/BMP images: decode
+    payloads (dispatching on meta.format per row), nearest-resize to
+    (dst_w, dst_h), emit per-channel means + a flattened downsampled luma
+    feature — one Arrow-batched mapInPandas stage, no shuffle, payloads
+    never touch the driver."""
     out_schema = (
         "media_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double, "
@@ -314,8 +315,12 @@ def decode_resize_features(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             recs = []
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_ppm(bytes(payload))
+            for mid, payload, meta in zip(
+                pdf["media_id"], pdf["payload"], pdf["meta"]
+            ):
+                fmt = meta["format"] if isinstance(meta, dict) else meta.format
+                decode = decode_bmp if fmt == "bmp" else decode_ppm
+                img = decode(bytes(payload))
                 if img.ndim == 2:
                     img = np.stack([img] * 3, axis=2)
                 small = resize_nearest(img, dst_w, dst_h).astype(np.float64)
@@ -333,7 +338,7 @@ def decode_resize_features(
                 )
             yield pd.DataFrame.from_records(recs)
 
-    return df.filter(F.col("meta.format").isin("ppm", "pgm")).mapInPandas(
+    return df.filter(F.col("meta.format").isin("ppm", "pgm", "bmp")).mapInPandas(
         batches, out_schema
     )
 
@@ -504,3 +509,109 @@ def audio_features(df: DataFrame) -> DataFrame:
     return df.filter(F.col("meta.format") == "wav").mapInPandas(
         batches, out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Third fully-real codec (round 5): BMP (Windows bitmap), 24-bit BI_RGB.
+# Like PPM/PGM and WAV, the format is raw-bytes parseable with struct +
+# numpy alone: 14-byte file header, 40-byte BITMAPINFOHEADER, BGR pixel
+# rows padded to 4-byte multiples, bottom-up by default (negative height
+# = top-down per the spec). A corpus whose images are BMP (or transcoded
+# upstream) runs the identical decode→resize→feature path as PPM/PGM with
+# zero extra dependencies; decode_resize_features dispatches on
+# meta.format per row.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (H, W, 3) RGB image -> 24-bit BI_RGB BMP bytes (bottom-up,
+    rows padded to 4-byte multiples, BGR on disk per the format)."""
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError("encode_bmp expects uint8 (H, W, 3)")
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # bottom-up row order, RGB -> BGR
+    bgr = arr[::-1, :, ::-1]
+    rows = bgr.reshape(h, row_bytes)
+    padded = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    padded[:, :row_bytes] = rows
+    pixel_data = padded.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixel_data), 0, 0, offset)
+    return header + info + pixel_data
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP bytes -> uint8 (H, W, 3) RGB array. Pure
+    struct/numpy parser: honours the pixel-data offset (palettes or
+    extended headers between header and data are skipped via the offset),
+    4-byte row padding, and both bottom-up (positive height) and top-down
+    (negative height) layouts."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    if len(payload) < 14 + 40:
+        raise ValueError("truncated BMP: missing headers")
+    _, _fsize, _r1, _r2, offset = struct.unpack("<2sIHHI", payload[:14])
+    header_size, w, h_signed = struct.unpack("<Iii", payload[14:26])
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    planes, bits, compression = struct.unpack("<HHI", payload[26:34])
+    if planes != 1:
+        raise ValueError(f"malformed BMP: planes={planes}")
+    if compression != 0 or bits != 24:
+        raise ValueError(
+            f"only 24-bit BI_RGB supported, got {bits}-bit compression={compression}"
+        )
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"malformed BMP dimensions {w}x{h_signed}")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    need = stride * h
+    data = payload[offset : offset + need]
+    if len(data) < need:
+        raise ValueError(
+            f"truncated BMP raster: need {need} bytes, have {len(data)}"
+        )
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, :row_bytes]
+    img = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def synth_bmp_df(spark: SparkSession, n: int = 24, seed: int = 5) -> DataFrame:
+    """Media table whose image payloads are REAL encoded 24-bit BMP bytes
+    (deterministic gradients + seeded noise; widths chosen to exercise
+    every row-padding remainder 0..3)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 13 + (i % 4), 8 + (i % 3)  # w mod 4 cycles 1,2,3,0
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                rng.integers(0, 256, (h, w)),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        meta = {
+            "width": w, "height": h, "channels": 3,
+            "sample_rate": None, "n_frames": None, "format": "bmp",
+        }
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": encode_bmp(img),
+                "meta": meta,
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
