@@ -145,10 +145,35 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
     if os.path.islink(emb_out):
         os.remove(emb_out)
     out_e.repartition(32).write.mode("overwrite").parquet(emb_out)
-    # the stress queries only touch documents/embeddings; link the rest
+    # events replicate by (event_id, user_id) offset with ts/type/value
+    # UNCHANGED: same time range and type cardinality, N× density per
+    # (type, day) bucket — exactly the axis that grows at 100 TB and the
+    # one segmented_lead's per-bucket windows must absorb linearly
+    ev = load_table(spark, src_dir, "events")
+    n_ev, max_uid = ev.agg(F.count(F.lit(1)), F.max("user_id")).collect()[0]
+    ev_reps = [
+        ev.select(
+            (F.col("event_id") + k * n_ev).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * (max_uid + 1)).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(factor)
+    ]
+    out_ev = ev_reps[0]
+    for r in ev_reps[1:]:
+        out_ev = out_ev.unionByName(r)
+    ev_out = os.path.join(dst_dir, "events.parquet")
+    if os.path.islink(ev_out):  # same stale-symlink guard as above
+        os.remove(ev_out)
+    out_ev.repartition(32).write.mode("overwrite").parquet(ev_out)
+    # the remaining stress queries only touch documents/embeddings/events;
+    # link the rest
     for t in (
         "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events",
+        "orders", "lineitem",
     ):
         src = os.path.join(src_dir, f"{t}.parquet")
         dst = os.path.join(dst_dir, f"{t}.parquet")
@@ -180,11 +205,20 @@ DEEP_STRESS_QUERIES = {
     "q_incremental_dedup",
     "q_paragraph_dedup",
     "q_semantic_dedup",
+    # round-5 additions (VERDICT r04 #4): the text side's newest pipeline
+    # entries get their second decade
+    "q_paragraph_dedup_text",
+    "q_minhash_jaccard_est",
 }
+
+# events-table stress (round 5): q_twap after the segmented_lead rewire —
+# type cardinality stays constant while per-(type, day) density grows N×,
+# the axis the old whole-type window could not absorb
+EVENTS_STRESS_QUERIES = ("q_twap", "q_interarrival_stats")
 
 
 def main(factors: list[int], workdir: str) -> None:
-    from ubparquet_spark.plans import similarity, text
+    from ubparquet_spark.plans import events, similarity, text
 
     spark = get_session("scale-stress")
     src = "/root/testdata/sf0.1"
@@ -206,7 +240,11 @@ def main(factors: list[int], workdir: str) -> None:
         f"{f'{b}/{a}':>8s}" for a, b in zip(factors[:-1], factors[1:])
     )
     print(f"{'query':28s} {hdr}  {ratio_hdr}")
-    for mod, names in ((text, STRESS_QUERIES), (similarity, EMB_STRESS_QUERIES)):
+    for mod, names in (
+        (text, STRESS_QUERIES),
+        (similarity, EMB_STRESS_QUERIES),
+        (events, EVENTS_STRESS_QUERIES),
+    ):
         for name in names:
             # past 10×, only the dedup-pipeline queries run (tractability)
             run_factors = [
