@@ -181,3 +181,13 @@ def test_twap_has_no_whole_type_fact_window(spark, sf_dir):
     # the non-bucketed spec is the handoff lead over the aggregated firsts
     # artifact — it reads the struct-min output, never a fact column
     assert all("_first_t" in s for s in plain), plain
+
+
+def test_q2_group_min_broadcasts_not_windows(spark, sf_dir):
+    """The correlated per-type minimum must be a groupBy artifact
+    broadcast back, never min().over(partitionBy(p_type)) — a
+    low-cardinality unordered window puts each type's whole table slice
+    in one task."""
+    plan = plan_text(tpch.q2_min_cost_parts(spark, sf_dir))
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -709,7 +709,9 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(v).alias("s"),
-        F.sum(v * v).alias("sq"),
+        # decimal(38,0): v² ~1e10 per term wraps a BIGINT sum at ~1e9
+        # rows per type (round-5 overflow sweep; DuckDB widens to HUGEINT)
+        F.sum((v * v).cast("decimal(38,0)")).alias("sq"),
     )
     n = F.col("n").cast("double")
     s, sq = F.col("s").cast("double"), F.col("sq").cast("double")
@@ -861,8 +863,11 @@ GROUP BY event_type
 # (multiply (c−S/n)² > 9·(Q−S²/n)/n through by n²), where S = Σc and
 # Q = Σc² over the type's windows — exact and order-independent under any
 # partial-aggregation layout, no float σ whose summation order could
-# diverge across engines. Safe while n·Q < 2⁶³ (counts ~10⁵ per window ×
-# ~10³ windows); past that, promote the two products to DECIMAL(38).
+# diverge across engines. All quadratic terms (Q, S², dev², n·Q) are
+# promoted to DECIMAL(38,0) / HUGEINT on the two sides (round-5 overflow
+# sweep): with hot-type hourly counts ~1e7 over ~1e5 windows, S ~1e12 and
+# S² ~1e24 exceed BIGINT, and DuckDB would raise on the overflow while
+# non-ANSI Spark wrapped — the 128-bit integer paths agree exactly.
 #
 # Shape: one (type, hour) count shuffle; the per-type moment rollup is a
 # tiny second agg broadcast back onto the windows.
@@ -876,11 +881,17 @@ def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     moments = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("q"),
+        # decimal(38,0): a hot type's hourly n_events can reach ~1e7 at
+        # 100 TB, so Σn² ~1e14 per window crosses BIGINT within ~1e5
+        # windows (round-5 overflow sweep)
+        F.sum((F.col("n_events") * F.col("n_events")).cast("decimal(38,0)")).alias("q"),
     )
     j = hourly.join(F.broadcast(moments), "event_type")
-    dev = F.col("n_events") * F.col("n_windows") - F.col("s")
-    thresh = 9 * (F.col("n_windows") * F.col("q") - F.col("s") * F.col("s"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    dev = dec(F.col("n_events") * F.col("n_windows") - F.col("s"))
+    thresh = 9 * (
+        dec(F.col("n_windows")) * F.col("q") - dec(F.col("s")) * dec(F.col("s"))
+    )
     return j.select(
         "event_type",
         "window_start",
@@ -897,8 +908,8 @@ WITH hourly AS (
 ), moments AS (
   SELECT event_type,
          COUNT(*) AS n_windows,
-         CAST(SUM(n_events) AS BIGINT) AS s,
-         CAST(SUM(n_events * n_events) AS BIGINT) AS q
+         CAST(SUM(n_events) AS HUGEINT) AS s,
+         CAST(SUM(n_events * n_events) AS HUGEINT) AS q
   FROM hourly GROUP BY event_type
 )
 SELECT h.event_type, h.window_start, h.n_events, TRUE AS anomalous

@@ -2594,7 +2594,10 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = counts.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_sources"),
         F.sum("n").alias("n_docs"),
-        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+        # decimal(38,0): a dominant source inside a lang can hold ~1e11
+        # docs at corpus scale, so a single n² term (~1e22) alone exceeds
+        # BIGINT (round-5 overflow sweep; DuckDB widens to HUGEINT)
+        F.sum((F.col("n") * F.col("n")).cast("decimal(38,0)")).alias("_ss"),
     )
     hhi = F.col("_ss").cast("double") / (F.col("n_docs") * F.col("n_docs"))
     return agg.select(

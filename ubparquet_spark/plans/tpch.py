@@ -60,8 +60,15 @@ def sum_money(c: str) -> Column:
 
 def sum_revenue(price: str, disc: str) -> Column:
     """Exact ``sum(price * (1 - disc))`` for 2-decimal columns: integer
-    product in 1e-4 units."""
-    return F.sum(cents(price) * (F.lit(100) - cents(disc))) / F.lit(10000.0)
+    product in 1e-4 units.  The PRODUCT stays in fast long arithmetic
+    (~1e9 per term, far within BIGINT); the SUM accumulates in
+    decimal(38,0) — at 100 TB (lineitem ~6e11 rows) a BIGINT revenue sum
+    reaches ~1e20 and wraps silently in non-ANSI mode, while DuckDB's
+    SUM(BIGINT) widens to HUGEINT.  Both engines then round the same
+    exact rational to double."""
+    return F.sum(
+        (cents(price) * (F.lit(100) - cents(disc))).cast("decimal(38,0)")
+    ) / F.lit(10000.0)
 
 
 def dbl(c: Column) -> Column:
@@ -125,8 +132,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.sum(q) / F.lit(100.0)).alias("sum_qty"),
             (F.sum(p) / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(p * (F.lit(100) - d)) / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(p * (F.lit(100) - d) * (F.lit(100) + t)) / F.lit(1000000.0)).alias("sum_charge"),
+            # decimal(38,0) accumulation for the 1e9/1e11-per-term products
+            # (see sum_revenue): BIGINT wraps at ~1e10/1e8 rows per group
+            (F.sum((p * (F.lit(100) - d)).cast("decimal(38,0)")) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum((p * (F.lit(100) - d) * (F.lit(100) + t)).cast("decimal(38,0)")) / F.lit(1000000.0)).alias("sum_charge"),
             roundn(F.sum(q) / F.lit(100.0) / n).alias("avg_qty"),
             roundn(F.sum(p) / F.lit(100.0) / n).alias("avg_price"),
             roundn(F.sum(d) / F.lit(100.0) / n).alias("avg_disc"),
@@ -679,7 +688,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            (F.sum(cents("l_extendedprice") * cents("l_discount")) / F.lit(10000.0)).alias(
+            (F.sum((cents("l_extendedprice") * cents("l_discount")).cast("decimal(38,0)")) / F.lit(10000.0)).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_rows"),
@@ -935,12 +944,14 @@ GROUP BY c_mktsegment
 
 def q_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    # whole-dollar ints for the squared sum: v^2 ~ 1e10 keeps sum(v*v) within
-    # BIGINT at any realistic scale factor (cents^2 would overflow at sf>=0.1)
+    # whole-dollar ints keep the per-term square small (~1e10), and the
+    # SUM accumulates in decimal(38,0): a BIGINT sum of 1e10-per-term
+    # squares wraps at ~1e9 rows per group — well inside the 100 TB
+    # target — while DuckDB widens to HUGEINT (round-5 overflow sweep)
     v = F.expr("CAST(floor(l_extendedprice + 0.5) AS BIGINT)")
     n = F.count(F.lit(1)).cast("double")
     s = F.sum(v).cast("double")
-    sq = F.sum(v * v).cast("double")
+    sq = F.sum((v * v).cast("decimal(38,0)")).cast("double")
     var = (n * sq - s * s) / (n * (n - F.lit(1.0)))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -974,7 +985,9 @@ GROUP BY l_returnflag
 # differs across engines; integer sums are order-independent, and the
 # closing double expression is evaluated identically on both sides (the
 # q_price_stats technique, extended to two variables). Whole-dollar ints
-# keep Σy² within BIGINT at any realistic scale (cents² would overflow).
+# keep each y² term small; the squared-term SUMS accumulate in
+# decimal(38,0) (BIGINT wraps at ~1e9 rows per group; DuckDB widens to
+# HUGEINT).
 # ---------------------------------------------------------------------------
 
 def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -988,9 +1001,11 @@ def q_price_qty_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+        # decimal(38,0): y² ~1e10 per term wraps a BIGINT sum at ~1e9
+        # rows per group (round-5 overflow sweep); the linear sums fit
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
@@ -1542,17 +1557,23 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 
 # ---------------------------------------------------------------------------
 # Q2 shape — correlated per-group minimum: parts priced at the minimum of
-# their type. The correlated subquery (one min per outer row's group) is
-# planned as a window min over a single shuffle on the group key — Spark
-# never re-executes the subquery per row, and the decimal comparison is
-# exact so no epsilon is needed.
+# their type. The per-group min is a partial-aggregatable groupBy whose
+# ~150-row artifact broadcasts back onto the fact scan — NOT
+# `min().over(Window.partitionBy("p_type"))`: p_type is low-cardinality,
+# so the window form funnels each type's entire slice of the table
+# through ONE task (the same pathology operators/segmented.py exists to
+# avoid for ordered windows; for an unordered ALL-rows aggregate the
+# groupBy+broadcast-join rewrite removes the per-group task entirely).
+# The decimal comparison is exact so no epsilon is needed.
 # ---------------------------------------------------------------------------
 
 def q2_min_cost_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    w = Window.partitionBy("p_type")
+    mins = part.groupBy("p_type").agg(
+        F.min(money("p_retailprice")).alias("_min_price")
+    )
     return (
-        part.withColumn("_min_price", F.min(money("p_retailprice")).over(w))
+        part.join(F.broadcast(mins), "p_type")
         .filter(money("p_retailprice") == F.col("_min_price"))
         .select("p_partkey", "p_name", "p_type", "p_retailprice")
     )
