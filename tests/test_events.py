@@ -42,3 +42,73 @@ def test_outliers_degenerate_groups_yield_null_not_crash(spark, tmp_path):
     assert out[1].z is None and out[1].is_outlier is None
     assert out[2].z is None and out[3].z is None
     assert out[4].z is not None and out[6].is_outlier is not None
+
+
+def test_event_transitions_golden(spark, tmp_path):
+    """Hand-computed transition matrix on a 2-user sequence."""
+    import datetime
+
+    from ubparquet_spark.plans.events import q_event_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [  # user 1: A,B,A   user 2: B,B
+        (1, t0, 1, "A", 0.0, "{}"),
+        (2, t0 + datetime.timedelta(minutes=1), 1, "B", 0.0, "{}"),
+        (3, t0 + datetime.timedelta(minutes=2), 1, "A", 0.0, "{}"),
+        (4, t0, 2, "B", 0.0, "{}"),
+        (5, t0 + datetime.timedelta(minutes=1), 2, "B", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path / "sf_trans")
+    df.write.parquet(f"{d}/events.parquet")
+    out = {
+        (r.prev_type, r.next_type): (r.n, r.p)
+        for r in q_event_transitions(spark, d).collect()
+    }
+    assert out == {
+        ("A", "B"): (1, 1.0),
+        ("B", "A"): (1, 0.5),
+        ("B", "B"): (1, 0.5),
+    }
+
+
+def test_survival_km_golden(spark, tmp_path):
+    """Hand-computed Kaplan-Meier curve with censoring.
+
+    5 users, horizon day 30, CENSOR_DAYS=7:
+      u1 days 0..10  -> t=10 death; u2 day 5 only -> t=0 death;
+      u3 days 0..28  -> censored;   u4 days 2..30 -> censored;
+      u5 day 30 only -> t=0 censored.
+    S(0)=4/5, S(10)=4/5 * 2/3, S(28) unchanged (no deaths).
+    """
+    import datetime
+
+    from ubparquet_spark.plans.events import q_survival_km
+
+    def ts(day):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+
+    rows = [
+        (1, ts(0), 1, "x", 0.0, "{}"), (2, ts(10), 1, "x", 0.0, "{}"),
+        (3, ts(5), 2, "x", 0.0, "{}"),
+        (4, ts(0), 3, "x", 0.0, "{}"), (5, ts(28), 3, "x", 0.0, "{}"),
+        (6, ts(2), 4, "x", 0.0, "{}"), (7, ts(30), 4, "x", 0.0, "{}"),
+        (8, ts(30), 5, "x", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path / "sf_km")
+    df.write.parquet(f"{d}/events.parquet")
+    out = {r.t_days: r for r in q_survival_km(spark, d).collect()}
+    assert set(out) == {0, 10, 28}
+    assert (out[0].n_deaths, out[0].n_censored, out[0].n_at_risk) == (1, 1, 5)
+    assert out[0].survival == 0.8
+    assert (out[10].n_deaths, out[10].n_at_risk) == (1, 3)
+    assert out[10].survival == round(0.8 * 2 / 3, 6) == 0.533333
+    assert (out[28].n_deaths, out[28].n_censored, out[28].n_at_risk) == (0, 2, 2)
+    assert out[28].survival == 0.533333  # no deaths -> curve flat

@@ -106,6 +106,15 @@ SHUFFLE_BUDGETS = {
     "q_semantic_dedup_smallk": 10,
     "q_vocab_coverage": 6,
     "q5_local_supplier": 6,
+    # round-5 additions: recorded at registration
+    # fact (user) lag window + matrix groupBy + tiny artifact window
+    "q_event_transitions": 3,
+    # bigram-bucket counts + 1-row model collapse; scoring is map-side
+    "q_dsir_weights": 2,
+    # post-checkpoint plan: horizon agg + censor histogram + KM window
+    # (the checkpointed (t,d1) artifact itself costs the user groupBy +
+    # histogram exchanges exactly once, at build)
+    "q_survival_km": 3,
 }
 
 

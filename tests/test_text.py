@@ -275,3 +275,30 @@ def test_bpe_batched_matches_sequential_smoke(spark, tmp_path):
     # rounds must be 1..n consecutive and pair_counts positive
     assert [m[0] for m in batched] == list(range(1, len(batched) + 1))
     assert all(m[3] > 0 for m in batched)
+
+
+def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
+    """DSIR importance weights must score target-domain (en) documents
+    higher on average than off-target ones — the resampling signal the
+    hashed bigram models exist to produce — and n_bigrams must equal
+    max(token_count - 1, 0) exactly."""
+    import pyspark.sql.functions as F
+
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.plans.text import q_dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.size(F.split("text", " ")) - 1).alias("_exp_bi")
+    )
+    out = q_dsir_weights(spark, sf_dir).join(docs, "doc_id")
+    bad = out.filter(
+        F.col("n_bigrams") != F.greatest(F.col("_exp_bi"), F.lit(0))
+    ).count()
+    assert bad == 0
+    means = {
+        r.is_en: r.mean_w
+        for r in out.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("logw").alias("mean_w"))
+        .collect()
+    }
+    assert means[True] > means[False] + 0.5, means

@@ -1619,6 +1619,192 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event types: per user, each
+# consecutive (prev → next) event pair ordered by time, rolled up into
+# transition counts and row-normalized probabilities — the standard
+# behavioral-model / anomaly-baseline artifact (next-action prediction,
+# bot detection).
+#
+# Scale shape: the lag window partitions by user_id — millions of small
+# partitions at 100 TB, the scalable case. Row totals are an unordered
+# window over the ALREADY-AGGREGATED ≤|types|² transition matrix — a
+# value-domain-bounded artifact (the q_winsorized_prices histogram
+# precedent), never the fact table, so the per-type window task holds at
+# most |types| rows at any corpus size. A groupBy+broadcast-join form
+# (the q2_min_cost_parts technique) was measured first: without
+# ReusedExchange across the broadcast boundary it re-scanned the fact
+# table for the totals branch (5 Exchanges, 2 scans) vs this plan's one
+# scan and 3 Exchanges. Probabilities divide as double only at the end;
+# the counts stay exact integers so the hash compares integers plus one
+# stabilized division.
+# ---------------------------------------------------------------------------
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = pairs.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        roundn(F.col("n").cast("double") / tot.cast("double"), 6).alias("p"),
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = f"""
+WITH pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+), totals AS (
+  SELECT prev_type, SUM(n) AS _tot FROM counts GROUP BY prev_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       {sql_roundn("CAST(n AS DOUBLE) / CAST(_tot AS DOUBLE)", 6)} AS p
+FROM counts c JOIN totals USING (prev_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user lifetimes (Kaplan & Meier 1958),
+# the standard retention estimator under right-censoring: a user's
+# lifetime is last-event-day − first-event-day; users whose last event
+# falls within CENSOR_DAYS of the corpus horizon are censored (still
+# alive), contributing to the at-risk set but not to the death counts.
+# S(t) = Π_{t_i ≤ t} (1 − d_i / n_i), computed as exp(Σ ln·) with a
+# zero-factor guard (once a time step kills everyone at risk, survival
+# is exactly 0 from there on — no ln(0)).
+#
+# Scale shape: the per-user lifetime rollup is the only fact-grain
+# shuffle (user_id keys — millions of partitions). Everything after runs
+# on the lifetime HISTOGRAM, bounded by the day domain (~hundreds of
+# rows at any corpus size), so its global ordered window is a
+# value-domain-bounded artifact, same as q_winsorized_prices — never a
+# fact-table single-partition sort. The ln/exp fold order is the single
+# ascending-t order in both engines, so the double chain is identical
+# before the stabilizing roundn.
+# ---------------------------------------------------------------------------
+
+CENSOR_DAYS = 7
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+    )
+    days = ev.select("user_id", F.expr(f"us DIV {DAY_US}").alias("day"))
+    life = days.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    # Collapse the per-user rows to a (lifetime, last-day) histogram —
+    # bounded by the day domain² — and localCheckpoint it so the horizon
+    # scalar and the censor flags both read the materialized artifact
+    # instead of re-running the fact scan (without this, column pruning
+    # specializes the horizon branch's subtree and defeats exchange
+    # reuse: measured 2 full scans; the q_minhash_jaccard_est
+    # bounded-candidates technique).
+    hist0 = (
+        life.select((F.col("d1") - F.col("d0")).alias("t"), "d1")
+        .groupBy("t", "d1")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint()
+    )
+    horizon = hist0.agg(F.max("d1").alias("dmax"))
+    c = (F.col("dmax") - F.col("d1") < CENSOR_DAYS).cast("int")
+    hist = (
+        hist0.crossJoin(F.broadcast(horizon))
+        .select("t", "m", c.alias("c"))
+        .groupBy("t")
+        .agg(
+            F.sum(F.col("m") * (F.lit(1) - F.col("c"))).alias("n_deaths"),
+            F.sum(F.col("m") * F.col("c")).alias("n_censored"),
+            F.sum("m").alias("_n_end"),
+        )
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n_total = F.sum("_n_end").over(Window.partitionBy())
+    at_risk = n_total - F.sum("_n_end").over(w) + F.col("_n_end")
+    km = hist.withColumn("n_at_risk", at_risk).withColumn(
+        "_factor",
+        (F.col("n_at_risk") - F.col("n_deaths")).cast("double")
+        / F.col("n_at_risk").cast("double"),
+    )
+    dead = F.max((F.col("_factor") <= 0).cast("int")).over(w) == 1
+    log_surv = F.sum(
+        F.when(F.col("_factor") > 0, F.log("_factor")).otherwise(F.lit(0.0))
+    ).over(w)
+    return km.select(
+        F.col("t").alias("t_days"),
+        "n_deaths",
+        "n_censored",
+        "n_at_risk",
+        roundn(
+            F.when(dead, F.lit(0.0)).otherwise(F.exp(log_surv)), 6
+        ).alias("survival"),
+    )
+
+
+Q_SURVIVAL_KM_SQL = f"""
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts) // {DAY_US}) AS d0,
+         MAX(epoch_us(ts) // {DAY_US}) AS d1
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(epoch_us(ts) // {DAY_US}) AS dmax FROM events
+), per_user AS (
+  SELECT d1 - d0 AS t,
+         CASE WHEN dmax - d1 < {CENSOR_DAYS} THEN 1 ELSE 0 END AS c
+  FROM life CROSS JOIN horizon
+), hist AS (
+  SELECT t,
+         CAST(SUM(1 - c) AS BIGINT) AS n_deaths,
+         CAST(SUM(c) AS BIGINT) AS n_censored,
+         CAST(COUNT(*) AS BIGINT) AS n_end
+  FROM per_user GROUP BY t
+), km AS (
+  SELECT t, n_deaths, n_censored,
+         SUM(n_end) OVER () - SUM(n_end) OVER w + n_end AS n_at_risk
+  FROM hist
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), factors AS (
+  SELECT *,
+         CAST(n_at_risk - n_deaths AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS factor
+  FROM km
+)
+SELECT t AS t_days, n_deaths, n_censored, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       {sql_roundn(
+           "CASE WHEN MAX(CASE WHEN factor <= 0 THEN 1 ELSE 0 END) OVER w = 1"
+           " THEN 0.0"
+           " ELSE exp(SUM(CASE WHEN factor > 0 THEN ln(factor) ELSE 0.0 END) OVER w)"
+           " END", 6)} AS survival
+FROM factors
+WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_concurrent_sessions": (q_concurrent_sessions, Q_CONCURRENT_SESSIONS_SQL),
     "q_twap": (q_twap, Q_TWAP_SQL),
@@ -1651,4 +1837,6 @@ QUERIES: dict[str, tuple] = {
     "q_events_user_mode": (q_events_user_mode, Q_EVENTS_USER_MODE_SQL),
     "q_events_voxelize": (q_events_voxelize, Q_EVENTS_VOXELIZE_SQL),
     "q_events_retention": (q_events_retention, Q_EVENTS_RETENTION_SQL),
+    "q_event_transitions": (q_event_transitions, Q_EVENT_TRANSITIONS_SQL),
+    "q_survival_km": (q_survival_km, Q_SURVIVAL_KM_SQL),
 }

@@ -3052,7 +3052,119 @@ FROM scored
 Q_MINHASH_JACCARD_SQL = _minhash_jaccard_sql()
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# log p_target(doc) − log p_raw(doc) under two hashed-bigram bag models —
+# the standard scalable recipe for selecting raw-corpus documents that
+# look like a target domain (here: the lang='en' slice stands in for the
+# target set). Features are word bigrams hashed into DSIR_BUCKETS
+# buckets; both models are Laplace-smoothed bucket distributions.
+#
+# Scale shape (the q_unigram_logprob pattern): pass 1 is the ONLY
+# token-grain shuffle — bigram-bucket counts for raw and target computed
+# in one groupBy (the target indicator rides along, so the target model
+# costs no second corpus pass); the model collapses to a single
+# 2×DSIR_BUCKETS-entry map row that broadcasts. Pass 2 scores every
+# document map-side with a higher-order fold over its own bigram
+# sequence — no explode, no join, one scan. At 100 TB this is exactly
+# the published shape (DSIR uses 10k hash buckets; the model row stays
+# a few hundred KB regardless of corpus size). The fold adds each
+# bigram's (ln p_t − ln p_r) as one parenthesized term so both engines
+# accumulate the identical double chain in document order.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+_DSIR_BUCKET = (
+    "pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 2), ' ')),"
+    f" 1, 15), 16, 10) AS BIGINT), {DSIR_BUCKETS})"
+)
+_DSIR_BUCKET_DUCK = (
+    "CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 1), ' ')),"
+    f" 1, 15) AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("_is_t"),
+        F.split("text", " ").alias("toks"),
+    )
+    # one materialized bucket array per doc (lambda-CSE: inline split()
+    # would re-tokenize per lambda) shared by the model build and scoring
+    buckets_expr = F.expr(
+        "if(size(toks) >= 2,"
+        f" transform(sequence(1, size(toks) - 1), i -> {_DSIR_BUCKET}),"
+        " array())"
+    )
+    with_b = base.select("doc_id", "_is_t", buckets_expr.alias("bs"))
+    model = (
+        with_b.select("_is_t", F.explode("bs").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.sum("_is_t").alias("nt"),
+        )
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("b", "nr"))).alias("mr"),
+            F.map_from_entries(F.collect_list(F.struct("b", "nt"))).alias("mt"),
+            F.sum("nr").alias("tr"),
+            F.sum("nt").alias("tt"),
+        )
+    )
+    logw = F.expr(
+        "aggregate(bs, CAST(0.0 AS DOUBLE), (acc, b) -> acc +"
+        " (ln(CAST(coalesce(element_at(mt, b), 0) + 1 AS DOUBLE)"
+        f"    / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))"
+        "  - ln(CAST(coalesce(element_at(mr, b), 0) + 1 AS DOUBLE)"
+        f"    / CAST(tr + {DSIR_BUCKETS} AS DOUBLE))))"
+    )
+    return with_b.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        F.size("bs").cast("long").alias("n_bigrams"),
+        roundn(logw, 4).alias("logw"),
+    )
+
+
+Q_DSIR_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         string_split(text, ' ') AS toks
+  FROM documents
+), withb AS (
+  SELECT doc_id, is_t,
+         list_transform(range(1, GREATEST(len(toks), 1)),
+                        i -> {_DSIR_BUCKET_DUCK}) AS bs
+  FROM base
+), feats AS (
+  SELECT is_t, UNNEST(bs) AS b FROM withb
+), buckets AS (
+  SELECT b, COUNT(*) AS nr, SUM(is_t) AS nt FROM feats GROUP BY b
+), model AS (
+  SELECT MAP(list(b), list(nr)) AS mr,
+         MAP(list(b), list(nt)) AS mt,
+         SUM(nr) AS tr, SUM(nt) AS tt
+  FROM buckets
+)
+SELECT doc_id,
+       CAST(len(bs) AS BIGINT) AS n_bigrams,
+       {sql_roundn(
+           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+           " list_transform(bs,"
+           "   b -> ln(CAST(COALESCE(mt[b][1], 0) + 1 AS DOUBLE)"
+           f"        / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))"
+           "      - ln(CAST(COALESCE(mr[b][1], 0) + 1 AS DOUBLE)"
+           f"        / CAST(tr + {DSIR_BUCKETS} AS DOUBLE)))),"
+           " (acc, x) -> acc + x)", 4)} AS logw
+FROM withb CROSS JOIN model
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_dsir_weights": (q_dsir_weights, Q_DSIR_SQL),
     "q_minhash_jaccard_est": (q_minhash_jaccard_est, Q_MINHASH_JACCARD_SQL),
     "q_bm25_topk": (q_bm25_topk, Q_BM25_SQL),
     "q_zipf_fit": (q_zipf_fit, Q_ZIPF_SQL),
