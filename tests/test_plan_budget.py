@@ -115,6 +115,9 @@ SHUFFLE_BUDGETS = {
     # (the checkpointed (t,d1) artifact itself costs the user groupBy +
     # histogram exchanges exactly once, at build)
     "q_survival_km": 3,
+    # df window + per-doc rank window + prefix self-join + pair distinct
+    # + two candidate-side set joins
+    "q_setsim_prefix_join": 6,
 }
 
 

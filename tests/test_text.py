@@ -302,3 +302,56 @@ def test_dsir_weights_separate_target_from_raw(spark, sf_dir):
         .collect()
     }
     assert means[True] > means[False] + 0.5, means
+
+
+def test_setsim_prefix_join_is_complete(spark, sf_dir):
+    """The prefix filter must lose NOTHING vs brute-force all-pairs on
+    the same shingle sets — the completeness guarantee that separates it
+    from q_ngram_jaccard_pairs' df-cap heuristic."""
+    import pyspark.sql.functions as F
+
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.plans.text import (
+        _SETSIM_SHINGLES,
+        SETSIM_T,
+        q_setsim_prefix_join,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+        for r in q_setsim_prefix_join(spark, sf_dir).collect()
+    }
+    sets = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.expr(_SETSIM_SHINGLES).alias("s"))
+        .withColumn("n", F.size("s"))
+    )
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    ni = F.size(F.array_intersect("sa", "sb")).cast("long")
+    brute = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.jaccard)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            ni.alias("n_inter"),
+            (
+                F.floor(
+                    ni.cast("double")
+                    / (F.col("na") + F.col("nb") - ni).cast("double")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= SETSIM_T)
+        .collect()
+    }
+    assert got == brute and len(got) > 0

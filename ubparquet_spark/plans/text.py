@@ -3163,8 +3163,148 @@ FROM withb CROSS JOIN model
 """
 
 
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity self-join (the AllPairs/PPJoin candidate
+# bound: Chaudhuri et al. 2006, Bayardo et al. 2007, Xiao et al. 2011):
+# all document pairs with token-set Jaccard ≥ SETSIM_T. Unlike
+# q_ngram_jaccard_pairs' hot-shingle df-cap — a recall heuristic that
+# drops pairs held together only by hot shingles — the prefix filter is
+# PROVABLY COMPLETE: order each doc's tokens by global rarity (df asc,
+# token asc), keep only the first n − ceil(T·n) + 1 as its prefix; two
+# sets with Jaccard ≥ T must share a prefix token, so the inverted-index
+# join over prefixes alone misses nothing. Candidates then verify with
+# one exact array_intersect per pair. Sets are distinct 3-gram shingles
+# (word-token sets are near-useless on a shared small vocabulary — all
+# pairs collide; shingles discriminate, the same universe as
+# q_ngram_jaccard_pairs but WITHOUT its df-cap recall loss).
+#
+# Scale shape: the prefix join's fan-out is governed by the df of PREFIX
+# tokens — by construction a doc's prefix holds its globally rarest
+# tokens, so hot tokens appear in almost no prefixes and the quadratic
+# hot-key blowup of a naive token join never forms. Verification is
+# candidate-proportional (two doc_id equi-joins + a per-row intersect).
+# T = 0.5 keeps ceil(T·n) exact in binary floating point, so the prefix
+# length — and therefore the candidate set — is engine-independent.
+# ---------------------------------------------------------------------------
+
+SETSIM_T = 0.5
+_SETSIM_SHINGLES = (
+    "array_distinct(if(size(toks) >= 3,"
+    " transform(sequence(1, size(toks) - 2),"
+    " i -> array_join(slice(toks, i, 3), ' ')),"
+    " array()))"
+)
+_SETSIM_SHINGLES_DUCK = (
+    "list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),"
+    " i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))"
+)
+
+
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id",
+        F.explode(F.expr(_SETSIM_SHINGLES)).alias("token"),
+    )
+    # tokens are distinct per doc, so the per-token row count IS the df;
+    # the window rides the token shuffle (the ngram_jaccard_pairs trick)
+    tok = tok.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("token").asc()
+    )
+    ranked = tok.select(
+        "doc_id",
+        "token",
+        F.row_number().over(wd).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1
+    ).select("doc_id", "token")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id", F.expr(_SETSIM_SHINGLES).alias("s")
+    ).withColumn("n", F.size("s"))
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
+    )
+    n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.alias("n_inter"),
+            roundn(
+                n_inter.cast("double")
+                / (F.col("na") + F.col("nb") - n_inter).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= F.lit(SETSIM_T))
+
+
+Q_SETSIM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_SETSIM_SHINGLES_DUCK}) AS token
+  FROM documents
+), withdf AS (
+  SELECT doc_id, token, COUNT(*) OVER (PARTITION BY token) AS df FROM tok
+), ranked AS (
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, token) AS r,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM withdf
+), prefix AS (
+  SELECT doc_id, token FROM ranked
+  WHERE r <= n - CEIL({SETSIM_T} * n) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+), sets AS (
+  SELECT doc_id, {_SETSIM_SHINGLES_DUCK} AS s,
+         len({_SETSIM_SHINGLES_DUCK}) AS n
+  FROM documents
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+       {sql_roundn(
+           "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE)")}
+         AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = doc_a
+JOIN sets sb ON sb.doc_id = doc_b
+WHERE {sql_roundn(
+           "CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)"
+           " / CAST(sa.n + sb.n - len(list_intersect(sa.s, sb.s)) AS DOUBLE)")}
+      >= {SETSIM_T}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_dsir_weights": (q_dsir_weights, Q_DSIR_SQL),
+    "q_setsim_prefix_join": (q_setsim_prefix_join, Q_SETSIM_SQL),
     "q_minhash_jaccard_est": (q_minhash_jaccard_est, Q_MINHASH_JACCARD_SQL),
     "q_bm25_topk": (q_bm25_topk, Q_BM25_SQL),
     "q_zipf_fit": (q_zipf_fit, Q_ZIPF_SQL),
