@@ -142,3 +142,41 @@ def test_running_twap_edge_semantics(spark, tmp_path):
     assert final["n_segments"] == 2
     assert abs(final["span_s"] - 20.0) < 1e-9
     assert abs(final["twap"] - (2.0 * 10 + 4.0 * 10) / 20) < 1e-9
+
+
+def test_running_transitions_matches_batch(spark, sf_dir, tmp_path):
+    """Summing the per-batch transition increments over the drained
+    stream reproduces the batch q_event_transitions counts exactly,
+    including transitions that bridge a micro-batch boundary through
+    per-user state."""
+    from ubparquet_spark.plans.events import q_event_transitions
+    from ubparquet_spark.streaming.stateful import running_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "trans_src")
+    cut = "2024-01-15"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    (
+        running_transitions(stream)
+        .writeStream.format("memory")
+        .queryName("trans_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "trans_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    hist = spark.table("trans_test").toPandas()
+    got = (
+        hist.groupby(["prev_type", "next_type"])["n"].sum().to_dict()
+    )
+    batch = {
+        (r.prev_type, r.next_type): r.n
+        for r in q_event_transitions(spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0

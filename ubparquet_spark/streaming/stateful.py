@@ -185,3 +185,88 @@ def running_twap(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming event-type transitions: the stateful twin of
+# plans/events.q_event_transitions. State per user is just the last
+# observation (us, event_id, event_type); each micro-batch emits the
+# (prev_type, next_type) INCREMENTS observed in that batch — including
+# the one bridging the batch boundary via state — so summing every
+# emitted row over the drained stream reproduces the batch transition
+# counts exactly (asserted in tests/test_streaming_stateful.py). The
+# same in-order contract as running_twap: a row older than the state's
+# last observation is counted late and skipped rather than corrupting
+# the sequence.
+# ---------------------------------------------------------------------------
+
+TRANS_STATE_SCHEMA = "last_us long, last_eid long, last_type string, n_late long"
+TRANS_OUTPUT_SCHEMA = (
+    "user_id long, prev_type string, next_type string, n long"
+)
+
+
+def _update_transitions(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_us, last_eid, last_type, n_late = state.get
+        have_last = last_type is not None
+    else:
+        last_us, last_eid, last_type, n_late = 0, 0, None, 0
+        have_last = False
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+    us = rows["us"].to_numpy()
+    eid = rows["event_id"].to_numpy()
+    types = rows["event_type"].to_numpy()
+    inc: dict[tuple[str, str], int] = {}
+    for j in range(len(rows)):
+        u, e, t = int(us[j]), int(eid[j]), str(types[j])
+        if not have_last:
+            last_us, last_eid, last_type, have_last = u, e, t, True
+            continue
+        if (u, e) < (last_us, last_eid):
+            n_late += 1
+            continue
+        pair = (last_type, t)
+        inc[pair] = inc.get(pair, 0) + 1
+        last_us, last_eid, last_type = u, e, t
+    state.update((last_us, last_eid, last_type, n_late))
+    if inc:
+        pairs = sorted(inc)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "prev_type": [p for p, _ in pairs],
+                "next_type": [n for _, n in pairs],
+                "n": [inc[p] for p in pairs],
+            }
+        )
+    else:
+        yield pd.DataFrame(
+            {"user_id": [], "prev_type": [], "next_type": [], "n": []}
+        )
+
+
+def running_transitions(stream: DataFrame) -> DataFrame:
+    """Per-user (prev_type, next_type) transition increments per batch."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("us").isNotNull() & F.col("event_type").isNotNull())
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
