@@ -51,6 +51,13 @@ STRESS_QUERIES = (
     # measure an empty-postings plan, not BM25 work.
     "q_zipf_fit",
     "q_minhash_jaccard_est",
+    # round-5 additions: the provably-complete similarity join (replica
+    # salting keeps cross-replica shingle overlap ~zero, so candidate
+    # structure replicates once per replica — the linear expectation) and
+    # the DSIR scorer (model stays 2×256 buckets at any corpus size;
+    # the corpus pass is the scaling part)
+    "q_setsim_prefix_join",
+    "q_dsir_weights",
     # q_doc_embedding deliberately NOT stressed: its registered form is
     # bounded by a doc_id filter, so a replicated corpus is pruned at the
     # scan and the ratio would measure filter pushdown, not scaling
@@ -214,7 +221,16 @@ DEEP_STRESS_QUERIES = {
 # events-table stress (round 5): q_twap after the segmented_lead rewire —
 # type cardinality stays constant while per-(type, day) density grows N×,
 # the axis the old whole-type window could not absorb
-EVENTS_STRESS_QUERIES = ("q_twap", "q_interarrival_stats")
+EVENTS_STRESS_QUERIES = (
+    "q_twap",
+    "q_interarrival_stats",
+    # round-5 additions: user-offset replication grows the number of
+    # per-user window partitions N× at constant per-user length
+    # (transitions), and the lifetime histogram stays day-domain-bounded
+    # while the per-user rollup grows N× (survival)
+    "q_event_transitions",
+    "q_survival_km",
+)
 
 
 def main(factors: list[int], workdir: str) -> None:
