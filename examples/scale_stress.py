@@ -58,6 +58,11 @@ STRESS_QUERIES = (
     # the corpus pass is the scaling part)
     "q_setsim_prefix_join",
     "q_dsir_weights",
+    # bigram LM: both model tables cap at top-K so the model build and
+    # the broadcast stay constant-size; the transition-grain scoring
+    # pass is the scaling part (token salting changes WHICH bigrams are
+    # heavy hitters per replica but not the count distribution shape)
+    "q_bigram_logprob",
     # q_doc_embedding deliberately NOT stressed: its registered form is
     # bounded by a doc_id filter, so a replicated corpus is pruned at the
     # scan and the ratio would measure filter pushdown, not scaling

@@ -118,6 +118,10 @@ SHUFFLE_BUDGETS = {
     # df window + per-doc rank window + prefix self-join + pair distinct
     # + two candidate-side set joins
     "q_setsim_prefix_join": 6,
+    # 1-row total collapse + per-doc score rollup; the two ≤K-row model
+    # tables are built by one tokenize shuffle each, materialized once
+    # (localCheckpoint), and enter the plan as broadcasts
+    "q_bigram_logprob": 2,
 }
 
 

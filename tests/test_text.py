@@ -355,3 +355,37 @@ def test_setsim_prefix_join_is_complete(spark, sf_dir):
         .collect()
     }
     assert got == brute and len(got) > 0
+
+
+def test_bigram_logprob_golden(spark, tmp_path):
+    """Hand-computed Jelinek-Mercer interpolated bigram scores.
+
+    Corpus: "a b a b" and "a c".  Unigrams a:3 b:2 c:1 (N=6); bigrams
+    "a b":2 "b a":1 "a c":1.  With lambda=0.7 and the add-1 unigram
+    term (c(w)+1)/(N + UNIGRAM_LM_K):
+      p(b|a) = .7*2/3 + .3*3/(6+K),  p(a|b) = .7*1/2 + .3*4/(6+K),
+      p(c|a) = .7*1/3 + .3*2/(6+K).
+    """
+    import math
+
+    from ubparquet_spark.plans.text import UNIGRAM_LM_K, q_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7), (2, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "sf_bigram")
+    df.write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in q_bigram_logprob(spark, d).collect()}
+
+    def rn(x):
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    den = 6 + UNIGRAM_LM_K
+    p_ba = 0.7 * 2 / 3 + 0.3 * 3 / den
+    p_ab = 0.7 * 1 / 2 + 0.3 * 4 / den
+    p_ca = 0.7 * 1 / 3 + 0.3 * 2 / den
+    # document order: (a,b) (b,a) (a,b) — same addition chain as the plan
+    exp1 = (math.log(p_ba) + math.log(p_ab) + math.log(p_ba)) / 3
+    assert out[1].n_tokens == 4 and abs(out[1].avg_logprob - rn(exp1)) < 1e-9
+    assert out[2].n_tokens == 2 and abs(out[2].avg_logprob - rn(math.log(p_ca))) < 1e-9

@@ -3302,9 +3302,176 @@ WHERE {sql_roundn(
 """
 
 
+# ---------------------------------------------------------------------------
+# Interpolated bigram language-model scoring — the perplexity-filter
+# step up from q_unigram_logprob (CCNet / Wenzek et al. 2020 filter
+# documents by LM score; a Jelinek-Mercer-interpolated bigram model is
+# the honest distributed analogue of their KenLM stage):
+#   p(w_i | w_{i-1}) = λ · c(w_{i-1} w_i)/c(w_{i-1})
+#                    + (1−λ) · (c(w_i) + 1)/(N + K_uni)
+# scored over every transition (i ≥ 2). BOTH model tables are capped
+# heavy-hitter artifacts (top-K by count desc, key asc — deterministic
+# TakeOrdered), so the broadcast stays a few MB at ANY corpus size; N is
+# the exact total token count (computed before the cap). The add-1
+# unigram term keeps p > 0 for words evicted from the capped table, and
+# a prev-word absent from the table zeroes the bigram term (its count is
+# unknowable without the denominator) — smooth, cap-stable semantics,
+# identical in both engines.
+#
+# Scale/plan shape: transitions are scored at TRANSITION GRAIN through
+# three broadcast hash joins (whole-stage codegen — no per-row
+# interpreted lambda, no string concat per transition, unlike a
+# map-lookup fold), then re-aggregated per doc. The per-doc ln sum folds
+# over array_sort(collect_list(struct(pos, lnp))) so the double chain is
+# in document order — order-independent under any shuffle layout and
+# identical cross-engine.
+# ---------------------------------------------------------------------------
+
+BIGRAM_LM_K = 4096
+UNIGRAM_LM_K = 4096
+BIGRAM_LM_LAMBDA = 0.7
+
+
+def _bigram_lnp_sql(cb: str, cp: str, cw: str, total: str) -> str:
+    """One transition's ln p — keep the Spark and DuckDB expression text
+    in lockstep (identical IEEE op chain → identical bits)."""
+    lam = BIGRAM_LM_LAMBDA
+    return (
+        f"ln({lam} * (CASE WHEN {cp} IS NULL THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(COALESCE({cb}, 0) AS DOUBLE) / CAST({cp} AS DOUBLE) END)"
+        f" + {1 - lam} * (CAST(COALESCE({cw}, 0) + 1 AS DOUBLE)"
+        f" / CAST({total} + {UNIGRAM_LM_K} AS DOUBLE)))"
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # N needs no explode: Σ size(toks) over a row-grain scan.
+    total = base.agg(F.sum(F.size("toks")).cast("long").alias("total"))
+    # Both model tables are ≤K-row artifacts — localCheckpoint them so
+    # the three scoring joins read materialized rows instead of each
+    # rebuilding the corpus tokenize+count shuffle (the renamed-column
+    # projections above the exchange otherwise defeat exchange reuse:
+    # measured 4 tokenizing shuffles / 6 corpus scans without this).
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(UNIGRAM_LM_K)
+        .localCheckpoint()
+    )
+    trans = base.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode(
+            F.expr(
+                "if(size(toks) >= 2,"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, CAST(i AS INT)) AS prev,"
+                "             element_at(toks, CAST(i AS INT) + 1) AS cur)),"
+                " array())"
+            )
+        ).alias("pos", "t"),
+    ).select("doc_id", "n", "pos", "t.prev", "t.cur")
+    bi = (
+        trans.groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .orderBy(F.desc("cb"), F.asc("prev"), F.asc("cur"))
+        .limit(BIGRAM_LM_K)
+        .localCheckpoint()
+    )
+    scored = (
+        trans.join(
+            F.broadcast(uni.select(F.col("w").alias("prev"), F.col("c").alias("cp"))),
+            "prev",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("cur"), F.col("c").alias("cw"))),
+            "cur",
+            "left",
+        )
+        .join(F.broadcast(bi), ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n",
+            "pos",
+            F.expr(_bigram_lnp_sql("cb", "cp", "cw", "total")).alias("lnp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, lnp))),"
+                " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lnp)"
+            ).alias("s"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        roundn(F.col("s") / (F.col("n") - 1).cast("double")).alias("avg_logprob"),
+    ).unionAll(
+        base.filter(F.size("toks") < 2).select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.lit(0.0).alias("avg_logprob"),
+        )
+    )
+
+
+Q_BIGRAM_LOGPROB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), uni0 AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT UNNEST(toks) AS w FROM base) GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(len(toks)) AS BIGINT) AS total FROM base
+), uni AS (
+  SELECT w, c FROM uni0 ORDER BY c DESC, w ASC LIMIT {UNIGRAM_LM_K}
+), trans AS (
+  SELECT doc_id, n, i - 1 AS pos, toks[i] AS prev, toks[i + 1] AS cur
+  FROM (SELECT doc_id, toks, len(toks) AS n,
+               UNNEST(range(1, len(toks))) AS i
+        FROM base)
+), bi AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM trans GROUP BY prev, cur
+  ORDER BY cb DESC, prev ASC, cur ASC LIMIT {BIGRAM_LM_K}
+), scored AS (
+  SELECT doc_id, MAX(n) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list({{'pos': pos, 'lnp': lnp}})), x -> x.lnp)),
+           (acc, x) -> acc + x) AS s
+  FROM (
+    SELECT t.doc_id, t.n, t.pos,
+           {_bigram_lnp_sql("b.cb", "up.c", "uc.c", "tot.total")} AS lnp
+    FROM trans t
+    LEFT JOIN uni up ON t.prev = up.w
+    LEFT JOIN uni uc ON t.cur = uc.w
+    LEFT JOIN bi b ON t.prev = b.prev AND t.cur = b.cur
+    CROSS JOIN tot
+  )
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       {sql_roundn("s / CAST(n - 1 AS DOUBLE)")} AS avg_logprob
+FROM scored
+UNION ALL
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       0.0 AS avg_logprob
+FROM base WHERE len(toks) < 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_dsir_weights": (q_dsir_weights, Q_DSIR_SQL),
     "q_setsim_prefix_join": (q_setsim_prefix_join, Q_SETSIM_SQL),
+    "q_bigram_logprob": (q_bigram_logprob, Q_BIGRAM_LOGPROB_SQL),
     "q_minhash_jaccard_est": (q_minhash_jaccard_est, Q_MINHASH_JACCARD_SQL),
     "q_bm25_topk": (q_bm25_topk, Q_BM25_SQL),
     "q_zipf_fit": (q_zipf_fit, Q_ZIPF_SQL),
