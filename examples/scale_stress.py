@@ -238,7 +238,7 @@ EVENTS_STRESS_QUERIES = (
 )
 
 
-def main(factors: list[int], workdir: str) -> None:
+def main(factors: list[int], workdir: str, only: set[str] | None = None) -> None:
     from ubparquet_spark.plans import events, similarity, text
 
     spark = get_session("scale-stress")
@@ -267,6 +267,8 @@ def main(factors: list[int], workdir: str) -> None:
         (events, EVENTS_STRESS_QUERIES),
     ):
         for name in names:
+            if only and name not in only:
+                continue
             # past 10×, only the dedup-pipeline queries run (tractability)
             run_factors = [
                 f for f in factors if f <= 10 or name in DEEP_STRESS_QUERIES
@@ -287,4 +289,5 @@ def main(factors: list[int], workdir: str) -> None:
 if __name__ == "__main__":
     arg = sys.argv[1] if len(sys.argv) > 1 else "10"
     wd = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
-    main([int(x) for x in arg.split(",")], wd)
+    names = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    main([int(x) for x in arg.split(",")], wd, names)

@@ -357,6 +357,33 @@ def test_setsim_prefix_join_is_complete(spark, sf_dir):
     assert got == brute and len(got) > 0
 
 
+def test_leakage_safe_split_property(spark, sf_dir):
+    """No near-dup cluster straddles splits, and the gate actually
+    produces all three splits at corpus scale."""
+    import pyspark.sql.functions as F
+
+    from ubparquet_spark.plans.text import q_leakage_safe_split
+
+    out = q_leakage_safe_split(spark, sf_dir).cache()
+    try:
+        straddlers = (
+            out.groupBy("canonical_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert straddlers == 0
+        fracs = {
+            r.split: r.n
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        total = sum(fracs.values())
+        assert set(fracs) == {"train", "val", "test"}
+        assert 0.7 < fracs["train"] / total < 0.9
+    finally:
+        out.unpersist()
+
+
 def test_bigram_logprob_golden(spark, tmp_path):
     """Hand-computed Jelinek-Mercer interpolated bigram scores.
 

@@ -495,6 +495,53 @@ Q_DOC_DEDUP_DECISIONS_SQL = _dedup_decisions_sql()
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — the eval-integrity op a dedup
+# pipeline exists to feed (Lee et al. 2022 §6: near-duplicates straddling
+# a train/test split inflate eval scores). Every document is assigned the
+# split of its near-dup CLUSTER representative, so a cluster can never
+# straddle splits: the gate draw is hash_unit(canonical_id), not
+# hash_unit(doc_id). Deterministic md5 gate (stable across engines,
+# reruns, task retries, cluster layouts); 80/10/10 thresholds on the
+# k/1000 lattice. Scale: one map over the already-bucketed dedup decision
+# table — no new shuffle beyond the verified dedup pipeline itself.
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split-v1"
+_SPLIT_MOD = 1000
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.plans.tpch import hash_unit
+
+    dec = q_doc_dedup_decisions(spark, sf_dir)
+    u = hash_unit(F.col("canonical_id"), SPLIT_SALT, _SPLIT_MOD)
+    return dec.select(
+        "doc_id",
+        "canonical_id",
+        F.when(u < 0.8, F.lit("train"))
+        .when(u < 0.9, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _leakage_split_sql() -> str:
+    from ubparquet_spark.plans.tpch import sql_hash_unit
+
+    u = sql_hash_unit("canonical_id", SPLIT_SALT, _SPLIT_MOD)
+    return f"""
+SELECT doc_id, canonical_id,
+       CASE WHEN {u} < 0.8 THEN 'train'
+            WHEN {u} < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM ({Q_DOC_DEDUP_DECISIONS_SQL.strip()})
+"""
+
+
+Q_LEAKAGE_SPLIT_SQL = _leakage_split_sql()
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs via inverted-index join (no cross join):
 # explode distinct shingles → hot-shingle cap → equi-join on shingle → pair
 # intersection counts → Jaccard = inter / (na + nb - inter).
@@ -3489,6 +3536,7 @@ QUERIES: dict[str, tuple] = {
     "q_doc_fingerprint": (q_doc_fingerprint, Q_DOC_FINGERPRINT_SQL),
     "q_minhash_lsh_buckets": (q_minhash_lsh_buckets, Q_MINHASH_LSH_SQL),
     "q_doc_dedup_decisions": (q_doc_dedup_decisions, Q_DOC_DEDUP_DECISIONS_SQL),
+    "q_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_token_histogram": (q_token_histogram, Q_TOKEN_HIST_SQL),
