@@ -83,6 +83,10 @@ EMB_STRESS_QUERIES = (
     "q_semantic_dedup",          # canonical = scale-true k ∝ n (round 4)
     "q_semantic_dedup_smallk",   # fixed-k bit-parity form (quadratic)
     "q_semantic_dedup_2level",
+    # round-5: single dim-keyed rollup — the linear control for the
+    # embedding side (dim rotation preserves per-dim value multisets
+    # only globally, but the n·d explode volume is the scaling part)
+    "q_embedding_dim_audit",
 )
 
 

@@ -122,6 +122,9 @@ SHUFFLE_BUDGETS = {
     # tables are built by one tokenize shuffle each, materialized once
     # (localCheckpoint), and enter the plan as broadcasts
     "q_bigram_logprob": 2,
+    # posexplode -> ONE dim-keyed rollup (map-side partials collapse
+    # n*d rows to d per mapper); zero joins
+    "q_embedding_dim_audit": 1,
 }
 
 

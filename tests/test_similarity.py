@@ -122,3 +122,29 @@ def test_ivf_cell_partitioned_layout_prunes_files(spark, sf_dir, tmp_path):
         r["vec_id"] for r in assigned.filter(F.col("cell") == 1).collect()
     )
     assert got == want and got
+
+
+def test_embedding_dim_audit_golden(spark, tmp_path):
+    """Hand-computed per-dimension stats: a dead dim (all zeros), a
+    constant non-zero dim, and a varying dim."""
+    import pyspark.sql.functions as F
+
+    from ubparquet_spark.plans.similarity import q_embedding_dim_audit
+
+    rows = [
+        (1, [0.0, 2.5, 1.0], 7),
+        (2, [0.0, 2.5, 3.0], 7),
+        (3, [0.0, 2.5, 2.0], 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    d = str(tmp_path / "sf_dim")
+    df.write.parquet(f"{d}/embeddings.parquet")
+    out = {r.dim: r for r in q_embedding_dim_audit(spark, d).collect()}
+
+    assert out[0].n_zero == 3 and out[0].is_constant and out[0].std_v == 0.0
+    assert out[1].mean_v == 2.5 and out[1].is_constant and out[1].n_zero == 0
+    d2 = out[2]
+    assert (d2.min_v, d2.max_v, d2.mean_v) == (1.0, 3.0, 2.0)
+    # std = sqrt(((1-2)^2 + (3-2)^2 + (2-2)^2)/3) = sqrt(2/3)
+    assert abs(d2.std_v - (2.0 / 3.0) ** 0.5) < 1e-5 and not d2.is_constant
+    assert all(r.n_vecs == 3 for r in out.values())

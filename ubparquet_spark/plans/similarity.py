@@ -2012,6 +2012,90 @@ GROUP BY d.label
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-DIMENSION embedding health audit — the pre-indexing check a vector
+# pipeline runs before ANN/PQ training: a dead dimension (all zeros), a
+# constant dimension (max==min), or one whose scale dwarfs the others
+# silently degrades every downstream distance. Column grain, not row
+# grain: posexplode to (dim, value), ONE dim-keyed shuffle with map-side
+# partial aggregation (n·d rows collapse to d per mapper), zero joins.
+# Values quantize to exact integer micro-units before any sum; the
+# micro-unit sums accumulate in decimal(38,0)/HUGEINT (BIGINT would wrap
+# near ~1e12 vectors — the q_twap/q_embedding_outliers rule), so every
+# statistic is order-independent and bit-equal cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_dim_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.expr(
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("v6"),
+    )
+    n = F.count(F.lit(1))
+    sv = F.sum(F.col("v6").cast("decimal(38,0)")).alias("sv")
+    ss = F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("ss")
+    agg = ex.groupBy("dim").agg(
+        n.alias("n_vecs"),
+        sv,
+        ss,
+        F.min("v6").alias("mn6"),
+        F.max("v6").alias("mx6"),
+        F.sum(F.when(F.col("v6") == 0, 1).otherwise(0)).cast("long").alias("n_zero"),
+    )
+    mean = F.expr("CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE)")
+    var = F.expr(
+        "greatest(CAST(ss AS DOUBLE) / CAST(n_vecs AS DOUBLE)"
+        " - (CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE))"
+        " * (CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+    )
+    return agg.select(
+        "dim",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        roundn(mean / 1000000.0, 6).alias("mean_v"),
+        roundn(F.sqrt(var) / 1000000.0, 6).alias("std_v"),
+        (F.col("mn6").cast("double") / 1000000.0).alias("min_v"),
+        (F.col("mx6").cast("double") / 1000000.0).alias("max_v"),
+        "n_zero",
+        (F.col("mn6") == F.col("mx6")).alias("is_constant"),
+    )
+
+
+Q_EMBEDDING_DIM_AUDIT_SQL = f"""
+WITH ex AS (
+  SELECT UNNEST(range(1, len(embedding) + 1)) AS i, embedding FROM embeddings
+), q AS (
+  SELECT CAST(i - 1 AS INT) AS dim,
+         CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v6
+  FROM ex
+), agg AS (
+  SELECT dim, COUNT(*) AS n_vecs,
+         SUM(CAST(v6 AS HUGEINT)) AS sv,
+         SUM(CAST(v6 AS HUGEINT) * v6) AS ss,
+         MIN(v6) AS mn6, MAX(v6) AS mx6,
+         CAST(SUM(CASE WHEN v6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+  FROM q GROUP BY dim
+)
+SELECT dim,
+       CAST(n_vecs AS BIGINT) AS n_vecs,
+       {sql_roundn("(CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE)) / 1000000.0", 6)} AS mean_v,
+       {sql_roundn(
+           "SQRT(GREATEST(CAST(ss AS DOUBLE) / CAST(n_vecs AS DOUBLE)"
+           " - (CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE))"
+           " * (CAST(sv AS DOUBLE) / CAST(n_vecs AS DOUBLE)), CAST(0.0 AS DOUBLE)))"
+           " / 1000000.0", 6)} AS std_v,
+       CAST(mn6 AS DOUBLE) / 1000000.0 AS min_v,
+       CAST(mx6 AS DOUBLE) / 1000000.0 AS max_v,
+       n_zero,
+       mn6 = mx6 AS is_constant
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_centroid_drift": (q_centroid_drift, Q_CENTROID_DRIFT_SQL),
     "q_embedding_outliers": (q_embedding_outliers, Q_EMBEDDING_OUTLIERS_SQL),
@@ -2039,6 +2123,7 @@ QUERIES: dict[str, tuple] = {
     "q_ann_recall": (q_ann_recall, Q_ANN_RECALL_SQL),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),
+    "q_embedding_dim_audit": (q_embedding_dim_audit, Q_EMBEDDING_DIM_AUDIT_SQL),
     "q_kmeans_clusters": (q_kmeans_clusters, Q_KMEANS_SQL),
     "q_pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
 }
