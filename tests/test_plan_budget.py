@@ -125,6 +125,10 @@ SHUFFLE_BUDGETS = {
     # posexplode -> ONE dim-keyed rollup (map-side partials collapse
     # n*d rows to d per mapper); zero joins
     "q_embedding_dim_audit": 1,
+    # (band,bucket) cap window on each join side (identical subtrees —
+    # AQE's stage cache runs the banding shuffle once at runtime) +
+    # cross-band pair distinct + the per-anchor rank window
+    "q_hard_negatives": 4,
 }
 
 

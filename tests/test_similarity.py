@@ -148,3 +148,34 @@ def test_embedding_dim_audit_golden(spark, tmp_path):
     # std = sqrt(((1-2)^2 + (3-2)^2 + (2-2)^2)/3) = sqrt(2/3)
     assert abs(d2.std_v - (2.0 / 3.0) ** 0.5) < 1e-5 and not d2.is_constant
     assert all(r.n_vecs == 3 for r in out.values())
+
+
+def test_hard_negatives_semantics(spark, sf_dir):
+    """Every mined negative carries a different label than its anchor,
+    anchors respect the mod gate, and ranks are dense from 1."""
+    import pyspark.sql.functions as F
+
+    from ubparquet_spark.plans.similarity import (
+        HN_ANCHOR_MOD,
+        HN_K,
+        q_hard_negatives,
+    )
+    from ubparquet_spark.io import load_table
+
+    out = q_hard_negatives(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    j = (
+        out.join(emb.withColumnRenamed("vec_id", "anchor_id")
+                    .withColumnRenamed("label", "a_label"), "anchor_id")
+        .join(emb.withColumnRenamed("vec_id", "negative_id")
+                 .withColumnRenamed("label", "n_label"), "negative_id")
+    )
+    rows = j.collect()
+    assert len(rows) > 0
+    assert all(r.a_label != r.n_label for r in rows)
+    assert all(r.anchor_id % HN_ANCHOR_MOD == 0 for r in rows)
+    per = {}
+    for r in rows:
+        per.setdefault(r.anchor_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= HN_K
+               for v in per.values())

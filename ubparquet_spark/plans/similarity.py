@@ -2013,6 +2013,113 @@ GROUP BY d.label
 
 
 # ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training data prep (SimCSE/DPR-style):
+# for each anchor, the most-similar vectors carrying a DIFFERENT label.
+# "Hard" = near in embedding space, so candidates come from the anchor's
+# multi-band sign-LSH buckets (the q_embedding_neardup machinery), never a
+# full cross join: equi-join on (band, bucket), bucket cap against
+# degenerate buckets, per-anchor top-k via a rank window whose filter
+# pushes map-side (WindowGroupLimit). Anchors are gated scan-side by a
+# deterministic mod so the mined set is a bounded, reproducible sample —
+# the production shape mines per-shard anchors the same way.
+# ---------------------------------------------------------------------------
+
+HN_ANCHOR_MOD = 10
+HN_K = 2
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                _sign_bucket("embedding", NEARDUP_BAND_BITS, b * NEARDUP_BAND_BITS).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(NEARDUP_BANDS)
+        ]
+    )
+    e = emb.select(
+        "vec_id", "embedding", "label", F.explode(band_structs).alias("_b")
+    ).select("vec_id", "embedding", "label", "_b.band", "_b.bucket")
+    # cap computed over the FULL bucket population (before the anchor
+    # gate) on the same (band, bucket) shuffle the join reuses
+    w = Window.partitionBy("band", "bucket")
+    e = (
+        e.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") <= NEARDUP_BUCKET_CAP)
+        .drop("_n")
+    )
+    # shuffle_hash: anchors are n/HN_ANCHOR_MOD of the corpus — NOT
+    # broadcast-safe at scale — and with both sides exchanged on
+    # (band, bucket) the banding subplan is computed once and reused
+    # (same technique as q_minhash_jaccard_est)
+    a = e.filter(F.col("vec_id") % HN_ANCHOR_MOD == 0).alias("a")
+    b = e.hint("shuffle_hash").alias("b")
+    cos = roundn(
+        _dot("a.embedding", "b.embedding")
+        / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
+        6,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("b.vec_id").alias("negative_id"),
+            cos.alias("cosine"),
+        )
+        .distinct()  # a pair can agree in more than one band
+    )
+    rw = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= HN_K)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )
+
+
+Q_HARD_NEGATIVES_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, label FROM embeddings
+), banded AS (
+  SELECT vec_id, embedding, label, band, {_neardup_band_case("embedding")} AS bucket
+  FROM e, range(0, {NEARDUP_BANDS}) t(band)
+), ok AS (
+  SELECT band, bucket FROM banded GROUP BY 1, 2
+  HAVING COUNT(*) <= {NEARDUP_BUCKET_CAP}
+), bx AS (
+  SELECT banded.* FROM banded JOIN ok USING (band, bucket)
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         FLOOR(({_sql_dot("a.embedding", "b.embedding")}
+                / SQRT({_sql_dot("a.embedding", "a.embedding")} * {_sql_dot("b.embedding", "b.embedding")})) * 1000000 + 0.5) / 1000000 AS cosine
+  FROM bx a JOIN bx b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.label != b.label
+  WHERE a.vec_id % {HN_ANCHOR_MOD} = 0
+), ranked AS (
+  SELECT anchor_id, negative_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cosine DESC, negative_id ASC) AS rank
+  FROM pairs
+)
+SELECT anchor_id, negative_id, cosine, rank FROM ranked WHERE rank <= {HN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-DIMENSION embedding health audit — the pre-indexing check a vector
 # pipeline runs before ANN/PQ training: a dead dimension (all zeros), a
 # constant dimension (max==min), or one whose scale dwarfs the others
@@ -2124,6 +2231,7 @@ QUERIES: dict[str, tuple] = {
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_norms": (q_embedding_norms, Q_EMBEDDING_NORMS_SQL),
     "q_embedding_dim_audit": (q_embedding_dim_audit, Q_EMBEDDING_DIM_AUDIT_SQL),
+    "q_hard_negatives": (q_hard_negatives, Q_HARD_NEGATIVES_SQL),
     "q_kmeans_clusters": (q_kmeans_clusters, Q_KMEANS_SQL),
     "q_pq_topk": (q_pq_topk, Q_PQ_TOPK_SQL),
 }
