@@ -129,6 +129,10 @@ SHUFFLE_BUDGETS = {
     # AQE's stage cache runs the banding shuffle once at runtime) +
     # cross-band pair distinct + the per-anchor rank window
     "q_hard_negatives": 4,
+    # the |sources|-row per-source aggregate is built by one corpus
+    # shuffle, materialized once (localCheckpoint), and consumed by both
+    # branches; the lazy plan holds only the 1-row total collapse
+    "q_mixture_weights": 1,
 }
 
 

@@ -416,3 +416,24 @@ def test_bigram_logprob_golden(spark, tmp_path):
     exp1 = (math.log(p_ba) + math.log(p_ab) + math.log(p_ba)) / 3
     assert out[1].n_tokens == 4 and abs(out[1].avg_logprob - rn(exp1)) < 1e-9
     assert out[2].n_tokens == 2 and abs(out[2].avg_logprob - rn(math.log(p_ca))) < 1e-9
+
+
+def test_mixture_weights_properties(spark, sf_dir):
+    """Weights sum to 1, flattening upsamples below-average sources and
+    downsamples above-average ones, and budget epochs are consistent."""
+    from ubparquet_spark.plans.text import MIXTURE_TOKEN_BUDGET, q_mixture_weights
+
+    rows = q_mixture_weights(spark, sf_dir).collect()
+    assert len(rows) > 1
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        # temperature 0.5 pulls every source toward the mean share
+        if r.natural_share < 1.0 / len(rows):
+            assert r.upsample_ratio > 1.0
+        elif r.natural_share > 1.0 / len(rows):
+            assert r.upsample_ratio < 1.0
+        # r.weight is rounded to 6 dp; scaled by BUDGET/n_tokens that
+        # rounding grain can reach ~5e-7 * BUDGET / n_tokens
+        tol = 1e-3 + 5e-7 * MIXTURE_TOKEN_BUDGET / r.n_tokens
+        assert abs(r.epochs - r.weight * MIXTURE_TOKEN_BUDGET / r.n_tokens) < tol

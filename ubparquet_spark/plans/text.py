@@ -542,6 +542,87 @@ Q_LEAKAGE_SPLIT_SQL = _leakage_split_sql()
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled source mixture weights — the multi-source sampling
+# plan for a training run (XLM-R / Conneau et al. 2020 §3.1 upsample
+# low-resource sources with w_s ∝ n_s^α, α=0.5): per source, the
+# natural token share, the temperature-flattened weight (sqrt keeps the
+# α=0.5 power cross-engine-exact — no pow()), the resulting
+# upsample ratio, and how many epochs of the source one training budget
+# consumes. ONE source-grain shuffle + a 1-row broadcast total; the
+# entire weight table is |sources| rows at any corpus size.
+# ---------------------------------------------------------------------------
+
+MIXTURE_TOKEN_BUDGET = 10_000_000
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # |sources|-row artifact consumed twice (weights + total) —
+    # localCheckpoint so the corpus is scanned ONCE, not once per branch
+    per = (
+        docs.select("source", F.size(F.split("text", " ")).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint()
+    )
+    # tot_sq folds over the source-sorted list — a plain SUM of doubles
+    # is layout/order-dependent on both engines; |sources| rows, so the
+    # collect_list is trivially bounded
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.expr(
+            "aggregate(array_sort(collect_list(named_struct("
+            "'source', source, 'v', sqrt(CAST(n_tokens AS DOUBLE))))),"
+            " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.v)"
+        ).alias("tot_sq"),
+    )
+    share = F.expr("CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)")
+    weight = F.expr("sqrt(CAST(n_tokens AS DOUBLE)) / tot_sq")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        roundn(share, 6).alias("natural_share"),
+        roundn(weight, 6).alias("weight"),
+        roundn(weight / share, 4).alias("upsample_ratio"),
+        roundn(
+            weight * F.lit(float(MIXTURE_TOKEN_BUDGET)) / F.expr("CAST(n_tokens AS DOUBLE)"),
+            4,
+        ).alias("epochs"),
+    )
+
+
+Q_MIXTURE_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(
+             list_sort(list({{'source': source, 'v': SQRT(CAST(n_tokens AS DOUBLE))}})),
+             x -> x.v)),
+           (acc, x) -> acc + x) AS tot_sq
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       {sql_roundn("CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)", 6)} AS natural_share,
+       {sql_roundn("SQRT(CAST(n_tokens AS DOUBLE)) / tot_sq", 6)} AS weight,
+       {sql_roundn(
+           "(SQRT(CAST(n_tokens AS DOUBLE)) / tot_sq)"
+           " / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))")} AS upsample_ratio,
+       {sql_roundn(
+           "SQRT(CAST(n_tokens AS DOUBLE)) / tot_sq * " + str(float(MIXTURE_TOKEN_BUDGET))
+           + " / CAST(n_tokens AS DOUBLE)")} AS epochs
+FROM per CROSS JOIN tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup pairs via inverted-index join (no cross join):
 # explode distinct shingles → hot-shingle cap → equi-join on shingle → pair
 # intersection counts → Jaccard = inter / (na + nb - inter).
@@ -3537,6 +3618,7 @@ QUERIES: dict[str, tuple] = {
     "q_minhash_lsh_buckets": (q_minhash_lsh_buckets, Q_MINHASH_LSH_SQL),
     "q_doc_dedup_decisions": (q_doc_dedup_decisions, Q_DOC_DEDUP_DECISIONS_SQL),
     "q_leakage_safe_split": (q_leakage_safe_split, Q_LEAKAGE_SPLIT_SQL),
+    "q_mixture_weights": (q_mixture_weights, Q_MIXTURE_WEIGHTS_SQL),
     "q_ngram_jaccard_pairs": (q_ngram_jaccard_pairs, Q_NGRAM_JACCARD_SQL),
     "q_simhash": (q_simhash, Q_SIMHASH_SQL),
     "q_token_histogram": (q_token_histogram, Q_TOKEN_HIST_SQL),
