@@ -87,6 +87,10 @@ EMB_STRESS_QUERIES = (
     # embedding side (dim rotation preserves per-dim value multisets
     # only globally, but the n·d explode volume is the scaling part)
     "q_embedding_dim_audit",
+    # round-5: bucketed different-label top-k — rotation keeps buckets'
+    # per-replica population constant while bucket count grows N×, so
+    # the pair stage should scale ~linearly like q_embedding_neardup
+    "q_hard_negatives",
 )
 
 
