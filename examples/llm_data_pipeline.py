@@ -4,9 +4,12 @@ The extension-surface workflow (BASELINE.json north star), one script:
   1. quality-gate documents: Gopher rule table (token/word-length/stopword/
      repetition rules) plus the scored heuristic filter,
   2. MinHash near-dup candidates -> connected components -> canonical
-     keep/drop dedup decision,
+     keep/drop dedup decision, then leakage-safe train/val/test splits
+     from the same decision table and temperature-scaled source mixture
+     weights for the training run,
   3. language-ID the survivors,
-  4. embedding side: LSH-bucketed near-dup pairs + batched top-k ANN,
+  4. embedding side: LSH-bucketed near-dup pairs + batched top-k ANN +
+     hard-negative mining for contrastive training,
   5. PII-scrub the curated text and emit it as sorted Parquet,
   6. simulate the NEXT ingest: incremental batch-vs-corpus dedup verdicts,
   7. train tokenizer merges (BPE) on the curated corpus.
@@ -60,6 +63,21 @@ def main(sf_dir: str, workdir: str) -> None:
     n_drop = decisions.filter(~F.col("is_canonical")).count()
     print(f"dedup: dropping {n_drop} near-duplicate docs")
 
+    # 2b. leakage-safe splits from the SAME decision table: every doc
+    #     takes its cluster representative's split, so a near-dup pair
+    #     can never straddle train/test
+    from ubparquet_spark.plans.text import leakage_safe_split, mixture_weights
+
+    splits = leakage_safe_split(decisions)
+    split_dist = {r["split"]: r["n"] for r in
+                  splits.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"leakage-safe splits: {split_dist}")
+
+    # 2c. temperature-scaled source mixture for the training run
+    mix = mixture_weights(docs).orderBy(F.desc("weight")).limit(3).collect()
+    print("mixture weights (top-3 sources):",
+          [(r.source, r.weight, r.epochs) for r in mix])
+
     # 3. language distribution of the curated set
     langs = q_lang_id(spark, sf_dir)
     print("lang-ID confusion rows:", langs.count())
@@ -67,8 +85,12 @@ def main(sf_dir: str, workdir: str) -> None:
     # 4. embeddings: near-dup audit + batched ANN + the composed
     #    compressed-index search (IVF cells prune rows, PQ codes shrink
     #    bytes — the 100 TB retrieval path)
+    from ubparquet_spark.plans.similarity import q_hard_negatives
+
     emb_dups = q_embedding_neardup(spark, sf_dir)
     knn = q_knn_batch(spark, sf_dir)
+    hard_neg = q_hard_negatives(spark, sf_dir)
+    print(f"hard negatives mined (contrastive prep): {hard_neg.count()}")
     emb = load_table(spark, sf_dir, "embeddings")
     query_vec = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
     ivfpq = ivf_pq_topk(emb, query_vec, n_cells=8, probes=2, topk=5)

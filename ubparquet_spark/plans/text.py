@@ -510,12 +510,14 @@ SPLIT_SALT = "split-v1"
 _SPLIT_MOD = 1000
 
 
-def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split(decisions: DataFrame) -> DataFrame:
+    """Split assignment over any (doc_id, canonical_id, ...) decision
+    table — composable core so a pipeline can reuse decisions it already
+    computed instead of rebuilding the dedup pipeline."""
     from ubparquet_spark.plans.tpch import hash_unit
 
-    dec = q_doc_dedup_decisions(spark, sf_dir)
     u = hash_unit(F.col("canonical_id"), SPLIT_SALT, _SPLIT_MOD)
-    return dec.select(
+    return decisions.select(
         "doc_id",
         "canonical_id",
         F.when(u < 0.8, F.lit("train"))
@@ -523,6 +525,10 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split(q_doc_dedup_decisions(spark, sf_dir))
 
 
 def _leakage_split_sql() -> str:
@@ -555,8 +561,8 @@ Q_LEAKAGE_SPLIT_SQL = _leakage_split_sql()
 MIXTURE_TOKEN_BUDGET = 10_000_000
 
 
-def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Composable core over any (source, text) frame."""
     # |sources|-row artifact consumed twice (weights + total) —
     # localCheckpoint so the corpus is scanned ONCE, not once per branch
     per = (
@@ -593,6 +599,10 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("epochs"),
     )
+
+
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
 
 
 Q_MIXTURE_WEIGHTS_SQL = f"""
