@@ -229,6 +229,10 @@ DEEP_STRESS_QUERIES = {
     # entries get their second decade
     "q_paragraph_dedup_text",
     "q_minhash_jaccard_est",
+    # round-5 second batch: the capped-model LM — 100× salted replication
+    # grows the vocabulary 100× while BOTH model tables stay top-4096,
+    # the design claim the second decade should confirm
+    "q_bigram_logprob",
 }
 
 # events-table stress (round 5): q_twap after the segmented_lead rewire —

@@ -180,3 +180,42 @@ def test_running_transitions_matches_batch(spark, sf_dir, tmp_path):
         for r in q_event_transitions(spark, sf_dir).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+def test_running_source_mix_matches_batch(spark, sf_dir, tmp_path):
+    """The last emission per source over the drained stream equals the
+    batch q_mixture_weights per-source counters exactly, including
+    counters accumulated across micro-batch boundaries through state."""
+    from ubparquet_spark.plans.text import q_mixture_weights
+    from ubparquet_spark.streaming.stateful import running_source_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "mix_src")
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    docs.filter(F.col("doc_id") <= half).coalesce(1).write.parquet(src)
+    docs.filter(F.col("doc_id") > half).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    (
+        running_source_mix(stream)
+        .writeStream.format("memory")
+        .queryName("mix_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mix_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    hist = spark.table("mix_test").toPandas()
+    # counters are monotone: the final state per source is the max
+    got = {
+        s: (int(g["n_docs"].max()), int(g["n_tokens"].max()))
+        for s, g in hist.groupby("source")
+    }
+    batch = {
+        r.source: (r.n_docs, r.n_tokens)
+        for r in q_mixture_weights(spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 1

@@ -270,3 +270,54 @@ def running_transitions(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming source-mix counters: the stateful twin of the batch
+# plans/text.q_mixture_weights per-source aggregate. State per source is
+# the cumulative (n_docs, n_tokens); each micro-batch emits the UPDATED
+# counters, so the LAST emission per source over the drained stream
+# equals the batch per-source aggregate exactly (asserted in
+# tests/test_streaming_stateful.py) — a foreachBatch consumer can
+# recompute the temperature-scaled weights from the ≤|sources|-row
+# update at any point mid-ingest. Counter semantics mirror the batch
+# plan: every row counts toward n_docs; a null token count (null text)
+# contributes nothing to n_tokens, exactly like the batch SUM.
+# ---------------------------------------------------------------------------
+
+MIX_STATE_SCHEMA = "n_docs long, n_tokens long"
+MIX_OUTPUT_SCHEMA = "source string, n_docs long, n_tokens long"
+
+
+def _update_source_mix(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n_docs, n_tokens = state.get
+    else:
+        n_docs, n_tokens = 0, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n_docs += len(rows)
+    n_tokens += int(rows["nt"].dropna().sum())
+    state.update((n_docs, n_tokens))
+    yield pd.DataFrame(
+        {"source": [key[0]], "n_docs": [n_docs], "n_tokens": [n_tokens]}
+    )
+
+
+def running_source_mix(stream: DataFrame) -> DataFrame:
+    """Cumulative (n_docs, n_tokens) per source, emitted per batch."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "source", F.size(F.split("text", " ")).alias("nt")
+    ).filter(F.col("source").isNotNull())
+    return prepared.groupBy("source").applyInPandasWithState(
+        _update_source_mix,
+        outputStructType=MIX_OUTPUT_SCHEMA,
+        stateStructType=MIX_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
