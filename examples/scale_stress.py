@@ -233,6 +233,11 @@ DEEP_STRESS_QUERIES = {
     # grows the vocabulary 100× while BOTH model tables stay top-4096,
     # the design claim the second decade should confirm
     "q_bigram_logprob",
+    # round-5 events entries: user-offset replication at 100× = 10M
+    # events across 100× more users at constant per-user work — the
+    # partition-count axis both lag-window plans must absorb
+    "q_event_transitions",
+    "q_survival_km",
 }
 
 # events-table stress (round 5): q_twap after the segmented_lead rewire —
