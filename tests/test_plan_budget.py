@@ -133,6 +133,19 @@ SHUFFLE_BUDGETS = {
     # shuffle, materialized once (localCheckpoint), and consumed by both
     # branches; the lazy plan holds only the 1-row total collapse
     "q_mixture_weights": 1,
+    # token-set fingerprint groupBy: one shuffle + the single-distinct
+    # rewrite's second aggregate level
+    "q_normalized_dedup": 2,
+    # one bin groupBy over a zero-shuffle scoring map
+    "q_quality_calibration": 1,
+    # two exact_quantiles passes (distribution groupBy + per-key window
+    # each) + the final outlier-count groupBy; quantile artifacts come
+    # back as BroadcastExchanges, not shuffles
+    "q_robust_outliers_mad": 7,
+    # lexical branch: posting groupBy + df/stats broadcast branches + doc
+    # rollup; dense branch is a zero-shuffle map; both pools TakeOrdered
+    # and fused by a <=2*RRF_POOL-row join
+    "q_hybrid_rrf": 5,
 }
 
 

@@ -2135,13 +2135,14 @@ def _lq_weight(i: int) -> float:
 _LQ_WEIGHTS = [_lq_weight(i) for i in range(LQ_BUCKETS)]
 
 
-def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # string-quoted double literals: DuckDB parses a bare 17-digit decimal
-    # literal through DECIMAL and drops the last ulp; CAST('…' AS DOUBLE)
-    # is an exact IEEE parse in both engines
+def _lq_score_expr() -> Column:
+    """Raw (unrounded) linear-classifier score; requires a ``toks`` column.
+
+    String-quoted double literals: DuckDB parses a bare 17-digit decimal
+    literal through DECIMAL and drops the last ulp; CAST('…' AS DOUBLE)
+    is an exact IEEE parse in both engines."""
     weights = ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _LQ_WEIGHTS)
-    score = F.expr(
+    return F.expr(
         f"aggregate(transform(toks,"
         f" t -> element_at(array({weights}),"
         f"  CAST(pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
@@ -2149,6 +2150,11 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
         f" / size(toks) + CAST('{LQ_BIAS!r}' AS DOUBLE)"
     )
+
+
+def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    score = _lq_score_expr()
     return docs.withColumn("toks", F.split("text", " ")).select(
         "doc_id",
         roundn(score, 6).alias("score"),
@@ -2159,12 +2165,15 @@ def q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sum is a strict left fold on BOTH sides (Spark `aggregate`, DuckDB
 # `list_reduce`) — list_sum may reassociate, and a last-ulp difference can
 # land across the roundn floor boundary
-_LQ_SQL_SCORE = sql_roundn(
+_LQ_RAW_SQL = (
     "list_reduce(list_transform(string_split(text, ' '), "
     "t -> ([" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _LQ_WEIGHTS) + "])"
     "[(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % " + str(LQ_BUCKETS) + ") + 1]),"
     " (acc, v) -> acc + v)"
-    " / len(string_split(text, ' ')) + CAST('" + repr(LQ_BIAS) + "' AS DOUBLE)", 6)
+    " / len(string_split(text, ' ')) + CAST('" + repr(LQ_BIAS) + "' AS DOUBLE)"
+)
+
+_LQ_SQL_SCORE = sql_roundn(_LQ_RAW_SQL, 6)
 
 Q_LINEAR_QUALITY_SQL = f"""
 SELECT doc_id,
@@ -2861,10 +2870,11 @@ BM25_K1, BM25_B = 1.2, 0.75
 BM25_TOP = 20
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens_col()).alias("dl"), tokens_col().alias("toks")
-    )
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """Per-doc BM25 over ``BM25_TERMS`` for ``docs(doc_id, dl, toks)``.
+
+    Returns ``doc_id, n_terms_hit, bm25`` (rounded 6). Shared core of
+    :func:`q_bm25_topk` and :func:`q_hybrid_rrf`."""
     post = (
         docs.select("doc_id", "dl", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(*BM25_TERMS))
@@ -2884,7 +2894,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf") * (BM25_K1 + 1)
         / (F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl))
     )
-    scored = (
+    return (
         post.join(F.broadcast(df_tab), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -2893,11 +2903,20 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundn(F.sum(term_score), 6).alias("bm25"),
         )
     )
-    return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP)
 
 
-Q_BM25_SQL = f"""
-WITH docs AS (
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).alias("dl"), tokens_col().alias("toks")
+    )
+    return (
+        _bm25_scored(docs).orderBy(F.col("bm25").desc(), "doc_id").limit(BM25_TOP)
+    )
+
+
+#: BM25 CTE chain ending in ``bm(doc_id, n_terms_hit, bm25)`` — shared by the
+#: plain top-k oracle and the hybrid-retrieval fusion oracle.
+_BM25_CTES = f"""docs AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl,
          string_split(text, ' ') AS toks
   FROM documents
@@ -2910,15 +2929,22 @@ WITH docs AS (
   SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM docs
 ), dfs AS (
   SELECT tok, COUNT(*) AS df FROM post GROUP BY tok
-)
-SELECT doc_id, COUNT(*) AS n_terms_hit,
-       {sql_roundn(
-           "SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-           f" * (tf * CAST({BM25_K1 + 1} AS DOUBLE) / (tf + CAST({BM25_K1} AS DOUBLE)"
-           f" * (1 - {BM25_B} + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))))", 6)}
-         AS bm25
-FROM post JOIN dfs USING (tok) CROSS JOIN stats
-GROUP BY doc_id
+), bm AS (
+  SELECT doc_id, COUNT(*) AS n_terms_hit,
+         {sql_roundn(
+             "SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+             f" * (tf * CAST({BM25_K1 + 1} AS DOUBLE) / (tf + CAST({BM25_K1} AS DOUBLE)"
+             f" * (1 - {BM25_B} + {BM25_B} * dl / (CAST(total_dl AS DOUBLE) / n_docs)))))", 6)}
+           AS bm25
+  FROM post JOIN dfs USING (tok) CROSS JOIN stats
+  GROUP BY doc_id
+)"""
+
+
+Q_BM25_SQL = f"""
+WITH {_BM25_CTES}
+SELECT doc_id, n_terms_hit, bm25
+FROM bm
 ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOP}
 """
@@ -3606,7 +3632,254 @@ FROM base WHERE len(toks) < 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Normalization-invariant exact dedup ("fuzzy-exact"): lowercase, strip
+# non-alphanumerics, collapse whitespace, then fingerprint the SORTED token
+# SET — the cheap first rung of the dedup ladder between byte-exact
+# (q_doc_exact_dedup) and MinHash. Docs that differ only in case,
+# punctuation, spacing, word order, or word repetition collapse to one
+# normalized key (word-order invariance is what catches shuffled
+# boilerplate); ``n_raw_variants > 1`` counts merges the byte-exact pass
+# would have missed. Same md5-key linear groupBy shape as exact dedup — one
+# shuffle, no pairwise work, scale-identical at 100 TB.
+# ---------------------------------------------------------------------------
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    fp = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    )
+    return (
+        docs.select(fp.alias("norm_key"), "text", "doc_id")
+        .groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_raw_variants"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+Q_NORMALIZED_DEDUP_SQL = """
+SELECT md5(array_to_string(list_sort(list_distinct(string_split(
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))), ' '))
+         AS norm_key,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_raw_variants,
+       MIN(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration (reliability-diagram bins): bucket the
+# linear-classifier score into fixed 0.05-wide bins and compare the mean
+# score against the empirical rate of a proxy label (lang = 'en') per bin —
+# the standard check before a filter threshold is trusted at corpus scale.
+# Scores are summed as exact scaled integers (floor(score*1e6 + .5) as
+# BIGINT): a double sum over an unordered group is reassociation-sensitive
+# and would hash-differ per engine. One shuffle, bin cardinality bounded by
+# the score range.
+# ---------------------------------------------------------------------------
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", F.split("text", " ")
+    )
+    si = F.floor(_lq_score_expr() * 1e6 + F.lit(0.5)).cast("long")
+    score_bin = F.floor(F.col("si") / F.lit(50000.0)).cast("int")
+    return (
+        docs.select(
+            si.alias("si"), (F.col("lang") == "en").cast("int").alias("is_en")
+        )
+        .select(score_bin.alias("score_bin"), "si", "is_en")
+        .groupBy("score_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            roundn(
+                F.sum("si").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mean_score"),
+            roundn(
+                F.sum("is_en").cast("double") / F.count(F.lit(1)), 6
+            ).alias("en_rate"),
+        )
+    )
+
+
+Q_QUALITY_CALIBRATION_SQL = f"""
+WITH scored AS (
+  SELECT CAST(FLOOR(({_LQ_RAW_SQL}) * 1000000 + 0.5) AS BIGINT) AS si,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+  FROM documents
+)
+SELECT CAST(FLOOR(si / 50000.0) AS INT) AS score_bin,
+       COUNT(*) AS n_docs,
+       {sql_roundn("CAST(SUM(si) AS DOUBLE) / 1000000.0 / COUNT(*)", 6)}
+         AS mean_score,
+       {sql_roundn("CAST(SUM(is_en) AS DOUBLE) / COUNT(*)", 6)} AS en_rate
+FROM scored
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009): fuse a
+# lexical BM25 ranking with a dense hashed-TF-cosine ranking of the same
+# query, score = sum over systems of 1/(60 + rank). The production RAG
+# retrieval shape: both candidate pools are top-N TakeOrdered artifacts (no
+# global sort materializes), the rank windows run over those <=N-row pools,
+# and the fusion is a tiny full-outer join of two pools. Dense scoring is
+# exact-integer arithmetic (hashed-TF counts), so cosine ranks are
+# cross-engine deterministic; both rankings order by the ROUNDED score with
+# doc_id tiebreak for the same reason. Ranks are emitted 0-coalesced
+# ("not retrieved by this system") to keep integer columns null-free.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_POOL = 25
+
+_RRF_BUCKET = (
+    f"CAST(pmod(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT),"
+    f" {DOCEMB_DIM}) AS INT)"
+)
+_RRF_BUCKET_SQL = (
+    f"(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % {DOCEMB_DIM})"
+)
+
+
+def _rrf_tf_expr(tokens_sql: str) -> str:
+    return (
+        f"aggregate(transform({tokens_sql}, t -> {_RRF_BUCKET}),"
+        f" array_repeat(CAST(0 AS DOUBLE), {DOCEMB_DIM}),"
+        f" (acc, b) -> transform(acc, (v, i) -> if(i = b, v + 1, v)))"
+    )
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).alias("dl"), tokens_col().alias("toks")
+    )
+    # lexical branch: BM25 pool + rank (window over the <=POOL-row artifact)
+    lex = (
+        _bm25_scored(docs)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("lex_rank"),
+    )
+    # dense branch: hashed-TF cosine of each doc against the query text
+    qtext = " ".join(BM25_TERMS)
+    dot = F.expr(
+        "aggregate(zip_with(_d, _q, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nd = F.expr(
+        "aggregate(zip_with(_d, _d, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nq = F.expr(
+        "aggregate(zip_with(_q, _q, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    dense = (
+        docs.filter(F.size("toks") > 0)
+        .withColumn("_d", F.expr(_rrf_tf_expr("toks")))
+        .withColumn("_q", F.expr(_rrf_tf_expr(f"split('{qtext}', ' ')")))
+        .withColumn("_dot", dot)
+        .filter(F.col("_dot") > 0)
+        .select(
+            "doc_id", roundn(F.col("_dot") / F.sqrt(nd * nq), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    denr = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "doc_id"))
+        .alias("den_rank"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("den_rank")), F.lit(0.0))
+    return lexr.join(denr, "doc_id", "outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce("den_rank", F.lit(0)).cast("long").alias("den_rank"),
+        roundn(rrf, 6).alias("rrf_score"),
+    )
+
+
+_RRF_QTEXT = " ".join(BM25_TERMS)
+
+Q_HYBRID_RRF_SQL = f"""
+WITH {_BM25_CTES}, lexp AS (
+  SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+), lexr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lexp
+), tfv AS (
+  SELECT doc_id,
+         list_transform(range(0, {DOCEMB_DIM}),
+           j -> CAST(len(list_filter(toks, t -> {_RRF_BUCKET_SQL} = j))
+                AS DOUBLE)) AS d
+  FROM docs WHERE len(toks) > 0
+), qv AS (
+  SELECT list_transform(range(0, {DOCEMB_DIM}),
+           j -> CAST(len(list_filter(string_split('{_RRF_QTEXT}', ' '),
+                t -> {_RRF_BUCKET_SQL} = j)) AS DOUBLE)) AS q
+), cosed AS (
+  SELECT t.doc_id,
+         list_sum(list_transform(range(1, {DOCEMB_DIM} + 1),
+           i -> t.d[i] * q.q[i])) AS dot,
+         list_sum(list_transform(range(1, {DOCEMB_DIM} + 1),
+           i -> t.d[i] * t.d[i])) AS nd,
+         list_sum(list_transform(range(1, {DOCEMB_DIM} + 1),
+           i -> q.q[i] * q.q[i])) AS nq
+  FROM tfv t CROSS JOIN qv q
+), denp AS (
+  SELECT doc_id,
+         {sql_roundn("dot / SQRT(nd * nq)", 6)} AS cosine
+  FROM cosed WHERE dot > 0
+  ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
+), denr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS den_rank
+  FROM denp
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       COALESCE(l.lex_rank, 0) AS lex_rank,
+       COALESCE(d.den_rank, 0) AS den_rank,
+       {sql_roundn(
+           f"COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + l.lex_rank), 0.0)"
+           f" + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + d.den_rank), 0.0)", 6)}
+         AS rrf_score
+FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_normalized_dedup": (q_normalized_dedup, Q_NORMALIZED_DEDUP_SQL),
+    "q_quality_calibration": (q_quality_calibration, Q_QUALITY_CALIBRATION_SQL),
+    "q_hybrid_rrf": (q_hybrid_rrf, Q_HYBRID_RRF_SQL),
     "q_dsir_weights": (q_dsir_weights, Q_DSIR_SQL),
     "q_setsim_prefix_join": (q_setsim_prefix_join, Q_SETSIM_SQL),
     "q_bigram_logprob": (q_bigram_logprob, Q_BIGRAM_LOGPROB_SQL),

@@ -2552,9 +2552,159 @@ FROM r{PAGERANK_ROUNDS} r
 Q_BRAND_PAGERANK_SQL = _pagerank_sql()
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier detection via median/MAD (the modified z-score of Iglewicz &
+# Hoaglin 1993): a value is an outlier when |x - median| > 3 * 1.4826 * MAD.
+# Mean/stddev outlier gates (q_events_outliers) are themselves dragged by the
+# outliers they hunt; the median/MAD gate is what a data-quality pipeline
+# actually ships. Both medians run through operators.quantiles
+# (distribution groupBy + running-total window — memory O(distinct values),
+# never Spark's all-values-in-one-task `percentile` aggregate), so the plan
+# survives a group holding billions of rows. Three linear scans of events
+# (raw median, |dev| median, outlier count) — each prunes to 2 columns; the
+# per-group quantile artifacts are broadcast back (one row per event type).
+# ---------------------------------------------------------------------------
+
+#: 3 sigma-equivalents: 3 * 1.4826 (MAD-to-sigma consistency constant)
+ROBUST_K = 4.4478
+
+
+def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.quantiles import exact_quantiles
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = exact_quantiles(
+        ev, ["event_type"], "value", {"med": 0.5}
+    ).select("event_type", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = exact_quantiles(
+        dev, ["event_type"], "adev", {"mad": 0.5}
+    ).select("event_type", "mad")
+    is_out = (F.col("adev") > F.lit(ROBUST_K) * F.col("mad")).cast("int")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            roundn(F.max("med"), 6).alias("median_value"),
+            roundn(F.max("mad"), 6).alias("mad"),
+            F.sum(is_out).alias("n_outliers"),
+            roundn(
+                F.sum(is_out).cast("double") / F.count(F.lit(1)) * 100, 6
+            ).alias("pct_outliers"),
+        )
+    )
+
+
+Q_ROBUST_OUTLIERS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM ev GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med,
+         ABS(e.value - m.med) AS adev
+  FROM ev e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n_events,
+       {sql_roundn("MAX(d.med)", 6)} AS median_value,
+       {sql_roundn("MAX(a.mad)", 6)} AS mad,
+       CAST(SUM(CASE WHEN d.adev > CAST('{ROBUST_K}' AS DOUBLE) * a.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       {sql_roundn(
+           "CAST(SUM(CASE WHEN d.adev > CAST('" + str(ROBUST_K) + "' AS DOUBLE)"
+           " * a.mad THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 100", 6)}
+         AS pct_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff via operators.diff: row-fingerprint both snapshots
+# scan-side, one full-outer key join, emit only added/removed/changed keys.
+# The "new" snapshot is derived deterministically in-plan (keys % 97 purged,
+# keys % 13 status-flipped, keys % 101 re-inserted negated) so the diff
+# exercises every change class with no side files. Doubles are quantized to
+# cents BIGINT before fingerprinting — raw doubles stringify differently
+# across engines (operator contract).
+# ---------------------------------------------------------------------------
+
+_DIFF_COMPARE = ["o_custkey", "o_orderstatus", "o_orderpriority", "cents"]
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.diff import snapshot_diff
+
+    key = F.col("o_orderkey")
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    survivors = base.filter(key % 97 != 0).withColumn(
+        "o_orderstatus",
+        F.when(key % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    added = base.filter(key % 101 == 0).withColumn("o_orderkey", -key)
+    new = survivors.unionByName(added)
+    return snapshot_diff(base, new, ["o_orderkey"], _DIFF_COMPARE)
+
+
+def _diff_fp_sql(cols: list[str]) -> str:
+    parts = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0))" for c in cols
+    )
+    return f"md5(concat_ws(chr(31), {parts}))"
+
+
+Q_SNAPSHOT_DIFF_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), newsnap AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_orderpriority, cents
+  FROM base WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_custkey, o_orderstatus, o_orderpriority, cents
+  FROM base WHERE o_orderkey % 101 = 0
+), o AS (
+  SELECT o_orderkey, {_diff_fp_sql(_DIFF_COMPARE)} AS old_fp FROM base
+), n AS (
+  SELECT o_orderkey, {_diff_fp_sql(_DIFF_COMPARE)} AS new_fp FROM newsnap
+)
+SELECT o_orderkey,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       old_fp, new_fp
+FROM o FULL OUTER JOIN n USING (o_orderkey)
+WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+"""
 
 
 QUERIES: dict[str, tuple] = {
+    "q_robust_outliers_mad": (q_robust_outliers_mad, Q_ROBUST_OUTLIERS_SQL),
+    "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
     "q_brand_pagerank": (q_brand_pagerank, Q_BRAND_PAGERANK_SQL),
     "q_yoy_growth": (q_yoy_growth, Q_YOY_GROWTH_SQL),
     "q_copurchase_pairs": (q_copurchase_pairs, Q_COPURCHASE_SQL),
