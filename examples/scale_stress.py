@@ -66,6 +66,15 @@ STRESS_QUERIES = (
     # q_doc_embedding deliberately NOT stressed: its registered form is
     # bounded by a doc_id filter, so a replicated corpus is pruned at the
     # scan and the ratio would measure filter pushdown, not scaling
+    #
+    # round-5 third batch: token-set fingerprint dedup (salting renames
+    # tokens per replica, so set-fingerprint dup structure replicates once
+    # per replica — linear like exact dedup) and the calibration binning
+    # (pure map + one bounded-bin groupBy). q_hybrid_rrf deliberately NOT
+    # stressed: its lexical branch filters on literal BM25 query terms,
+    # which the replica salting renames (same reason as q_bm25_topk).
+    "q_normalized_dedup",
+    "q_quality_calibration",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
@@ -238,6 +247,14 @@ DEEP_STRESS_QUERIES = {
     # partition-count axis both lag-window plans must absorb
     "q_event_transitions",
     "q_survival_km",
+    # round-5 third batch: second decade for the remaining round-5
+    # registrations — the provably-complete similarity join (its prefix
+    # index is the candidate-growth axis), the DSIR scorer (model stays
+    # 2×256 buckets; corpus pass scales), and the LSH-bucketed negative
+    # miner (bucket count grows, per-bucket population constant)
+    "q_setsim_prefix_join",
+    "q_dsir_weights",
+    "q_hard_negatives",
 }
 
 # events-table stress (round 5): q_twap after the segmented_lead rewire —
@@ -252,6 +269,11 @@ EVENTS_STRESS_QUERIES = (
     # while the per-user rollup grows N× (survival)
     "q_event_transitions",
     "q_survival_km",
+    # round-5 third batch: replication preserves the value distribution,
+    # so the distinct-value distribution (the quantile windows' input)
+    # stays ~constant while the scans grow N× — the design claim of the
+    # operators.quantiles technique
+    "q_robust_outliers_mad",
 )
 
 

@@ -3707,8 +3707,15 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score_bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
+            # decimal(38,0) accumulator: a BIGINT sum of ~1e6-magnitude
+            # terms wraps silently past ~1e13 rows in non-ANSI mode while
+            # DuckDB widens to HUGEINT (the recurring cross-engine
+            # asymmetry) — same pattern as q_twap / q_zipf_fit
             roundn(
-                F.sum("si").cast("double") / 1e6 / F.count(F.lit(1)), 6
+                F.sum(F.col("si").cast("decimal(38,0)")).cast("double")
+                / 1e6
+                / F.count(F.lit(1)),
+                6,
             ).alias("mean_score"),
             roundn(
                 F.sum("is_en").cast("double") / F.count(F.lit(1)), 6
