@@ -24,18 +24,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries (CORRECTNESS_r01..r04.json each stopped at exactly 50).  Order
 # the registry so the queries that most need a fresh green row come first.
 #
-# ROUND-5 ROTATION (executes the plan VERDICT r04 "Next round" #1):
+# ROUND-5 ROTATION (executes VERDICT r04 "Next round" #1, extended to the
+# round-5 registrations so every never-driver-checked query gets its
+# first row this round):
 #   1. the 13 round-4 registrations that have NEVER held a driver row
 #      (q_twap leads — its plan was rebuilt this round onto the
 #      segmented-lead operator, so it needs the freshest signal);
 #   2. q_sketch_stats, promoted this round from rows-only to a full
 #      bounded-error hash oracle (exact aggregates + within-bounds
 #      booleans vs literal TRUE) — its first hash row;
-#   3. 36 of the 41 queries whose newest driver row is CORRECTNESS_r02.
-# The 5 deferred r02-stale entries (q_ann_ivf_multiprobe, q_ann_recall,
-# q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint — each a close
-# variant of a sibling that IS in this window) rotate to round 6; they
-# stay covered every session by the sf0.01 DuckDB-oracle pytest gate.
+#   3. the 19 round-5 registrations (never driver-checked);
+#   4. the 17 stalest CORRECTNESS_r02 queries that fit the window.
+# The remaining 24 r02-stale entries rotate to round 6 (lead with the
+# deferred variants q_ann_ivf_multiprobe, q_ann_recall,
+# q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint, then
+# q_events_retention .. q_vocab_coverage); all stay covered every
+# session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
     # -- never driver-checked (registered round 4)
     "q_twap",
@@ -53,6 +57,26 @@ _CHECK_FIRST = [
     "q_time_to_convert",
     # -- first hash row after the bounded-error-oracle promotion
     "q_sketch_stats",
+    # -- never driver-checked (registered round 5)
+    "q_event_transitions",
+    "q_survival_km",
+    "q_dsir_weights",
+    "q_setsim_prefix_join",
+    "q_bigram_logprob",
+    "q_leakage_safe_split",
+    "q_embedding_dim_audit",
+    "q_hard_negatives",
+    "q_mixture_weights",
+    "q_robust_outliers_mad",
+    "q_normalized_dedup",
+    "q_quality_calibration",
+    "q_hybrid_rrf",
+    "q_snapshot_diff",
+    "q_user_state_history",
+    "q_attribution_window",
+    "q_char_entropy",
+    "q_price_deciles",
+    "q_editdist_pairs",
     # -- stalest driver rows (newest row is CORRECTNESS_r02)
     "q_ann_ivf",
     "q_ann_lsh",
@@ -71,25 +95,6 @@ _CHECK_FIRST = [
     "q_events_hourly",
     "q_events_json",
     "q_events_outliers",
-    "q_events_retention",
-    "q_events_sessionize",
-    "q_events_sliding",
-    "q_gopher_rules",
-    "q_ivf_recall",
-    "q_kmeans_clusters",
-    "q_knn_bruteforce",
-    "q_label_centroids",
-    "q_lang_id",
-    "q_lexical_diversity",
-    "q_minhash_lsh_buckets",
-    "q_mixture_sample",
-    "q_pack_sequences",
-    "q_pq_topk",
-    "q_simhash",
-    "q_tfidf_top_term",
-    "q_token_histogram",
-    "q_unigram_logprob",
-    "q_vocab_coverage",
 ]
 
 

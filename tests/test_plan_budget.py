@@ -146,6 +146,21 @@ SHUFFLE_BUDGETS = {
     # rollup; dense branch is a zero-shuffle map; both pools TakeOrdered
     # and fused by a <=2*RRF_POOL-row join
     "q_hybrid_rrf": 5,
+    # round-5 fourth batch: recorded at registration
+    # ONE user-keyed exchange: the flip/lag windows, the run groupBy
+    # (subset rule) and the closing lead window all ride it
+    "q_user_state_history": 1,
+    # user range window + the 2-row touch-type rollup
+    "q_attribution_window": 2,
+    # zero shuffles until the per-source rollup (the 26-letter histogram
+    # and the entropy fold are per-row codegen)
+    "q_char_entropy": 1,
+    # ranked([]) range repartition (the only fact-row exchange) + the
+    # n_tasks-row offset-table windows + the 10-row decile rollup
+    "q_price_deciles": 5,
+    # distinct names + shuffle_hash block join (both sides exchange on
+    # the block key) + pair rollup + block-count branch + left join
+    "q_editdist_pairs": 6,
 }
 
 

@@ -1805,7 +1805,175 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD-type-2 state history: collapse each user's event-type log into runs of
+# consecutive equal states with half-open [valid_from, valid_to) ranges —
+# operators/scd.collapse_runs (gaps-and-islands). All windows partition by
+# user_id (high-cardinality); the run collapse rides the window exchange
+# (subset rule), so the whole build is 2 Exchanges. The oracle mirrors the
+# flip-detection + running-sum island numbering literally.
+# ---------------------------------------------------------------------------
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.scd import collapse_runs
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    return collapse_runs(ev, ["user_id"], ["ts", "event_id"], "event_type")
+
+
+Q_USER_STATE_HISTORY_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN ROW_NUMBER() OVER w = 1
+                OR LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS flip
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, event_type, ts,
+         SUM(flip) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run
+  FROM flagged
+), runs AS (
+  SELECT user_id, run, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS run_len
+  FROM numbered GROUP BY user_id, run
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER w2 AS valid_to,
+       run_len,
+       (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed multi-touch attribution: each purchase splits one unit of credit
+# over the click/view touches in its trailing 7-day window, proportional to
+# touch counts (linear attribution). Touch counts come from ONE range window
+# per user (no purchase×touch join materializes); per-purchase credits are
+# quantized to 1e-9 BIGINTs so the corpus-wide credit totals are exact
+# integer sums (order-independent, map-side combinable) rather than a
+# shuffle-layout-dependent double reduction. decimal(38,0) accumulator per
+# the repo-wide BIGINT-vs-HUGEINT rule.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 7 * DAY_US
+
+
+def q_attribution_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ATTR_WINDOW_US, -1)
+    )
+    touch = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    ).over(w)
+    purchases = (
+        ev.withColumn("n_clicks", touch("click"))
+        .withColumn("n_views", touch("view"))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("n_clicks") + F.col("n_views") > 0)
+        )
+        .withColumn("n_touch", F.col("n_clicks") + F.col("n_views"))
+    )
+    melted = purchases.select(
+        "n_touch",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    F.col("n_clicks").alias("n"),
+                ),
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    F.col("n_views").alias("n"),
+                ),
+            )
+        ).alias("t")
+    ).select(
+        "t.touch_type",
+        "t.n",
+        # credit in integer nano-units: double division is per-row
+        # deterministic; the SUM over the corpus is exact integer
+        F.floor(
+            F.col("t.n").cast("double") / F.col("n_touch").cast("double") * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("credit_e9"),
+    )
+    return (
+        melted.filter(F.col("n") > 0)
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            roundn(
+                F.sum(F.col("credit_e9").cast("decimal(38,0)")).cast("double")
+                / 1e9,
+                6,
+            ).alias("total_credit"),
+            roundn(
+                F.sum(F.col("n").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_touches"),
+        )
+    )
+
+
+Q_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+), counted AS (
+  SELECT event_id, event_type,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+           AS n_clicks,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+           AS n_views
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us
+               RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING AND 1 PRECEDING)
+), purchases AS (
+  SELECT event_id, n_clicks, n_views, n_clicks + n_views AS n_touch
+  FROM counted
+  WHERE event_type = 'purchase' AND n_clicks + n_views > 0
+), melted AS (
+  SELECT t.touch_type, t.n,
+         CAST(FLOOR(CAST(t.n AS DOUBLE) / CAST(n_touch AS DOUBLE) * 1e9
+                    + 0.5) AS BIGINT) AS credit_e9
+  FROM purchases,
+       UNNEST([{{'touch_type': 'click', 'n': n_clicks}},
+               {{'touch_type': 'view', 'n': n_views}}]) AS u(t)
+)
+SELECT touch_type,
+       COUNT(*) AS n_conversions,
+       {sql_roundn("CAST(SUM(credit_e9) AS DOUBLE) / 1e9", 6)}
+         AS total_credit,
+       {sql_roundn("CAST(SUM(n) AS DOUBLE) / COUNT(*)", 6)} AS avg_touches
+FROM melted
+WHERE n > 0
+GROUP BY touch_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_user_state_history": (q_user_state_history, Q_USER_STATE_HISTORY_SQL),
+    "q_attribution_window": (q_attribution_window, Q_ATTRIBUTION_SQL),
     "q_concurrent_sessions": (q_concurrent_sessions, Q_CONCURRENT_SESSIONS_SQL),
     "q_twap": (q_twap, Q_TWAP_SQL),
     "q_time_to_convert": (q_time_to_convert, Q_TIME_TO_CONVERT_SQL),

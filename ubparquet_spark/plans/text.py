@@ -3883,7 +3883,113 @@ FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Character-distribution entropy per document, rolled up per source — the
+# classic gibberish/encoding-noise detector (low entropy = repeated chars,
+# high = uniform noise). Zero shuffle until the per-source rollup: the
+# 26-letter histogram is built per row from length-difference counting
+# (length(s) - length(replace(s, c))), H = ln(t) - Σ c·ln(c)/t is folded in
+# a FIXED a→z order in both engines (identical IEEE op sequence), and the
+# per-doc entropy is quantized to integer nano-nats so the corpus rollup is
+# an exact integer sum — order-independent, map-side combinable.
+# decimal(38,0) accumulator per the repo-wide BIGINT-vs-HUGEINT rule.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    counts = F.array(
+        *[
+            (F.length(low) - F.length(F.replace(low, F.lit(c), F.lit("")))).cast(
+                "long"
+            )
+            for c in _ENTROPY_ALPHABET
+        ]
+    )
+    t = F.aggregate(
+        "cnts", F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    # Σ c·ln(c) folded left-to-right over the fixed alphabet order
+    s = F.aggregate(
+        "cnts",
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(x > 0, x.cast("double") * F.log(x.cast("double"))).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    perdoc = (
+        docs.select("source", counts.alias("cnts"))
+        .withColumn("t", t)
+        .filter(F.col("t") > 0)
+        .withColumn(
+            "e9",
+            F.floor(
+                (
+                    F.log(F.col("t").cast("double"))
+                    - s / F.col("t").cast("double")
+                )
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        roundn(
+            F.sum(F.col("e9").cast("decimal(38,0)")).cast("double")
+            / 1e9
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_entropy"),
+        roundn(F.min("e9") / 1e9, 6).alias("min_entropy"),
+        roundn(F.max("e9") / 1e9, 6).alias("max_entropy"),
+    )
+
+
+_ENTROPY_CNTS_DUCK = (
+    "list_transform(["
+    + ", ".join(f"'{c}'" for c in _ENTROPY_ALPHABET)
+    + "], c -> CAST(length(low) - length(replace(low, c, '')) AS BIGINT))"
+)
+
+Q_CHAR_ENTROPY_SQL = f"""
+WITH base AS (
+  SELECT source, {_ENTROPY_CNTS_DUCK} AS cnts
+  FROM (SELECT source, lower(text) AS low FROM documents)
+), witht AS (
+  SELECT source, cnts,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), cnts),
+                     (acc, x) -> acc + x) AS t
+  FROM base
+), perdoc AS (
+  SELECT source,
+         CAST(FLOOR((ln(CAST(t AS DOUBLE))
+                     - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                         list_transform(cnts,
+                           x -> CASE WHEN x > 0
+                                     THEN CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))
+                                     ELSE 0.0 END)),
+                         (acc, x) -> acc + x) / CAST(t AS DOUBLE))
+                    * 1e9 + 0.5) AS BIGINT) AS e9
+  FROM witht WHERE t > 0
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       {sql_roundn("CAST(SUM(e9) AS DOUBLE) / 1e9 / COUNT(*)", 6)}
+         AS avg_entropy,
+       {sql_roundn("MIN(e9) / 1e9", 6)} AS min_entropy,
+       {sql_roundn("MAX(e9) / 1e9", 6)} AS max_entropy
+FROM perdoc
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_char_entropy": (q_char_entropy, Q_CHAR_ENTROPY_SQL),
     "q_normalized_dedup": (q_normalized_dedup, Q_NORMALIZED_DEDUP_SQL),
     "q_quality_calibration": (q_quality_calibration, Q_QUALITY_CALIBRATION_SQL),
     "q_hybrid_rrf": (q_hybrid_rrf, Q_HYBRID_RRF_SQL),

@@ -2702,7 +2702,132 @@ WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
 """
 
 
+# ---------------------------------------------------------------------------
+# Global price deciles: NTILE(10) over the WHOLE table — the shape that
+# tempts a no-partition window (single task sorts every row). Instead the
+# exact global rank comes from operators/ranks.ranked with an EMPTY group:
+# range-partition + in-partition sort + broadcast task offsets, so no task
+# ever holds more than one range slice; ntile_col is then pure arithmetic,
+# bit-identical to the window function (mirrored by DuckDB's NTILE).
+# Order is total — (cents, o_orderkey) — so bucket assignment is
+# deterministic across engines. Cents sums accumulate in decimal(38,0)
+# per the repo-wide BIGINT-vs-HUGEINT rule.
+# ---------------------------------------------------------------------------
+
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.ranks import ntile_col, ranked
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("pc")
+    )
+    r = ranked(orders, [], ["pc", "o_orderkey"], rank_col="_r", n_col="_n")
+    return (
+        r.withColumn("decile", ntile_col("_r", "_n", 10).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.col("pc").cast("decimal(38,0)")).cast("double")
+                / 100.0
+            ).alias("sum_price"),
+            (F.min("pc") / 100.0).alias("min_price"),
+            (F.max("pc") / 100.0).alias("max_price"),
+        )
+    )
+
+
+Q_PRICE_DECILES_SQL = """
+WITH r AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+         NTILE(10) OVER (ORDER BY CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                       AS BIGINT), o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n_orders,
+       CAST(SUM(pc) AS DOUBLE) / 100.0 AS sum_price,
+       MIN(pc) / 100.0 AS min_price,
+       MAX(pc) / 100.0 AS max_price
+FROM r GROUP BY decile
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance similarity join (entity resolution): distinct part
+# names, blocked on the head noun (last token), candidate pairs within a
+# block pruned by the |len(a)-len(b)| <= K length band (a NECESSARY
+# condition for levenshtein <= K, checked before the distance), verified
+# pairs counted per block. Standard ER shape: work is Σ block², bounded by
+# the block-key fan-out, never corpus² — for heavy blocks the next lever is
+# q-gram prefix blocking (the lossless prefix-filter machinery demonstrated
+# in q_setsim_prefix_join). shuffle_hash keeps both sides exchanging on the
+# block key: the distinct-name side is NOT broadcast-safe at corpus scale.
+# Blocks with zero qualifying pairs still appear (left join + coalesce 0,
+# the q_neighbor_degree convention).
+# ---------------------------------------------------------------------------
+
+_EDITDIST_K = 2
+
+
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        F.length("p_name").alias("len"),
+    )
+    a, b = names.alias("a"), names.alias("b")
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_name") < F.col("b.p_name"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= _EDITDIST_K)
+            & (
+                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                <= _EDITDIST_K
+            ),
+        )
+        .groupBy(F.col("a.noun").alias("noun"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(
+                F.concat_ws(" | ", F.col("a.p_name"), F.col("b.p_name"))
+            ).alias("example_pair"),
+        )
+    )
+    blocks = names.groupBy("noun").agg(F.count(F.lit(1)).alias("n_names"))
+    return blocks.join(pairs, "noun", "left").select(
+        "noun",
+        "n_names",
+        F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+        "example_pair",
+    )
+
+
+Q_EDITDIST_PAIRS_SQL = f"""
+WITH parsed AS (
+  SELECT p_name, string_split(p_name, ' ')[-1] AS noun,
+         length(p_name) AS len
+  FROM (SELECT DISTINCT p_name FROM part)
+), blocks AS (
+  SELECT noun, COUNT(*) AS n_names FROM parsed GROUP BY noun
+), pairs AS (
+  SELECT a.noun, COUNT(*) AS n_pairs,
+         MIN(concat_ws(' | ', a.p_name, b.p_name)) AS example_pair
+  FROM parsed a JOIN parsed b
+    ON a.noun = b.noun AND a.p_name < b.p_name
+   AND ABS(a.len - b.len) <= {_EDITDIST_K}
+   AND levenshtein(a.p_name, b.p_name) <= {_EDITDIST_K}
+  GROUP BY a.noun
+)
+SELECT c.noun, c.n_names, COALESCE(p.n_pairs, 0) AS n_pairs, p.example_pair
+FROM blocks c LEFT JOIN pairs p USING (noun)
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_price_deciles": (q_price_deciles, Q_PRICE_DECILES_SQL),
+    "q_editdist_pairs": (q_editdist_pairs, Q_EDITDIST_PAIRS_SQL),
     "q_robust_outliers_mad": (q_robust_outliers_mad, Q_ROBUST_OUTLIERS_SQL),
     "q_snapshot_diff": (q_snapshot_diff, Q_SNAPSHOT_DIFF_SQL),
     "q_brand_pagerank": (q_brand_pagerank, Q_BRAND_PAGERANK_SQL),
