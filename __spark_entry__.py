@@ -33,12 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. q_sketch_stats, promoted this round from rows-only to a full
 #      bounded-error hash oracle (exact aggregates + within-bounds
 #      booleans vs literal TRUE) — its first hash row;
-#   3. the 19 round-5 registrations (never driver-checked);
-#   4. the 17 stalest CORRECTNESS_r02 queries that fit the window.
-# The remaining 24 r02-stale entries rotate to round 6 (lead with the
+#   3. the 22 round-5 registrations (never driver-checked);
+#   4. the 14 stalest CORRECTNESS_r02 queries that fit the window.
+# The remaining 27 r02-stale entries rotate to round 6 (lead with the
 # deferred variants q_ann_ivf_multiprobe, q_ann_recall,
 # q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint, then
-# q_events_retention .. q_vocab_coverage); all stay covered every
+# q_events_hourly .. q_vocab_coverage); all stay covered every
 # session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
     # -- never driver-checked (registered round 4)
@@ -77,6 +77,9 @@ _CHECK_FIRST = [
     "q_char_entropy",
     "q_price_deciles",
     "q_editdist_pairs",
+    "q_assoc_rules",
+    "q_cusum_changepoint",
+    "q_matryoshka_recall",
     # -- stalest driver rows (newest row is CORRECTNESS_r02)
     "q_ann_ivf",
     "q_ann_lsh",
@@ -92,9 +95,6 @@ _CHECK_FIRST = [
     "q_domain_cap",
     "q_embedding_neardup",
     "q_embedding_norms",
-    "q_events_hourly",
-    "q_events_json",
-    "q_events_outliers",
 ]
 
 

@@ -75,6 +75,9 @@ STRESS_QUERIES = (
     # which the replica salting renames (same reason as q_bm25_topk).
     "q_normalized_dedup",
     "q_quality_calibration",
+    # round-5 fourth batch: one corpus scan (zero-shuffle histogram +
+    # per-source rollup) — a linear control for the text side
+    "q_char_entropy",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
@@ -104,6 +107,13 @@ EMB_STRESS_QUERIES = (
 
 
 def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    # reuse a complete previous build (replication is deterministic in
+    # (src, factor)): all three replicated tables committed (_SUCCESS)
+    if all(
+        os.path.exists(os.path.join(dst_dir, f"{t}.parquet", "_SUCCESS"))
+        for t in ("documents", "embeddings", "events")
+    ):
+        return
     docs = load_table(spark, src_dir, "documents")
     n = docs.count()
     replicas = [
@@ -222,6 +232,13 @@ def time_query(fn, spark, sf_dir: str) -> float:
         t = time.time()
         fn(spark, sf_dir).collect()
         best = min(best, time.time() - t)
+        # shuffle files of a finished run are only dropped after a DRIVER
+        # GC lets ContextCleaner collect the dead ShuffleDependencies — a
+        # 128 GiB heap may not GC for the whole session, so back-to-back
+        # 100× runs piled ~75 GB of dead spill and filled the disk.
+        # Outside the timed region.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
     return best
 
 
@@ -274,11 +291,25 @@ EVENTS_STRESS_QUERIES = (
     # stays ~constant while the scans grow N× — the design claim of the
     # operators.quantiles technique
     "q_robust_outliers_mad",
+    # round-5 fourth batch: user-offset replication grows the number of
+    # per-user partitions N× at constant per-user history (SCD compaction
+    # rides ONE user exchange; attribution rides one user range window).
+    # q_price_deciles / q_editdist_pairs are NOT stressed here: orders and
+    # part are symlinked, not replicated, so the ratio would measure
+    # nothing.
+    "q_user_state_history",
+    "q_attribution_window",
 )
 
 
 def main(factors: list[int], workdir: str, only: set[str] | None = None) -> None:
-    from ubparquet_spark.plans import events, similarity, text
+    from ubparquet_spark.plans import events, packing, similarity, text, tpch
+
+    # one merged registry: stress lists may name queries from ANY plan
+    # module (q_robust_outliers_mad lives in tpch, not events)
+    registry: dict[str, tuple] = {}
+    for mod in (text, similarity, events, tpch, packing):
+        registry.update(mod.QUERIES)
 
     spark = get_session("scale-stress")
     src = "/root/testdata/sf0.1"
@@ -300,11 +331,7 @@ def main(factors: list[int], workdir: str, only: set[str] | None = None) -> None
         f"{f'{b}/{a}':>8s}" for a, b in zip(factors[:-1], factors[1:])
     )
     print(f"{'query':28s} {hdr}  {ratio_hdr}")
-    for mod, names in (
-        (text, STRESS_QUERIES),
-        (similarity, EMB_STRESS_QUERIES),
-        (events, EVENTS_STRESS_QUERIES),
-    ):
+    for names in (STRESS_QUERIES, EMB_STRESS_QUERIES, EVENTS_STRESS_QUERIES):
         for name in names:
             if only and name not in only:
                 continue
@@ -312,7 +339,7 @@ def main(factors: list[int], workdir: str, only: set[str] | None = None) -> None
             run_factors = [
                 f for f in factors if f <= 10 or name in DEEP_STRESS_QUERIES
             ]
-            fn, _sql = mod.QUERIES[name]
+            fn, _sql = registry[name]
             fn(spark, "/root/testdata/sf0.001").collect()  # warm codegen
             ts = {f: time_query(fn, spark, dirs[f]) for f in run_factors}
             cells = " ".join(

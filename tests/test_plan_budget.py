@@ -116,8 +116,14 @@ SHUFFLE_BUDGETS = {
     # histogram exchanges exactly once, at build)
     "q_survival_km": 3,
     # df window + per-doc rank window + prefix self-join + pair distinct
-    # + two candidate-side set joins
-    "q_setsim_prefix_join": 6,
+    # + two candidate-side set joins. RAISED 6 → 11 (round-5 100× stress):
+    # the old plan let Spark broadcast the corpus-proportional prefix
+    # index and the shingle-set sides — the driver OOM'd building the
+    # broadcast at 100×. All three joins are now pinned shuffle_hash, so
+    # the broadcasts became key-partitioned Exchanges: more exchanges on
+    # paper, but every one is bounded (prefix index rides the token key,
+    # verify joins ride doc keys) and none materializes on the driver.
+    "q_setsim_prefix_join": 11,
     # 1-row total collapse + per-doc score rollup; the two ≤K-row model
     # tables are built by one tokenize shuffle each, materialized once
     # (localCheckpoint), and enter the plan as broadcasts
@@ -161,6 +167,16 @@ SHUFFLE_BUDGETS = {
     # distinct names + shuffle_hash block join (both sides exchange on
     # the block key) + pair rollup + block-count branch + left join
     "q_editdist_pairs": 6,
+    # round-5 fifth batch: recorded at registration
+    # checkpointed order-grain basket sets feed singles + pairs; metric
+    # joins touch the TakeOrdered top-N + broadcast brand counts only
+    "q_assoc_rules": 4,
+    # one (type, day) corpus groupBy; every window runs over the
+    # bounded daily artifact
+    "q_cusum_changepoint": 2,
+    # broadcast-scored brute pass; both rank windows share the ONE qid
+    # exchange; the per-qid rollup rides it too
+    "q_matryoshka_recall": 1,
 }
 
 

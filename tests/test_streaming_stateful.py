@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from ubparquet_spark.io import load_table
@@ -219,3 +220,61 @@ def test_running_source_mix_matches_batch(spark, sf_dir, tmp_path):
         for r in q_mixture_weights(spark, sf_dir).collect()
     }
     assert got == batch and len(batch) > 1
+
+
+def test_running_state_history_matches_batch(spark, sf_dir, tmp_path):
+    """The last emission per (user, run_id) over a drained, time-ordered
+    stream equals the batch q_user_state_history run table exactly —
+    including runs that span a micro-batch boundary through per-user
+    state (longer run_len, deferred close)."""
+    from ubparquet_spark.plans.events import q_user_state_history
+    from ubparquet_spark.streaming.stateful import running_state_history
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "scd_src")
+    cut = "2024-01-15"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    (
+        running_state_history(stream)
+        .writeStream.format("memory")
+        .queryName("scd_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "scd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    hist = spark.table("scd_test").toPandas()
+    # update mode: keep the LAST emission per (user, run_id)
+    final = hist.groupby(["user_id", "run_id"], as_index=False).last()
+    got = {
+        (
+            int(r.user_id),
+            r.state,
+            int(r.from_us),
+            None if pd.isna(r.to_us) else int(r.to_us),
+            int(r.run_len),
+            bool(r.is_current),
+        )
+        for r in final.itertuples()
+    }
+    epoch = pd.Timestamp("1970-01-01")
+    batch = {
+        (
+            r.user_id,
+            r.event_type,
+            int((pd.Timestamp(r.valid_from) - epoch).value // 1000),
+            None
+            if r.valid_to is None
+            else int((pd.Timestamp(r.valid_to) - epoch).value // 1000),
+            r.run_len,
+            bool(r.is_current),
+        )
+        for r in q_user_state_history(spark, sf_dir).collect()
+    }
+    assert got == batch and len(batch) > 0

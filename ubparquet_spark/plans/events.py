@@ -1971,7 +1971,94 @@ GROUP BY touch_type
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on daily revenue per event type: the day with
+# the maximum |cumulative deviation from the per-type mean| — the classic
+# level-shift detector. ALL-INTEGER: with c_i the day's cents total, D the
+# day count and T = Σc_j, the statistic S_d = Σ_{i≤d}(c_i − T/D) scaled by D
+# is S_d·D = D·prefix_d − d·T — exact integers, no per-day division whose
+# engine-specific decimal rounding could flip a floor. The corpus pass is
+# ONE (type, day) groupBy; every window runs over the ≤|types|·|days|
+# aggregated artifact (the q_survival_km pattern: aggregate first, window
+# over the bounded artifact — fine on a low-cardinality key because the
+# input is already tiny).
+# ---------------------------------------------------------------------------
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.to_date("ts").alias("day"), cents("value").alias("vc")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.col("vc").cast("decimal(38,0)")).alias("c"))
+    )
+    w_all = Window.partitionBy("event_type")
+    w_ord = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        (
+            F.count(F.lit(1)).over(w_all)
+            * F.sum("c").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.row_number().over(w_ord) * F.sum("c").over(w_all)
+        ).alias("sd"),
+        F.count(F.lit(1)).over(w_all).alias("n_days"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("sd")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("change_day"),
+            # |S_d·D| / D² / 100 = the plain CUSUM peak in dollars
+            roundn(
+                F.abs(F.col("sd")).cast("double")
+                / F.col("n_days")
+                / F.col("n_days")
+                / 100.0,
+                4,
+            ).alias("cusum_peak_dollars"),
+        )
+    )
+
+
+Q_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+  FROM events
+  GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day,
+         COUNT(*) OVER wa
+           * SUM(c) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - ROW_NUMBER() OVER wo * SUM(c) OVER wa AS sd,
+         COUNT(*) OVER wa AS n_days
+  FROM daily
+  WINDOW wa AS (PARTITION BY event_type),
+         wo AS (PARTITION BY event_type ORDER BY day)
+), picked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(sd) DESC, day ASC) AS r
+  FROM scored
+)
+SELECT event_type, n_days, day AS change_day,
+       {sql_roundn(
+           "CAST(ABS(sd) AS DOUBLE) / n_days / n_days / 100.0", 4)}
+         AS cusum_peak_dollars
+FROM picked WHERE r = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_cusum_changepoint": (q_cusum_changepoint, Q_CUSUM_SQL),
     "q_user_state_history": (q_user_state_history, Q_USER_STATE_HISTORY_SQL),
     "q_attribution_window": (q_attribution_window, Q_ATTRIBUTION_SQL),
     "q_concurrent_sessions": (q_concurrent_sessions, Q_CONCURRENT_SESSIONS_SQL),

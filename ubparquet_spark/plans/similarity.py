@@ -2203,7 +2203,99 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka / prefix-dimension recall: how much of the exact full-dim
+# top-k survives when ranking by the FIRST half of the dimensions only —
+# the evaluation behind matryoshka-style truncatable embeddings and
+# dim-sliced ANN shortlists. One broadcast-scored pass computes both
+# cosines; the two rank windows share the qid exchange. Ground truth is
+# sample-bounded (ANN_RECALL-style fixed query set) — the documented
+# harness trade: exact brute-force truth over Q queries, never corpus².
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_K = 10
+MATRYOSHKA_QUERIES = 20
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.expr("slice(embedding, 1, CAST(size(embedding) DIV 2 AS INT))")
+    base = emb.select("vec_id", "embedding", half.alias("hvec"))
+    qs = base.filter(F.col("vec_id") < MATRYOSHKA_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("hvec").alias("qh"),
+    )
+    scored = base.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        roundn(
+            _dot("embedding", "qvec")
+            / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+            6,
+        ).alias("cf"),
+        roundn(
+            _dot("hvec", "qh") / F.sqrt(_sq_norm("hvec") * _sq_norm("qh")),
+            6,
+        ).alias("ch"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cf"), F.asc("vec_id"))
+    wh = Window.partitionBy("qid").orderBy(F.desc("ch"), F.asc("vec_id"))
+    rnk = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rh", F.row_number().over(wh)
+    )
+    hit = F.when(
+        (F.col("rf") <= MATRYOSHKA_K) & (F.col("rh") <= MATRYOSHKA_K), 1
+    ).otherwise(0)
+    return rnk.groupBy("qid").agg(
+        F.sum(hit).cast("long").alias("hits"),
+        roundn(F.sum(hit).cast("double") / F.lit(MATRYOSHKA_K)).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+Q_MATRYOSHKA_SQL = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         embedding[1:CAST(len(embedding) // 2 AS INT)] AS hvec
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qvec, hvec AS qh
+  FROM base WHERE vec_id < {MATRYOSHKA_QUERIES}
+), scored AS (
+  SELECT qid, b.vec_id,
+         FLOOR(({_sql_dot("b.embedding", "qvec")}
+                / SQRT({_sql_dot("b.embedding", "b.embedding")}
+                       * {_sql_dot("qvec", "qvec")})) * 1000000 + 0.5)
+           / 1000000 AS cf,
+         FLOOR(({_sql_dot("b.hvec", "qh")}
+                / SQRT({_sql_dot("b.hvec", "b.hvec")}
+                       * {_sql_dot("qh", "qh")})) * 1000000 + 0.5)
+           / 1000000 AS ch
+  FROM base b JOIN q ON b.vec_id <> qid
+), rnk AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ch DESC, vec_id) AS rh
+  FROM scored
+)
+SELECT qid,
+       CAST(SUM(CASE WHEN rf <= {MATRYOSHKA_K} AND rh <= {MATRYOSHKA_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       {sql_roundn(
+           "CAST(SUM(CASE WHEN rf <= " + str(MATRYOSHKA_K)
+           + " AND rh <= " + str(MATRYOSHKA_K)
+           + " THEN 1 ELSE 0 END) AS DOUBLE) / " + str(MATRYOSHKA_K))}
+         AS recall_at_k
+FROM rnk GROUP BY qid
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_matryoshka_recall": (q_matryoshka_recall, Q_MATRYOSHKA_SQL),
     "q_centroid_drift": (q_centroid_drift, Q_CENTROID_DRIFT_SQL),
     "q_embedding_outliers": (q_embedding_outliers, Q_EMBEDDING_OUTLIERS_SQL),
     # CANONICAL SemDeDup = the scale-true k ∝ n plan (round-4 swap per

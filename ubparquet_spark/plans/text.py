@@ -3388,21 +3388,41 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("r") <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1
-    ).select("doc_id", "token")
+    ).select("doc_id", "token", "n")
+    # shuffle_hash, NOT broadcast: the prefix index is corpus-proportional
+    # — at the 100× stress Spark's size estimate still chose broadcast and
+    # the driver OOM'd building it; with the hint both sides exchange on
+    # the token key and AQE's stage cache reuses the one prefix shuffle.
+    # The length filter is LOSSLESS for J >= T (J <= min(na,nb)/max(na,nb),
+    # so a qualifying pair has min >= T*max) — it cuts candidates before
+    # the verify joins; T = 0.5 keeps T*n exact in binary FP.
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") >= F.lit(SETSIM_T) * F.col("a.n"))
+            & (F.col("a.n") >= F.lit(SETSIM_T) * F.col("b.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
     )
+    # verify sets carry 60-bit md5 hashes of the shingles, NOT the strings:
+    # the candidate-grain exchange between the two verify joins is the
+    # plan's largest (31M pairs at the 100× stress), and 8-byte elements
+    # cut it ~3× vs ~25-char shingle strings (62 GB of spill → the disk
+    # filled before this change). n and the intersect are unchanged modulo
+    # a 2^-60 hash collision (the DuckDB oracle intersects the STRINGS, so
+    # a collision would surface as a hash mismatch — none observed).
+    hashed = (
+        f"transform({_SETSIM_SHINGLES},"
+        " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
     sets = docs.withColumn("toks", F.split("text", " ")).select(
-        "doc_id", F.expr(_SETSIM_SHINGLES).alias("s")
+        "doc_id", F.expr(hashed).alias("s")
     ).withColumn("n", F.size("s"))
     sa = sets.select(
         F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"), F.col("n").alias("na")
@@ -3411,9 +3431,12 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"), F.col("n").alias("nb")
     )
     n_inter = F.size(F.array_intersect("sa", "sb")).cast("long")
+    # the shingle-set sides carry full token arrays (corpus-sized payload)
+    # and the candidate table is output-proportional — neither side is
+    # broadcast-safe at scale, so pin both verify joins to shuffle_hash
     verified = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -2825,7 +2825,109 @@ FROM blocks c LEFT JOIN pairs p USING (noun)
 """
 
 
+# ---------------------------------------------------------------------------
+# Association rules over the co-purchase incidence: support / confidence /
+# lift for the top co-purchased brand pairs. One (order → sorted brand set)
+# aggregation feeds BOTH the pair counts and the per-brand counts (the set
+# explodes back to singles — no second corpus pass); the basket total is a
+# 1-row aggregate. The pair table collapses to TakeOrdered top-N before any
+# join, so the metric joins touch ≤N rows + the bounded brand-count table
+# (broadcast: bounded by the brand DOMAIN, not the corpus). Ratios are
+# computed in double from exact integer counts — numerators/denominators
+# cast to double BEFORE multiplying so no BIGINT product can wrap.
+# ---------------------------------------------------------------------------
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = _order_brand_pairs(spark, sf_dir)
+    # order-grain brand sets, materialized once for the three derived
+    # aggregates (pairs / singles / total) — without this each branch
+    # re-runs the lineitem⋈part join + distinct (column pruning
+    # specializes the subtrees, defeating exchange reuse)
+    sets = (
+        ob.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
+        .localCheckpoint()
+    )
+    n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
+    singles = sets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_single")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (a, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"
+                )
+            ).alias("pr")
+        )
+        .select(F.col("pr.a").alias("brand_a"), F.col("pr.b").alias("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(COPURCHASE_TOP)
+    )
+    sa = singles.select(
+        F.col("brand").alias("brand_a"), F.col("n_single").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("brand").alias("brand_b"), F.col("n_single").alias("n_b")
+    )
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            roundn(dbl("n_ab") / dbl("n_orders"), 6).alias("support"),
+            roundn(dbl("n_ab") / dbl("n_a"), 6).alias("conf_a_to_b"),
+            roundn(dbl("n_ab") / dbl("n_b"), 6).alias("conf_b_to_a"),
+            roundn(
+                dbl("n_ab") * dbl("n_orders") / (dbl("n_a") * dbl("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+Q_ASSOC_RULES_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+), singles AS (
+  SELECT p_brand AS brand, COUNT(*) AS n_single FROM ob GROUP BY 1
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  ORDER BY n_ab DESC, brand_a, brand_b
+  LIMIT {COPURCHASE_TOP}
+)
+SELECT brand_a, brand_b, n_ab,
+       {sql_roundn("CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE)", 6)}
+         AS support,
+       {sql_roundn("CAST(n_ab AS DOUBLE) / CAST(sa.n_single AS DOUBLE)", 6)}
+         AS conf_a_to_b,
+       {sql_roundn("CAST(n_ab AS DOUBLE) / CAST(sb.n_single AS DOUBLE)", 6)}
+         AS conf_b_to_a,
+       {sql_roundn(
+           "CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)"
+           " / (CAST(sa.n_single AS DOUBLE) * CAST(sb.n_single AS DOUBLE))", 6)}
+         AS lift
+FROM pairs
+JOIN singles sa ON sa.brand = brand_a
+JOIN singles sb ON sb.brand = brand_b
+CROSS JOIN n
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
     "q_price_deciles": (q_price_deciles, Q_PRICE_DECILES_SQL),
     "q_editdist_pairs": (q_editdist_pairs, Q_EDITDIST_PAIRS_SQL),
     "q_robust_outliers_mad": (q_robust_outliers_mad, Q_ROBUST_OUTLIERS_SQL),

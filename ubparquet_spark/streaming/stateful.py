@@ -321,3 +321,99 @@ def running_source_mix(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD-type-2 run compaction: the stateful twin of the batch
+# operators/scd.collapse_runs (q_user_state_history). State per user is the
+# OPEN run — (run_id, state, valid_from, run_len) plus the last-seen
+# (us, event_id) ordering cursor. Each batch closes runs at every state
+# flip (emitting them with valid_to = the next run's valid_from, the batch
+# half-open convention) and re-emits the updated open run, so in update
+# mode the LAST emission per (user, run_id) over a drained, time-ordered
+# stream equals the batch history table exactly (asserted in
+# tests/test_streaming_stateful.py). Cross-batch contract mirrors
+# running_twap: files must arrive time-ordered per user; late rows are
+# counted into state and skipped, never silently reordered.
+# ---------------------------------------------------------------------------
+
+SCD_STATE_SCHEMA = (
+    "run_id long, run_state string, from_us long, run_len long,"
+    " last_us long, last_eid long, n_late long"
+)
+SCD_OUTPUT_SCHEMA = (
+    "user_id long, run_id long, state string, from_us long, to_us long,"
+    " run_len long, is_current boolean"
+)
+
+
+def _update_state_history(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        run_id, run_state, from_us, run_len, last_us, last_eid, n_late = state.get
+    else:
+        run_id, run_state, from_us, run_len = 0, None, 0, 0
+        last_us, last_eid, n_late = 0, 0, 0
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["us", "event_id"], ignore_index=True)
+    us = rows["us"].to_numpy()
+    eid = rows["event_id"].to_numpy()
+    types = rows["event_type"].to_numpy()
+    out: list[tuple] = []
+    for j in range(len(rows)):
+        u, e, t = int(us[j]), int(eid[j]), str(types[j])
+        if run_id == 0:
+            run_id, run_state, from_us, run_len = 1, t, u, 1
+            last_us, last_eid = u, e
+            continue
+        if (u, e) < (last_us, last_eid):
+            n_late += 1
+            continue
+        if t == run_state:
+            run_len += 1
+        else:
+            out.append((run_id, run_state, from_us, u, run_len, False))
+            run_id, run_state, from_us, run_len = run_id + 1, t, u, 1
+        last_us, last_eid = u, e
+    state.update(
+        (run_id, run_state, from_us, run_len, last_us, last_eid, n_late)
+    )
+    # the open run is re-emitted every batch; update-mode consumers keep
+    # the latest row per (user, run_id)
+    if run_id > 0:
+        out.append((run_id, run_state, from_us, None, run_len, True))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out),
+            "run_id": [r[0] for r in out],
+            "state": [r[1] for r in out],
+            "from_us": [r[2] for r in out],
+            "to_us": [r[3] for r in out],
+            "run_len": [r[4] for r in out],
+            "is_current": [r[5] for r in out],
+        }
+    )
+
+
+def running_state_history(stream: DataFrame) -> DataFrame:
+    """Per-user SCD2 run table maintained across micro-batches."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("us").isNotNull() & F.col("event_type").isNotNull())
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_state_history,
+        outputStructType=SCD_OUTPUT_SCHEMA,
+        stateStructType=SCD_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
