@@ -177,6 +177,13 @@ SHUFFLE_BUDGETS = {
     # broadcast-scored brute pass; both rank windows share the ONE qid
     # exchange; the per-qid rollup rides it too
     "q_matryoshka_recall": 1,
+    # round-5 sixth batch: recorded at registration
+    # hash gates are scan-side maps — only ~f of each table reaches the
+    # join exchange; distinct-agg second level is the other Exchange
+    "q_consistent_sample": 2,
+    # ONE tokenize shuffle feeds (source, token) counts + source totals
+    # + the checkpointed top-K build; the grid fold is sources·K rows
+    "q_source_kl_divergence": 3,
 }
 
 

@@ -109,3 +109,49 @@ def test_collapse_runs_no_low_cardinality_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "user_id" in line
+
+
+# -- property: collapse_runs equals a brute-force single-pass compaction --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_runs(seq):
+    """Reference implementation: one linear pass over the ordered states."""
+    runs = []
+    for i, s in enumerate(seq):
+        if runs and runs[-1][0] == s:
+            runs[-1][2] += 1
+        else:
+            runs.append([s, i, 1])  # state, first index, length
+    out = []
+    for j, (s, first, ln) in enumerate(runs):
+        nxt = runs[j + 1][1] if j + 1 < len(runs) else None
+        out.append((s, first, nxt, ln, nxt is None))
+    return out
+
+
+@given(
+    seq=st.lists(st.sampled_from(["A", "B", "C"]), min_size=1, max_size=40),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_collapse_runs_matches_bruteforce(spark, seq, seed):
+    rows = [(1, _ts(1) + dt.timedelta(minutes=i), i, s) for i, s in enumerate(seq)]
+    out = collapse_runs(
+        _build(spark, rows), ["user_id"], ["ts", "event_id"], "state"
+    ).collect()
+    got = sorted(
+        (
+            r.state,
+            int((r.valid_from - _ts(1)).total_seconds() // 60),
+            None
+            if r.valid_to is None
+            else int((r.valid_to - _ts(1)).total_seconds() // 60),
+            r.run_len,
+            r.is_current,
+        )
+        for r in out
+    )
+    assert got == sorted(_brute_runs(seq))

@@ -4011,7 +4011,111 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus unigram distribution — the
+# domain-shift / contamination-drift detector: KL(p_source ‖ p_corpus)
+# over the corpus's top-K vocabulary with add-1 smoothing (so a token
+# absent from a source still contributes, and the capped support keeps
+# the model CONSTANT-SIZE at any corpus — the q_bigram_logprob cap
+# pattern). One tokenize shuffle builds (source, token) counts; the
+# top-K table is a TakeOrdered ≤K-row artifact, localCheckpoint'ed and
+# broadcast; the source×topK grid (|sources|·K rows) folds its ln terms
+# in token-sorted order per source, so the double chain is
+# order-independent (bounded per-group fold, the established pattern).
+# ---------------------------------------------------------------------------
+
+KL_VOCAB_K = 256
+
+
+def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
+    stot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    topk = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(KL_VOCAB_K)
+        .localCheckpoint()
+    )
+    n_total = stot.agg(F.sum("ns").alias("n")).localCheckpoint()
+    sources = stot.localCheckpoint()
+    # full |sources| × K grid so absent tokens contribute their smoothed
+    # mass (both artifacts are bounded — grid rows = sources · K)
+    grid = (
+        sources.crossJoin(F.broadcast(topk))
+        .join(sc.hint("shuffle_hash"), ["source", "w"], "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "source",
+            "ns",
+            "w",
+            F.coalesce("cs", F.lit(0)).alias("cs"),
+            "c",
+            "n",
+        )
+    )
+    k = F.lit(KL_VOCAB_K)
+    p = (F.col("cs") + 1).cast("double") / (F.col("ns") + k).cast("double")
+    q = (F.col("c") + 1).cast("double") / (F.col("n") + k).cast("double")
+    terms = grid.select(
+        "source", "ns", "w", (p * F.log(p / q)).alias("term")
+    )
+    folded = terms.groupBy("source").agg(
+        F.max("ns").alias("n_tokens"),
+        roundn(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("w"), F.col("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            4,
+        ).alias("kl_nats"),
+    )
+    return folded
+
+
+Q_SOURCE_KL_SQL = f"""
+WITH tok AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents
+), sc AS (
+  SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY 1, 2
+), stot AS (
+  SELECT source, COUNT(*) AS ns FROM tok GROUP BY 1
+), topk AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+  ORDER BY c DESC, w LIMIT {KL_VOCAB_K}
+), n_total AS (
+  SELECT SUM(ns) AS n FROM stot
+), grid AS (
+  SELECT s.source, s.ns, t.w, COALESCE(sc.cs, 0) AS cs, t.c, n_total.n
+  FROM stot s CROSS JOIN topk t
+  LEFT JOIN sc ON sc.source = s.source AND sc.w = t.w
+  CROSS JOIN n_total
+), terms AS (
+  SELECT source, ns, w,
+         (CAST(cs + 1 AS DOUBLE) / CAST(ns + {KL_VOCAB_K} AS DOUBLE))
+           * ln((CAST(cs + 1 AS DOUBLE) / CAST(ns + {KL_VOCAB_K} AS DOUBLE))
+                / (CAST(c + 1 AS DOUBLE) / CAST(n + {KL_VOCAB_K} AS DOUBLE)))
+           AS term
+  FROM grid
+)
+SELECT source,
+       MAX(ns) AS n_tokens,
+       {sql_roundn(
+           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+           " list_transform(list_sort(list({'w': w, 'term': term})),"
+           " x -> x.term)), (acc, x) -> acc + x)", 4)} AS kl_nats
+FROM terms
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_source_kl_divergence": (q_source_kl_divergence, Q_SOURCE_KL_SQL),
     "q_char_entropy": (q_char_entropy, Q_CHAR_ENTROPY_SQL),
     "q_normalized_dedup": (q_normalized_dedup, Q_NORMALIZED_DEDUP_SQL),
     "q_quality_calibration": (q_quality_calibration, Q_QUALITY_CALIBRATION_SQL),

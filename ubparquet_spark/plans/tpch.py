@@ -2926,7 +2926,64 @@ CROSS JOIN n
 """
 
 
+# ---------------------------------------------------------------------------
+# Join-consistent sampling: both fact tables gate on the SAME md5 hash of
+# the JOIN KEY, so the sampled join ≡ the join of the samples ≡ an exact
+# key-cluster sample of the joined result — the only way a debugging
+# sample preserves join structure (independent Bernoulli samples of two
+# tables keep ~f² of joined rows and break FK completeness). The gate is
+# a scan-side map (rows drop BEFORE the join shuffle: only ~f of each
+# table is exchanged); md5, not key%m, so selection is uncorrelated with
+# any key-assignment pattern (mod sampling is biased when keys encode
+# time/tenant). Reference R1/R4 sampling contract: deterministic, seeded
+# by the literal below.
+# ---------------------------------------------------------------------------
+
+CONSISTENT_SAMPLE_PCT = 5  # keep keys with md5(key) % 100 < 5
+
+
+def _key_gate(col: str) -> Column:
+    return (
+        F.expr(
+            f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT)"
+        )
+        % 100
+        < CONSISTENT_SAMPLE_PCT
+    )
+
+
+def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        _key_gate("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(_key_gate("l_orderkey"))
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        sum_money("l_extendedprice").alias("revenue"),
+    )
+
+
+_KEY_GATE_DUCK = (
+    "CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 15) AS BIGINT)"
+    f" % 100 < {CONSISTENT_SAMPLE_PCT}"
+)
+
+Q_CONSISTENT_SAMPLE_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE {_KEY_GATE_DUCK.format(col="o_orderkey")}
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_consistent_sample": (q_consistent_sample, Q_CONSISTENT_SAMPLE_SQL),
     "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
     "q_price_deciles": (q_price_deciles, Q_PRICE_DECILES_SQL),
     "q_editdist_pairs": (q_editdist_pairs, Q_EDITDIST_PAIRS_SQL),
