@@ -78,6 +78,10 @@ STRESS_QUERIES = (
     # round-5 fourth batch: one corpus scan (zero-shuffle histogram +
     # per-source rollup) — a linear control for the text side
     "q_char_entropy",
+    # round-5 sixth batch: one tokenize shuffle + constant-size top-K
+    # model + the sources×K grid fold (salting changes WHICH tokens are
+    # top-K per replica, not the count distribution shape)
+    "q_source_kl_divergence",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
@@ -103,6 +107,9 @@ EMB_STRESS_QUERIES = (
     # per-replica population constant while bucket count grows N×, so
     # the pair stage should scale ~linearly like q_embedding_neardup
     "q_hard_negatives",
+    # round-5 fifth batch: fixed 20-query broadcast-scored brute pass —
+    # corpus side grows N×, query side constant
+    "q_matryoshka_recall",
 )
 
 
@@ -299,6 +306,10 @@ EVENTS_STRESS_QUERIES = (
     # nothing.
     "q_user_state_history",
     "q_attribution_window",
+    # round-5 fifth batch: ts range is constant under replication, so the
+    # (type, day) artifact the windows run over stays fixed-size while
+    # the corpus groupBy absorbs N× rows
+    "q_cusum_changepoint",
 )
 
 

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ubparquet_spark.io import load_table
 from ubparquet_spark.operators.diff import row_fingerprint, snapshot_diff
 
 COLS = ["k", "a", "b"]
@@ -57,3 +58,47 @@ def test_unchanged_rows_filtered_proportional_to_churn(spark):
     diff = snapshot_diff(old, new, ["k"], ["a", "b"])
     rows = diff.collect()
     assert len(rows) == 10 and all(r.change == "changed" for r in rows)
+
+
+def test_change_feed_apply_roundtrip(spark, sf_dir):
+    """apply_changes(old, change_feed(old, new)) == new, exactly — the
+    MERGE invariant, across all three change classes."""
+    from ubparquet_spark.operators.diff import apply_changes, change_feed
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    key = F.col("o_orderkey")
+    survivors = base.filter(key % 97 != 0).withColumn(
+        "o_orderstatus",
+        F.when(key % 13 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    added = base.filter(key % 101 == 0).withColumn("o_orderkey", -key)
+    new = survivors.unionByName(added)
+
+    cmp_cols = ["o_custkey", "o_orderstatus", "cents"]
+    feed = change_feed(base, new, ["o_orderkey"], cmp_cols)
+    classes = {r.change for r in feed.select("change").distinct().collect()}
+    assert classes == {"added", "removed", "changed"}
+    merged = apply_changes(base, feed, ["o_orderkey"])
+    assert merged.count() == new.count()
+    assert merged.exceptAll(new).count() == 0
+    assert new.exceptAll(merged).count() == 0
+
+
+def test_apply_changes_passthrough_when_feed_empty(spark, sf_dir):
+    from ubparquet_spark.operators.diff import apply_changes
+
+    base = load_table(spark, sf_dir, "region")
+    feed = base.withColumn("change", F.lit("added")).limit(0)
+    merged = apply_changes(base, feed, ["r_regionkey"])
+    assert merged.exceptAll(base).count() == 0
+    assert base.exceptAll(merged).count() == 0

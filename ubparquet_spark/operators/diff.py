@@ -73,3 +73,54 @@ def snapshot_diff(
         )
         .select(*keys, change.alias("change"), "old_fp", "new_fp")
     )
+
+
+def change_feed(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Full-row CDC feed: :func:`snapshot_diff` plus the NEW row payload.
+
+    Added/changed rows carry the new snapshot's values; removed rows carry
+    the key with null payload. Columns: ``new.columns + change``. The diff
+    is key-skinny until the single payload join, which touches only
+    churned keys — feed cost stays proportional to churn."""
+    keys = list(keys)
+    d = snapshot_diff(old, new, keys, compare_cols).select(*keys, "change")
+    payload = d.filter(F.col("change") != "removed").join(new, keys, "left")
+    removed = d.filter(F.col("change") == "removed")
+    for c in new.columns:
+        if c not in keys:
+            removed = removed.withColumn(
+                c, F.lit(None).cast(dict(new.dtypes)[c])
+            )
+    return payload.select(*new.columns, "change").unionByName(
+        removed.select(*new.columns, "change")
+    )
+
+
+def apply_changes(
+    base: DataFrame,
+    feed: DataFrame,
+    keys: Sequence[str],
+    *,
+    change_col: str = "change",
+) -> DataFrame:
+    """MERGE a CDC feed into ``base``: upsert added/changed, drop removed.
+
+    ``feed`` holds full rows (base schema + ``change_col``). Semantics:
+    base keys absent from the feed pass through; feed rows with
+    ``change != 'removed'`` replace/insert; ``'removed'`` keys disappear.
+    Plan shape: ONE left-anti key join (base exchanges once on the key;
+    the feed side is churn-proportional) + a union — the distributed
+    MERGE INTO. Invariant (tested): applying
+    :func:`change_feed`(old, new) onto ``old`` reproduces ``new``
+    exactly. Keys must be unique in both inputs."""
+    keys = list(keys)
+    survivors = base.join(feed.select(*keys), keys, "left_anti")
+    upserts = feed.filter(F.col(change_col) != "removed").select(
+        *base.columns
+    )
+    return survivors.unionByName(upserts)
