@@ -102,3 +102,61 @@ def test_apply_changes_passthrough_when_feed_empty(spark, sf_dir):
     merged = apply_changes(base, feed, ["r_regionkey"])
     assert merged.exceptAll(base).count() == 0
     assert base.exceptAll(merged).count() == 0
+
+
+def test_apply_changes_as_streaming_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch CDC upsert: a change feed streamed in micro-batches,
+    MERGEd into a parquet dimension with apply_changes per batch —
+    the streaming dimension-maintenance pattern. The drained dimension
+    equals the target snapshot exactly."""
+    from ubparquet_spark.operators.diff import apply_changes, change_feed
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    key = F.col("o_orderkey")
+    new = (
+        base.filter(key % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(key % 13 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            base.filter(key % 101 == 0).withColumn("o_orderkey", -key)
+        )
+    )
+    feed = change_feed(base, new, ["o_orderkey"], 
+                       ["o_custkey", "o_orderstatus", "cents"])
+    # two micro-batch files; each key appears once in the whole feed, so
+    # batch order is immaterial
+    src = str(tmp_path / "feed_src")
+    feed.filter(key % 2 == 0).coalesce(1).write.parquet(src)
+    feed.filter(key % 2 != 0).coalesce(1).write.mode("append").parquet(src)
+    dim = str(tmp_path / "dim")
+    base.write.parquet(dim)
+
+    def upsert(batch_df, batch_id):
+        current = batch_df.sparkSession.read.parquet(dim)
+        merged = apply_changes(current, batch_df, ["o_orderkey"])
+        # materialize BEFORE overwriting the path being read
+        merged.localCheckpoint().write.mode("overwrite").parquet(dim)
+
+    stream = spark.readStream.schema(feed.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "upsert_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    final = spark.read.parquet(dim)
+    assert final.count() == new.count()
+    assert final.exceptAll(new).count() == 0
+    assert new.exceptAll(final).count() == 0

@@ -184,6 +184,9 @@ SHUFFLE_BUDGETS = {
     # ONE tokenize shuffle feeds (source, token) counts + source totals
     # + the checkpointed top-K build; the grid fold is sources·K rows
     "q_source_kl_divergence": 3,
+    # (source, token) distinct pass + source rollup + the 1-row
+    # regression collapse over the ≤|sources|-row point set
+    "q_heaps_fit": 3,
 }
 
 

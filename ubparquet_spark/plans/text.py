@@ -4114,7 +4114,87 @@ GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Heaps'-law fit: vocabulary growth V = K·N^β regressed in log-log space
+# across SOURCES (each source is one (ln N_tokens, ln V_types) point) —
+# the companion to q_zipf_fit's within-corpus rank regression, and the
+# standard sanity check that a corpus's vocabulary is growing sub-linearly
+# (β ≈ 0.4-0.6 for natural text; β → 1 flags ID/noise-like token streams).
+# Same exact-arithmetic recipe as zipf: integer-scaled lns, decimal(38,0)
+# / HUGEINT sums, one double division at the end. Two shuffles: the
+# (source, token) distinct-count pass and the source rollup; the
+# regression runs over the ≤|sources|-row point set.
+# ---------------------------------------------------------------------------
+
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+    per_source = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.countDistinct("w").alias("vs"),
+    )
+    pts = per_source.select(
+        F.expr(f"CAST(floor(ln(ns) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("x"),
+        F.expr(f"CAST(floor(ln(vs) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / _ZIPF_SCALE
+    sy = F.col("sy").cast("double") / _ZIPF_SCALE
+    sxy = F.col("sxy").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
+    sxx = F.col("sxx").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        F.col("n").alias("n_sources"),
+        roundn(beta, 6).alias("heaps_beta"),
+        # K = exp(mean(y) - β·mean(x))
+        roundn(F.exp((sy - beta * sx) / n), 6).alias("heaps_k"),
+    )
+
+
+Q_HEAPS_SQL = f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS ns, COUNT(DISTINCT w) AS vs
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source
+), pts AS (
+  SELECT CAST(FLOOR(LN(ns) * {_ZIPF_SCALE} + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(vs) * {_ZIPF_SCALE} + 0.5) AS BIGINT) AS y
+  FROM per_source
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx
+  FROM pts
+), d AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / {_ZIPF_SCALE} AS sxd,
+         CAST(sy AS DOUBLE) / {_ZIPF_SCALE} AS syd,
+         CAST(sxy AS DOUBLE) / ({_ZIPF_SCALE}.0 * {_ZIPF_SCALE}) AS sxyd,
+         CAST(sxx AS DOUBLE) / ({_ZIPF_SCALE}.0 * {_ZIPF_SCALE}) AS sxxd,
+         n
+  FROM sums
+)
+SELECT n AS n_sources,
+       {sql_roundn(
+           "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6)}
+         AS heaps_beta,
+       {sql_roundn(
+           "EXP((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))"
+           " * sxd) / nd)", 6)} AS heaps_k
+FROM d
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_heaps_fit": (q_heaps_fit, Q_HEAPS_SQL),
     "q_source_kl_divergence": (q_source_kl_divergence, Q_SOURCE_KL_SQL),
     "q_char_entropy": (q_char_entropy, Q_CHAR_ENTROPY_SQL),
     "q_normalized_dedup": (q_normalized_dedup, Q_NORMALIZED_DEDUP_SQL),
