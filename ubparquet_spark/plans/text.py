@@ -3388,14 +3388,28 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("r") <= F.col("n") - F.ceil(F.lit(SETSIM_T) * F.col("n")) + 1
-    ).select("doc_id", "token", "n")
+    ).select("doc_id", "token", "n", "r")
     # shuffle_hash, NOT broadcast: the prefix index is corpus-proportional
     # — at the 100× stress Spark's size estimate still chose broadcast and
     # the driver OOM'd building it; with the hint both sides exchange on
     # the token key and AQE's stage cache reuses the one prefix shuffle.
-    # The length filter is LOSSLESS for J >= T (J <= min(na,nb)/max(na,nb),
-    # so a qualifying pair has min >= T*max) — it cuts candidates before
-    # the verify joins; T = 0.5 keeps T*n exact in binary FP.
+    # Two LOSSLESS candidate prunes ride the join condition:
+    # - length filter: J <= min(na,nb)/max(na,nb), so a qualifying pair
+    #   has min >= T*max (T = 0.5 keeps T*n exact in binary FP);
+    # - PPJoin positional filter (Xiao et al. 2008, public): a match at
+    #   prefix positions (ra, rb) bounds the overlap by
+    #   1 + min(na-ra, nb-rb); J >= T forces overlap >= T/(1+T)·(na+nb),
+    #   so token matches too deep in either prefix cannot witness a
+    #   qualifying pair. Every truly-similar pair still has a qualifying
+    #   witness (their first shared token in the global rarity order), so
+    #   the DISTINCT pair set loses nothing. Both prunes shrink the
+    #   candidate-grain verify exchange — the plan's largest.
+    alpha = (
+        F.lit(SETSIM_T) / (1.0 + SETSIM_T) * (F.col("a.n") + F.col("b.n"))
+    )
+    ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.r"), F.col("b.n") - F.col("b.r")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
@@ -3403,7 +3417,8 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.n") >= F.lit(SETSIM_T) * F.col("a.n"))
-            & (F.col("a.n") >= F.lit(SETSIM_T) * F.col("b.n")),
+            & (F.col("a.n") >= F.lit(SETSIM_T) * F.col("b.n"))
+            & (ubound >= F.ceil(alpha)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
