@@ -187,6 +187,9 @@ SHUFFLE_BUDGETS = {
     # (source, token) distinct pass + source rollup + the 1-row
     # regression collapse over the ≤|sources|-row point set
     "q_heaps_fit": 3,
+    # fused typed aggregate (1-row) + the long-format (column, value)
+    # distinct pass + the ≤|cols|-row final join; NO Expand
+    "q_profile_lineitem": 6,
 }
 
 

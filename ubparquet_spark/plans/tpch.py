@@ -2982,7 +2982,44 @@ GROUP BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# Table profile (Deequ shape): one row per lineitem column with null /
+# exact-distinct / typed min-max — operators/profile.profile_table. Two
+# scans: a single fused aggregation for nulls+min+max (NO stacked
+# countDistinct — that triggers the distinct-rewrite Expand), and one
+# long-format (column, value) shuffle with map-side combine for ALL
+# columns' exact distinct counts at once.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate",
+]
+
+
+def q_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.profile import profile_table
+
+    return profile_table(
+        load_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
+    )
+
+
+Q_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES: dict[str, tuple] = {
+    "q_profile_lineitem": (q_profile_lineitem, Q_PROFILE_SQL),
     "q_consistent_sample": (q_consistent_sample, Q_CONSISTENT_SAMPLE_SQL),
     "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
     "q_price_deciles": (q_price_deciles, Q_PRICE_DECILES_SQL),
