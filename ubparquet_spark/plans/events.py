@@ -1988,7 +1988,13 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.select(
-            "event_type", F.to_date("ts").alias("day"), cents("value").alias("vc")
+            "event_type",
+            # date_trunc (timestamp), not to_date: Spark DATE comes back
+            # to pandas as datetime.date objects while DuckDB DATE
+            # arrives as datetime64 — a dtype mismatch the typed oracle
+            # harness rejects even when the values agree
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            cents("value").alias("vc"),
         )
         .groupBy("event_type", "day")
         .agg(F.sum(F.col("vc").cast("decimal(38,0)")).alias("c"))
@@ -2031,7 +2037,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_CUSUM_SQL = f"""
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
+  SELECT event_type, date_trunc('day', ts) AS day,
          SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
   FROM events
   GROUP BY 1, 2
