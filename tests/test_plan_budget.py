@@ -181,9 +181,13 @@ SHUFFLE_BUDGETS = {
     # hash gates are scan-side maps — only ~f of each table reaches the
     # join exchange; distinct-agg second level is the other Exchange
     "q_consistent_sample": 2,
-    # ONE tokenize shuffle feeds (source, token) counts + source totals
-    # + the checkpointed top-K build; the grid fold is sources·K rows
-    "q_source_kl_divergence": 3,
+    # RAISED 3 → 6 at registration polish: the (source, token) counts now
+    # pass a broadcast-leftsemi top-K gate BEFORE their groupBy, so that
+    # exchange carries O(top-K occurrences) instead of the full
+    # source×vocabulary product — the extra exchanges are the ≤K-row
+    # artifact collapses, each tiny; the corpus-grain exchanges are the
+    # source totals and the (unavoidable) vocabulary count
+    "q_source_kl_divergence": 6,
     # (source, token) distinct pass + source rollup + the 1-row
     # regression collapse over the ≤|sources|-row point set
     "q_heaps_fit": 3,

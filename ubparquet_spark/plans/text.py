@@ -4045,7 +4045,6 @@ KL_VOCAB_K = 256
 def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(F.split("text", " ")).alias("w"))
-    sc = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
     stot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
     topk = (
         tok.groupBy("w")
@@ -4053,6 +4052,14 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(KL_VOCAB_K)
         .localCheckpoint()
+    )
+    # only top-K tokens are ever read downstream — the broadcast leftsemi
+    # gate BEFORE the (source, token) groupBy keeps that exchange at
+    # O(top-K occurrences), not the full source×vocabulary product
+    sc = (
+        tok.join(F.broadcast(topk.select("w")), "w", "leftsemi")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cs"))
     )
     n_total = stot.agg(F.sum("ns").alias("n")).localCheckpoint()
     sources = stot.localCheckpoint()
