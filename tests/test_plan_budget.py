@@ -194,6 +194,12 @@ SHUFFLE_BUDGETS = {
     # fused typed aggregate (1-row) + the long-format (column, value)
     # distinct pass + the ≤|cols|-row final join; NO Expand
     "q_profile_lineitem": 6,
+    # ONE corpus (lang, source) groupBy (checkpointed ≤100-row table);
+    # margins/grid/fold all run over bounded artifacts
+    "q_chi2_lang_source": 5,
+    # pooled value-distribution groupBy + the distinct-value window
+    # (operators/quantiles caveat documented in the plan)
+    "q_ks_test": 2,
 }
 
 

@@ -2063,7 +2063,95 @@ FROM picked WHERE r = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov test: do click values and purchase
+# values come from the same distribution? D = max|F1(v) − F2(v)| computed
+# EXACTLY over the pooled value DISTRIBUTION (one groupBy on cents; both
+# samples' cumulative counts ride one window over the distinct values —
+# the operators/quantiles technique, same caveat: the window input is the
+# distinct-value domain, pre-bin near-unique columns at extreme scale).
+# The max is located on the integer numerator |c1·n2 − c2·n1| (decimal /
+# HUGEINT — no float CDF subtraction), so the argmax value and the
+# statistic are bit-exact cross-engine; ties broken at the smallest value.
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "click", "purchase"
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B) & F.col("value").isNotNull()
+    )
+    dist = ev.select(
+        cents("value").alias("v"),
+        F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("b"),
+    ).groupBy("v").agg(
+        F.sum("a").alias("c1"), F.sum("b").alias("c2")
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    scored = dist.select(
+        "v",
+        (
+            F.abs(
+                F.sum(dec("c1")).over(w_ord) * F.sum(dec("c2")).over(w_all)
+                - F.sum(dec("c2")).over(w_ord) * F.sum(dec("c1")).over(w_all)
+            )
+        ).alias("num"),
+        F.sum(dec("c1")).over(w_all).alias("n1"),
+        F.sum(dec("c2")).over(w_all).alias("n2"),
+    )
+    pick = Window.orderBy(F.col("num").desc(), F.col("v").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(pick))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_purchase"),
+            (F.col("v") / 100.0).alias("ks_at_value"),
+            roundn(
+                F.col("num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+Q_KS_SQL = f"""
+WITH dist AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+  GROUP BY 1
+), scored AS (
+  SELECT v,
+         ABS(SUM(CAST(c1 AS HUGEINT)) OVER wo * SUM(CAST(c2 AS HUGEINT)) OVER wa
+             - SUM(CAST(c2 AS HUGEINT)) OVER wo * SUM(CAST(c1 AS HUGEINT)) OVER wa)
+           AS num,
+         SUM(CAST(c1 AS HUGEINT)) OVER wa AS n1,
+         SUM(CAST(c2 AS HUGEINT)) OVER wa AS n2
+  FROM dist
+  WINDOW wo AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS ()
+), picked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY num DESC, v ASC) AS r FROM scored
+)
+SELECT CAST(n1 AS BIGINT) AS n_click,
+       CAST(n2 AS BIGINT) AS n_purchase,
+       v / 100.0 AS ks_at_value,
+       {sql_roundn(
+           "CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)", 6)} AS ks_stat
+FROM picked WHERE r = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_ks_test": (q_ks_test, Q_KS_SQL),
     "q_cusum_changepoint": (q_cusum_changepoint, Q_CUSUM_SQL),
     "q_user_state_history": (q_user_state_history, Q_USER_STATE_HISTORY_SQL),
     "q_attribution_window": (q_attribution_window, Q_ATTRIBUTION_SQL),

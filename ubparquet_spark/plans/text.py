@@ -4215,7 +4215,102 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Chi-square independence test on the (lang × source) contingency table —
+# the standard "is language mix independent of source?" drift audit. ONE
+# corpus shuffle builds the observed table; every margin, expectation and
+# term is computed over the bounded |langs|·|sources| grid (zero-count
+# cells included via the cross-join grid — they still carry expectation
+# mass). The χ² sum folds in (lang, source) order so the double chain is
+# deterministic.
+# ---------------------------------------------------------------------------
+
+def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint()
+    )
+    langs = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
+    sources = obs.groupBy("source").agg(F.sum("o").alias("cs"))
+    total = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        langs.crossJoin(F.broadcast(sources))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            "rl",
+            "cs",
+            "n",
+        )
+    )
+    e = F.col("rl").cast("double") * F.col("cs").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = (F.col("o").cast("double") - e) * (
+        F.col("o").cast("double") - e
+    ) / e
+    cells = grid.select("lang", "source", term.alias("t"))
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+        roundn(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("lang", "source", F.col("t")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["t"],
+            ),
+            6,
+        ).alias("chi2"),
+    )
+
+
+Q_CHI2_SQL = f"""
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2
+), langs AS (
+  SELECT lang, SUM(o) AS rl FROM obs GROUP BY 1
+), sources AS (
+  SELECT source, SUM(o) AS cs FROM obs GROUP BY 1
+), total AS (
+  SELECT SUM(o) AS n FROM obs
+), grid AS (
+  SELECT l.lang, s.source, COALESCE(o.o, 0) AS o, l.rl, s.cs, t.n
+  FROM langs l CROSS JOIN sources s
+  LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
+  CROSS JOIN total t
+), cells AS (
+  SELECT lang, source,
+         (CAST(o AS DOUBLE)
+          - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(o AS DOUBLE)
+            - CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(rl AS DOUBLE) * CAST(cs AS DOUBLE) / CAST(n AS DOUBLE))
+           AS t
+  FROM grid
+)
+SELECT COUNT(*) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+            AS BIGINT) AS dof,
+       {sql_roundn(
+           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+           " list_transform(list_sort(list({'lang': lang,"
+           " 'source': source, 't': t})), x -> x.t)),"
+           " (acc, x) -> acc + x)", 6)} AS chi2
+FROM cells
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_chi2_lang_source": (q_chi2_lang_source, Q_CHI2_SQL),
     "q_heaps_fit": (q_heaps_fit, Q_HEAPS_SQL),
     "q_source_kl_divergence": (q_source_kl_divergence, Q_SOURCE_KL_SQL),
     "q_char_entropy": (q_char_entropy, Q_CHAR_ENTROPY_SQL),
