@@ -200,6 +200,11 @@ SHUFFLE_BUDGETS = {
     # pooled value-distribution groupBy + the distinct-value window
     # (operators/quantiles caveat documented in the plan)
     "q_ks_test": 2,
+    # digit groupBy + 1-row total broadcast
+    "q_benford_prices": 2,
+    # per-customer rollup + ranked([]) range repartition (the only
+    # fact-grain exchanges) + the n_tasks-row offset windows + 1-row sums
+    "q_gini_revenue": 7,
 }
 
 

@@ -3018,7 +3018,129 @@ FROM lineitem"""
 )
 
 
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: observed first-digit distribution of
+# o_totalprice vs Benford's log10(1 + 1/d) expectation — the classic
+# fabricated-numbers screen. First digit extracted lexically from the
+# integer cents (no float log bucketing); expectation evaluated with the
+# same ln expression in both engines; one 9-bucket groupBy.
+# ---------------------------------------------------------------------------
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast(
+        "long"
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("n_total"))
+    per = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expected = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        roundn(F.col("n").cast("double") / F.col("n_total"), 6).alias(
+            "obs_frac"
+        ),
+        roundn(expected, 6).alias("benford_frac"),
+        roundn(
+            F.abs(F.col("n").cast("double") / F.col("n_total") - expected), 6
+        ).alias("abs_dev"),
+    )
+
+
+Q_BENFORD_SQL = f"""
+WITH total AS (
+  SELECT COUNT(*) AS n_total FROM orders
+), per AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       {sql_roundn("CAST(n AS DOUBLE) / n_total", 6)} AS obs_frac,
+       {sql_roundn(
+           "ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)", 6)}
+         AS benford_frac,
+       {sql_roundn(
+           "ABS(CAST(n AS DOUBLE) / n_total"
+           " - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))", 6)}
+         AS abs_dev
+FROM per CROSS JOIN total
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue concentration — the inequality
+# companion to q_customer_pareto. Needs every customer's exact GLOBAL rank
+# by revenue: operators/ranks two-pass distributed ranking (range
+# partition + broadcast offsets), never a no-partition window. With exact
+# integer cents and exact ranks, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) is a
+# ratio of exact integers (decimal(38,0) / HUGEINT — Σ i·x can reach
+# ~1e23 at warehouse scale) with ONE double division at the end.
+# ---------------------------------------------------------------------------
+
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.ranks import ranked
+
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", cents("o_totalprice").alias("pc"))
+        .groupBy("o_custkey")
+        .agg(F.sum("pc").alias("rev"))
+    )
+    r = ranked(rev, [], ["rev", "o_custkey"], rank_col="_i", n_col="_n")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = r.agg(
+        F.max("_n").alias("n"),
+        F.sum(dec("rev")).alias("sx"),
+        F.sum(dec("_i") * dec("rev")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("sx").cast("double") / 100.0).alias("total_revenue"),
+        roundn(
+            (
+                2.0 * F.col("six").cast("double")
+                - (n + 1.0) * F.col("sx").cast("double")
+            )
+            / (n * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+Q_GINI_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+         COUNT(*) OVER () AS n
+  FROM rev
+), sums AS (
+  SELECT MAX(n) AS n, SUM(CAST(rev AS HUGEINT)) AS sx,
+         SUM(CAST(i AS HUGEINT) * rev) AS six
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(sx AS DOUBLE) / 100.0 AS total_revenue,
+       {sql_roundn(
+           "(2.0 * CAST(six AS DOUBLE)"
+           " - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))", 6)} AS gini
+FROM sums
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_benford_prices": (q_benford_prices, Q_BENFORD_SQL),
+    "q_gini_revenue": (q_gini_revenue, Q_GINI_SQL),
     "q_profile_lineitem": (q_profile_lineitem, Q_PROFILE_SQL),
     "q_consistent_sample": (q_consistent_sample, Q_CONSISTENT_SAMPLE_SQL),
     "q_assoc_rules": (q_assoc_rules, Q_ASSOC_RULES_SQL),
