@@ -82,6 +82,9 @@ STRESS_QUERIES = (
     # model + the sources×K grid fold (salting changes WHICH tokens are
     # top-K per replica, not the count distribution shape)
     "q_source_kl_divergence",
+    # round-5 seventh batch: one (lang, source) groupBy; everything else
+    # runs over the bounded contingency grid
+    "q_chi2_lang_source",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
@@ -310,6 +313,10 @@ EVENTS_STRESS_QUERIES = (
     # (type, day) artifact the windows run over stays fixed-size while
     # the corpus groupBy absorbs N× rows
     "q_cusum_changepoint",
+    # round-5 seventh batch: replication preserves the value distribution,
+    # so the pooled distinct-value domain (the KS window's input) stays
+    # ~constant while the distribution groupBy absorbs N× rows
+    "q_ks_test",
 )
 
 
