@@ -205,6 +205,12 @@ SHUFFLE_BUDGETS = {
     # per-customer rollup + ranked([]) range repartition (the only
     # fact-grain exchanges) + the n_tasks-row offset windows + 1-row sums
     "q_gini_revenue": 7,
+    # checkpointed (source, token) distinct feeds sizes + both join
+    # sides; the token self-join fans out ≤C(|sources|,2) per token
+    "q_source_overlap": 5,
+    # one (type, day) corpus groupBy; lag + Pearson sums over the
+    # bounded daily artifact
+    "q_autocorr_daily": 4,
 }
 
 

@@ -2150,7 +2150,88 @@ FROM picked WHERE r = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of daily revenue per event type — the "is there
+# day-over-day momentum?" time-series screen. One (type, day) corpus
+# groupBy; the lag pairing and the Pearson sums all run over the bounded
+# daily artifact in EXACT integer cents (Σxy ≤ ~1e28 — decimal(38,0) /
+# HUGEINT), with one double expression at the end.
+# ---------------------------------------------------------------------------
+
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("vc").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = daily.select(
+        "event_type",
+        F.col("c").alias("x"),
+        F.lag("c").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        roundn(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+Q_AUTOCORR_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type, c AS x,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS y
+  FROM daily
+), sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs WHERE y IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       {sql_roundn(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
+         AS autocorr_lag1
+FROM sums
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_autocorr_daily": (q_autocorr_daily, Q_AUTOCORR_SQL),
     "q_ks_test": (q_ks_test, Q_KS_SQL),
     "q_cusum_changepoint": (q_cusum_changepoint, Q_CUSUM_SQL),
     "q_user_state_history": (q_user_state_history, Q_USER_STATE_HISTORY_SQL),

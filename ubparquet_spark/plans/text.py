@@ -4309,7 +4309,89 @@ FROM cells
 """
 
 
+# ---------------------------------------------------------------------------
+# Cross-source vocabulary overlap: Jaccard similarity of the token sets of
+# every source pair — the "are these two crawls the same thing?" corpus
+# comparison. One (source, token) distinct pass; the token self-join fans
+# out at most C(|sources|, 2) pairs PER TOKEN (sources are a bounded
+# domain), so intersection counting is Σ_token C(k_t, 2) — linear in the
+# vocabulary, never corpus². shuffle_hash: the vocab table is
+# corpus-proportional, not broadcast-safe. Zero-overlap pairs kept via
+# the full source-pair grid (bounded).
+# ---------------------------------------------------------------------------
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # materialized once: three consumers (sizes + both join sides) would
+    # otherwise each re-run the tokenize+distinct shuffle (13 Exchanges →
+    # 6); the artifact is vocabulary-grain, the q_assoc_rules trade
+    st = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("nv").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("nv").alias("nb"))
+    grid = sa.crossJoin(F.broadcast(sb)).filter(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        grid.join(F.broadcast(inter), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            roundn(
+                F.coalesce("n_inter", F.lit(0)).cast("double")
+                / (
+                    F.col("na") + F.col("nb") - F.coalesce("n_inter", F.lit(0))
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+Q_SOURCE_OVERLAP_SQL = f"""
+WITH st AS (
+  SELECT DISTINCT source, w
+  FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+), sizes AS (
+  SELECT source, COUNT(*) AS nv FROM st GROUP BY 1
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+  FROM st a JOIN st b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       COALESCE(i.n_inter, 0) AS n_inter,
+       {sql_roundn(
+           "CAST(COALESCE(i.n_inter, 0) AS DOUBLE)"
+           " / CAST(sa.nv + sb.nv - COALESCE(i.n_inter, 0) AS DOUBLE)", 6)}
+         AS jaccard
+FROM sizes sa
+CROSS JOIN sizes sb
+LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+WHERE sa.source < sb.source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_source_overlap": (q_source_overlap, Q_SOURCE_OVERLAP_SQL),
     "q_chi2_lang_source": (q_chi2_lang_source, Q_CHI2_SQL),
     "q_heaps_fit": (q_heaps_fit, Q_HEAPS_SQL),
     "q_source_kl_divergence": (q_source_kl_divergence, Q_SOURCE_KL_SQL),
