@@ -85,6 +85,9 @@ STRESS_QUERIES = (
     # round-5 seventh batch: one (lang, source) groupBy; everything else
     # runs over the bounded contingency grid
     "q_chi2_lang_source",
+    # round-5 eighth batch: vocabulary-grain checkpoint + ≤C(sources,2)
+    # per-token fan-out (source count is constant under replication)
+    "q_source_overlap",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so
@@ -317,6 +320,8 @@ EVENTS_STRESS_QUERIES = (
     # so the pooled distinct-value domain (the KS window's input) stays
     # ~constant while the distribution groupBy absorbs N× rows
     "q_ks_test",
+    # round-5 eighth batch: fixed day×type artifact, one growing groupBy
+    "q_autocorr_daily",
 )
 
 
