@@ -239,6 +239,80 @@ def build_replicated(spark, src_dir: str, dst_dir: str, factor: int) -> None:
             os.symlink(src, dst)
 
 
+def build_replicated_orders(spark, src_dir: str, dst_dir: str, factor: int) -> None:
+    """Replicate orders+lineitem (replacing their symlinks) so the
+    rank/percentile/basket queries get a real scaling axis: order and
+    customer keys offset per replica (per-customer revenue constant,
+    customer count grows N×), line items follow their orders; part and
+    supplier stay shared dimensions, so FK joins keep working."""
+    if all(
+        os.path.exists(os.path.join(dst_dir, f"{t}.parquet", "_SUCCESS"))
+        for t in ("orders", "lineitem")
+    ):
+        return
+    orders = load_table(spark, src_dir, "orders")
+    max_ok, max_ck = orders.agg(
+        F.max("o_orderkey"), F.max("o_custkey")
+    ).collect()[0]
+    ord_reps = [
+        orders.select(
+            (F.col("o_orderkey") + k * (max_ok + 1)).alias("o_orderkey"),
+            (F.col("o_custkey") + k * (max_ck + 1)).alias("o_custkey"),
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        for k in range(factor)
+    ]
+    out_o = ord_reps[0]
+    for r in ord_reps[1:]:
+        out_o = out_o.unionByName(r)
+    li = load_table(spark, src_dir, "lineitem")
+    li_reps = [
+        li.select(
+            (F.col("l_orderkey") + k * (max_ok + 1)).alias("l_orderkey"),
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+        for k in range(factor)
+    ]
+    out_l = li_reps[0]
+    for r in li_reps[1:]:
+        out_l = out_l.unionByName(r)
+    for name, out in (("orders", out_o), ("lineitem", out_l)):
+        dst = os.path.join(dst_dir, f"{name}.parquet")
+        if os.path.islink(dst):  # replace the dimension symlink
+            os.remove(dst)
+        out.repartition(32).write.mode("overwrite").parquet(dst)
+
+
+# orders/lineitem-side stress (round-5 eighth batch): the two-pass ranked()
+# queries (gini / deciles / price ranks) get their distributed-ranking
+# scaling evidence; baskets, winsorization, hash-gate sampling and the
+# full-table profiler ride the same axis. q_editdist_pairs stays
+# unstressed (part is a shared dimension — its name domain is constant).
+ORDERS_STRESS_QUERIES = (
+    "q_gini_revenue",
+    "q_price_deciles",
+    "q_order_price_ranks",
+    "q_benford_prices",
+    "q_consistent_sample",
+    "q_winsorized_prices",
+    "q_assoc_rules",
+    "q_copurchase_pairs",
+    "q_profile_lineitem",
+)
+
+
 def time_query(fn, spark, sf_dir: str) -> float:
     best = float("inf")
     for _ in range(2):
@@ -347,6 +421,7 @@ def main(factors: list[int], workdir: str, only: set[str] | None = None) -> None
         d = os.path.join(workdir, f"sf0.1x{f}")
         os.makedirs(d, exist_ok=True)
         build_replicated(spark, src, d, f)
+        build_replicated_orders(spark, src, d, f)
         dirs[f] = d
 
     hdr = " ".join(f"{f'{f}x':>8s}" for f in factors)
@@ -354,7 +429,8 @@ def main(factors: list[int], workdir: str, only: set[str] | None = None) -> None
         f"{f'{b}/{a}':>8s}" for a, b in zip(factors[:-1], factors[1:])
     )
     print(f"{'query':28s} {hdr}  {ratio_hdr}")
-    for names in (STRESS_QUERIES, EMB_STRESS_QUERIES, EVENTS_STRESS_QUERIES):
+    for names in (STRESS_QUERIES, EMB_STRESS_QUERIES,
+                  EVENTS_STRESS_QUERIES, ORDERS_STRESS_QUERIES):
         for name in names:
             if only and name not in only:
                 continue
