@@ -359,6 +359,10 @@ DEEP_STRESS_QUERIES = {
     "q_setsim_prefix_join",
     "q_dsir_weights",
     "q_hard_negatives",
+    # round-5 eighth batch: second decade for the two-pass global ranking
+    # (15M ranked customers at 100×) — the operators/ranks design claim
+    "q_gini_revenue",
+    "q_price_deciles",
 }
 
 # events-table stress (round 5): q_twap after the segmented_lead rewire —
