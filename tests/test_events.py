@@ -112,3 +112,35 @@ def test_survival_km_golden(spark, tmp_path):
     assert out[10].survival == round(0.8 * 2 / 3, 6) == 0.533333
     assert (out[28].n_deaths, out[28].n_censored, out[28].n_at_risk) == (0, 2, 2)
     assert out[28].survival == 0.533333  # no deaths -> curve flat
+
+
+def test_mannwhitney_matches_numpy_midranks(spark, sf_dir):
+    """q_mannwhitney_u equals an independent numpy midrank computation —
+    guards the shared Spark/SQL formula itself, not just engine parity."""
+    import numpy as np
+    import pandas as pd
+
+    from ubparquet_spark.plans.events import q_mannwhitney_u
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.event_type.isin(["click", "purchase"]) & ev.value.notna()]
+    v = np.floor(ev.value.to_numpy() * 100 + 0.5).astype("int64")
+    is_a = (ev.event_type == "click").to_numpy()
+    order = np.argsort(v, kind="stable")
+    sv = v[order]
+    ranks = np.empty(len(sv), float)
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[i:j] = (i + j + 1) / 2.0
+        i = j
+    r = np.empty(len(v), float)
+    r[order] = ranks
+    n1 = int(is_a.sum())
+    u = float(r[is_a].sum() - n1 * (n1 + 1) / 2)
+
+    row = q_mannwhitney_u(spark, sf_dir).collect()[0]
+    assert row.n_click == n1
+    assert row.u_stat == u

@@ -211,6 +211,9 @@ SHUFFLE_BUDGETS = {
     # one (type, day) corpus groupBy; lag + Pearson sums over the
     # bounded daily artifact
     "q_autocorr_daily": 4,
+    # pooled value-distribution groupBy + distinct-value windows + the
+    # 1-row rank-sum collapse — the q_ks_test shape
+    "q_mannwhitney_u": 4,
 }
 
 

@@ -2230,7 +2230,92 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact Mann–Whitney U (rank-sum) test — the rank-based sibling of
+# q_ks_test on the same click-vs-purchase samples. Midranks make the
+# statistic rational with denominator 2, so everything is carried ×2 as
+# EXACT integers: 2·R₁ = Σ_v c1_v·(2·before_v + c_v + 1) over the pooled
+# value distribution (one groupBy + one ordered window over distinct
+# values, the operators/quantiles shape), then 2U = 2R₁ − n1(n1+1).
+# AUC = U/(n1·n2) is the one double division at the end. decimal(38,0) /
+# HUGEINT throughout — no float rank arithmetic.
+# ---------------------------------------------------------------------------
+
+def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_KS_A, _KS_B) & F.col("value").isNotNull()
+    )
+    dist = ev.select(
+        cents("value").alias("v"),
+        F.when(F.col("event_type") == _KS_A, 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == _KS_B, 1).otherwise(0).alias("b"),
+    ).groupBy("v").agg(
+        F.sum("a").alias("c1"), F.sum("b").alias("c2")
+    )
+    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    c = dec("c1") + dec("c2")
+    scored = dist.select(
+        (
+            dec("c1")
+            * (
+                2 * F.coalesce(
+                    F.sum(dec("c1") + dec("c2")).over(w_ord),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                + c
+                + 1
+            )
+        ).alias("term"),
+        F.sum(dec("c1")).over(w_all).alias("n1"),
+        F.sum(dec("c2")).over(w_all).alias("n2"),
+    )
+    sums = scored.groupBy("n1", "n2").agg(F.sum("term").alias("r1x2"))
+    u2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    return sums.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        (u2.cast("double") / 2.0).alias("u_stat"),
+        roundn(
+            u2.cast("double") / 2.0 / (F.col("n1") * F.col("n2")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+Q_MANNWHITNEY_SQL = f"""
+WITH dist AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+         SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS c2
+  FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}') AND value IS NOT NULL
+  GROUP BY 1
+), scored AS (
+  SELECT CAST(c1 AS HUGEINT)
+           * (2 * COALESCE(SUM(CAST(c1 + c2 AS HUGEINT)) OVER
+                (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0)
+              + (c1 + c2) + 1) AS term,
+         SUM(CAST(c1 AS HUGEINT)) OVER () AS n1,
+         SUM(CAST(c2 AS HUGEINT)) OVER () AS n2
+  FROM dist
+), sums AS (
+  SELECT n1, n2, SUM(term) AS r1x2 FROM scored GROUP BY n1, n2
+)
+SELECT CAST(n1 AS BIGINT) AS n_click,
+       CAST(n2 AS BIGINT) AS n_purchase,
+       CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u_stat,
+       {sql_roundn(
+           "CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0"
+           " / CAST(n1 * n2 AS DOUBLE)", 6)} AS auc
+FROM sums
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_mannwhitney_u": (q_mannwhitney_u, Q_MANNWHITNEY_SQL),
     "q_autocorr_daily": (q_autocorr_daily, Q_AUTOCORR_SQL),
     "q_ks_test": (q_ks_test, Q_KS_SQL),
     "q_cusum_changepoint": (q_cusum_changepoint, Q_CUSUM_SQL),
