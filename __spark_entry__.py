@@ -33,12 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   2. q_sketch_stats, promoted this round from rows-only to a full
 #      bounded-error hash oracle (exact aggregates + within-bounds
 #      booleans vs literal TRUE) — its first hash row;
-#   3. the 33 round-5 registrations (never driver-checked);
-#   4. the 3 stalest CORRECTNESS_r02 queries that fit the window.
-# The remaining 38 r02-stale entries rotate to round 6 (lead with the
+#   3. the 34 round-5 registrations (never driver-checked);
+#   4. the 2 stalest CORRECTNESS_r02 queries that fit the window.
+# The remaining 39 r02-stale entries rotate to round 6 (lead with the
 # deferred variants q_ann_ivf_multiprobe, q_ann_recall,
 # q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint, then
-# q_chunk_overlap .. q_vocab_coverage); all stay covered every
+# q_bpe_token_stats .. q_vocab_coverage); all stay covered every
 # session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
     # -- never driver-checked (registered round 4)
@@ -91,10 +91,10 @@ _CHECK_FIRST = [
     "q_source_overlap",
     "q_autocorr_daily",
     "q_mannwhitney_u",
+    "q_spearman_qty_price",
     # -- stalest driver rows (newest row is CORRECTNESS_r02)
     "q_ann_ivf",
     "q_ann_lsh",
-    "q_bpe_token_stats",
 ]
 
 

@@ -214,6 +214,10 @@ SHUFFLE_BUDGETS = {
     # pooled value-distribution groupBy + distinct-value windows + the
     # 1-row rank-sum collapse — the q_ks_test shape
     "q_mannwhitney_u": 4,
+    # two value-distribution passes (each: groupBy + distinct-value
+    # window) + the rank-join exchanges + the 1-row Pearson collapse;
+    # the 2-column scans are pruned columnar reads
+    "q_spearman_qty_price": 14,
 }
 
 

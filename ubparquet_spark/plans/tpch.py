@@ -3138,7 +3138,103 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between quantity and extended price at line
+# grain — the monotonic-association counterpart of q_price_qty_corr's
+# Pearson. Midranks come from each variable's VALUE DISTRIBUTION
+# (before + (c+1)/2 per distinct value — one groupBy + one window over
+# distinct values per variable, the operators/quantiles shape; never a
+# per-row global rank window), carried ×2 as exact integers and joined
+# back to rows by value. All Pearson sums over (2r_x, 2r_y) are exact
+# decimal(38,0)/HUGEINT (Σxy ≤ ~8n³); one double expression at the end.
+# ---------------------------------------------------------------------------
+
+def _midrank2(df: DataFrame, col: str) -> DataFrame:
+    """(value, 2·midrank) for ``col``'s distribution — exact integers."""
+    dist = df.groupBy(F.col(col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum("_c").over(w), F.lit(0))
+    return dist.select(
+        "_v", (2 * before + F.col("_c") + 1).cast("long").alias("_r2")
+    )
+
+
+def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        cents("l_quantity").alias("qc"), cents("l_extendedprice").alias("pc")
+    )
+    rx = _midrank2(li, "qc").withColumnsRenamed({"_v": "qc", "_r2": "x"})
+    ry = _midrank2(li, "pc").withColumnsRenamed({"_v": "pc", "_r2": "y"})
+    # quantity has a bounded distinct domain — broadcast; price is
+    # near-unique so its rank table is row-scale — shuffle_hash
+    joined = li.join(F.broadcast(rx), "qc").join(ry.hint("shuffle_hash"), "pc")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return sums.select(
+        F.col("n").alias("n_rows"),
+        roundn(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+def _midrank2_sql(src: str, col: str) -> str:
+    return f"""(
+  SELECT {col} AS _v,
+         CAST(2 * COALESCE(SUM(_c) OVER (ORDER BY {col}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + _c + 1 AS BIGINT) AS _r2
+  FROM (SELECT {col}, COUNT(*) AS _c FROM {src} GROUP BY 1)
+)"""
+
+
+Q_SPEARMAN_SQL = f"""
+WITH li AS (
+  SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+  FROM lineitem
+), rx AS {_midrank2_sql("li", "qc")}, ry AS {_midrank2_sql("li", "pc")},
+joined AS (
+  SELECT rx._r2 AS x, ry._r2 AS y
+  FROM li JOIN rx ON li.qc = rx._v JOIN ry ON li.pc = ry._v
+), sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM joined
+)
+SELECT n AS n_rows,
+       {sql_roundn(
+           "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+           "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+           "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
+         AS spearman_rho
+FROM sums
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_spearman_qty_price": (q_spearman_qty_price, Q_SPEARMAN_SQL),
     "q_benford_prices": (q_benford_prices, Q_BENFORD_SQL),
     "q_gini_revenue": (q_gini_revenue, Q_GINI_SQL),
     "q_profile_lineitem": (q_profile_lineitem, Q_PROFILE_SQL),
