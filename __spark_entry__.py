@@ -24,77 +24,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries (CORRECTNESS_r01..r04.json each stopped at exactly 50).  Order
 # the registry so the queries that most need a fresh green row come first.
 #
-# ROUND-5 ROTATION (executes VERDICT r04 "Next round" #1, extended to the
-# round-5 registrations so every never-driver-checked query gets its
-# first row this round):
-#   1. the 13 round-4 registrations that have NEVER held a driver row
-#      (q_twap leads — its plan was rebuilt this round onto the
-#      segmented-lead operator, so it needs the freshest signal);
-#   2. q_sketch_stats, promoted this round from rows-only to a full
-#      bounded-error hash oracle (exact aggregates + within-bounds
-#      booleans vs literal TRUE) — its first hash row;
-#   3. the 34 round-5 registrations (never driver-checked);
-#   4. the 2 stalest CORRECTNESS_r02 queries that fit the window.
-# The remaining 39 r02-stale entries rotate to round 6 (lead with the
-# deferred variants q_ann_ivf_multiprobe, q_ann_recall,
-# q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint, then
-# q_bpe_token_stats .. q_vocab_coverage); all stay covered every
-# session by the sf0.01 DuckDB-oracle pytest gate.
+# ROUND-6 ROTATION (executes VERDICT r05 "Next round" #1):
+#   1. all 39 queries whose newest driver row is CORRECTNESS_r02 —
+#      the deferred variants lead (q_ann_ivf_multiprobe, q_ann_recall,
+#      q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint,
+#      q_bpe_token_stats), then the rest of the r02 cohort;
+#   2. round-6 registrations (never driver-checked) — inserted as
+#      they land this round;
+#   3. the stalest CORRECTNESS_r03 queries filling the ~50 window.
+# After this round no registry query's newest driver row predates
+# round 3; the r03/r04 cohorts rotate in rounds 7-8.  All 181 stay
+# covered every session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
-    # -- never driver-checked (registered round 4)
-    "q_twap",
-    "q_brand_pagerank",
-    "q_minhash_jaccard_est",
-    "q_concurrent_sessions",
-    "q_yoy_growth",
-    "q_copurchase_pairs",
-    "q_winsorized_prices",
-    "q_cohort_ltv",
-    "q_interarrival_stats",
-    "q_zipf_fit",
-    "q_centroid_drift",
-    "q_embedding_outliers",
-    "q_time_to_convert",
-    # -- first hash row after the bounded-error-oracle promotion
-    "q_sketch_stats",
-    # -- never driver-checked (registered round 5)
-    "q_event_transitions",
-    "q_survival_km",
-    "q_dsir_weights",
-    "q_setsim_prefix_join",
-    "q_bigram_logprob",
-    "q_leakage_safe_split",
-    "q_embedding_dim_audit",
-    "q_hard_negatives",
-    "q_mixture_weights",
-    "q_robust_outliers_mad",
-    "q_normalized_dedup",
-    "q_quality_calibration",
-    "q_hybrid_rrf",
-    "q_snapshot_diff",
-    "q_user_state_history",
-    "q_attribution_window",
-    "q_char_entropy",
-    "q_price_deciles",
-    "q_editdist_pairs",
-    "q_assoc_rules",
-    "q_cusum_changepoint",
-    "q_matryoshka_recall",
-    "q_consistent_sample",
-    "q_source_kl_divergence",
-    "q_heaps_fit",
-    "q_profile_lineitem",
-    "q_chi2_lang_source",
-    "q_ks_test",
-    "q_benford_prices",
-    "q_gini_revenue",
-    "q_source_overlap",
-    "q_autocorr_daily",
-    "q_mannwhitney_u",
-    "q_spearman_qty_price",
     # -- stalest driver rows (newest row is CORRECTNESS_r02)
-    "q_ann_ivf",
-    "q_ann_lsh",
+    "q_ann_ivf_multiprobe",
+    "q_ann_recall",
+    "q_doc_prefix_dedup",
+    "q_knn_batch",
+    "q_doc_fingerprint",
+    "q_bpe_token_stats",
+    "q_events_outliers",
+    "q_events_hourly",
+    "q_events_sliding",
+    "q_events_sessionize",
+    "q_events_json",
+    "q_events_retention",
+    "q_gopher_rules",
+    "q_vocab_coverage",
+    "q_crossdoc_spans",
+    "q_unigram_logprob",
+    "q_lexical_diversity",
+    "q_tfidf_top_term",
+    "q_doc_stats",
+    "q_doc_quality",
+    "q_lang_id",
+    "q_doc_exact_dedup",
+    "q_minhash_lsh_buckets",
+    "q_simhash",
+    "q_token_histogram",
+    "q_doc_rolling_hash",
+    "q_doc_repetition",
+    "q_contamination",
+    "q_domain_cap",
+    "q_ivf_recall",
+    "q_knn_bruteforce",
+    "q_label_centroids",
+    "q_embedding_neardup",
+    "q_embedding_norms",
+    "q_kmeans_clusters",
+    "q_pq_topk",
+    "q_pack_sequences",
+    "q_chunk_overlap",
+    "q_mixture_sample",
+    # -- next-stalest (newest row is CORRECTNESS_r03)
+    "q_customer_pareto",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q4_order_priority",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_service_levels",
+    "q22_dormant_customers",
+    "q_price_histogram",
+    "q11_important_parts",
 ]
 
 
