@@ -122,3 +122,78 @@ def test_rank_canary_real_table_multi_partition(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_blocked_cumsum_matches_global_window(spark):
+    """blocked_cumsum == the naive SUM() OVER (ORDER BY v) global window
+    (inclusive AND exclusive, long + decimal inputs, grand totals) on a
+    multi-partition distribution with a sparse, negative-spanning domain."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
+    rng = random.Random(1234)
+    # sparse domain spanning negatives: value-based blocking would
+    # degenerate here; rank/task-based blocking must not
+    vals = rng.sample(range(-10_000_000, 10_000_000), 500)
+    rows = [(v, rng.randint(1, 9), rng.randint(0, 5)) for v in vals]
+    df = spark.createDataFrame(rows, "v long, c1 long, c2 long")
+    w_inc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_exc = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    dec = F.col("c2").cast("decimal(38,0)")
+    expected = {
+        r.v: (r.ci, r.ce, r.n1, r.n2)
+        for r in df.select(
+            "v",
+            F.sum("c1").over(w_inc).alias("ci"),
+            F.coalesce(F.sum(dec).over(w_exc), F.lit(0)).alias("ce"),
+            F.sum("c1").over(Window.partitionBy()).alias("n1"),
+            F.sum(dec).over(Window.partitionBy()).alias("n2"),
+        ).collect()
+    }
+    got = {
+        r.v: (r.ci, r.ce, r.n1, r.n2)
+        for r in blocked_cumsum(
+            df,
+            ["v"],
+            {"ci": ("c1", "inclusive"), "ce": (dec, "exclusive")},
+            totals={"n1": "c1", "n2": dec},
+            num_partitions=7,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_blocked_cumsum_no_unpartitioned_fact_window(spark):
+    """The only unpartitioned ordered window in the blocked plan is the
+    n_tasks-row offset table — the data-bearing windows partition on the
+    task id."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
+    df = spark.range(100).select(F.col("id").alias("v"), F.lit(1).alias("c"))
+    out = blocked_cumsum(df, ["v"], {"cum": ("c", "inclusive")}, num_partitions=4)
+    jplan = out._jdf.queryExecution().optimizedPlan()
+    stack, bad = [jplan], []
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                # must be the offset branch: its child grain is the
+                # per-task aggregate, i.e. an Aggregate on _pid
+                child = node.children().head()
+                names = [str(a.name()) for a in _jseq(child.output())]
+                assert "_pid" in names and any(
+                    n.startswith("_t_") for n in names
+                ), f"unpartitioned window over non-offset input: {names}"
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    assert not bad
+
+
+def _jseq(scala_seq):
+    return [scala_seq.apply(i) for i in range(scala_seq.size())]

@@ -107,6 +107,93 @@ def ranked(
     )
 
 
+def blocked_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sums: dict[str, tuple],
+    *,
+    totals: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``df`` + exact GLOBAL running sums under ``order_cols``, distributed.
+
+    Replaces the single-task ``SUM() OVER (ORDER BY v)`` pattern on
+    value-distribution tables whose distinct-value domain is NOT
+    quantization-bounded (near-unique cents, gap seconds): the naive
+    global ordered window funnels the whole distribution through one
+    task's sort. Here:
+
+    1. range-partition by ``order_cols`` and sort within each partition —
+       each task holds a contiguous slice of the global order, sized
+       ~table/partitions; the slice is checkpointed so the offset branch
+       and the window branch read ONE materialized artifact instead of
+       re-running the upstream scan (column pruning would otherwise
+       specialize the two subtrees and defeat exchange reuse);
+    2. per-task totals -> running offsets over earlier tasks (a tiny
+       n_tasks-row window) broadcast back;
+    3. in-task running sums via a window partitioned on the task id —
+       every window partition is bounded at ~table/partitions rows.
+
+    ``sums`` maps output column -> ``(input column/Column, kind)`` with
+    kind ``"inclusive"`` (rows <= current) or ``"exclusive"`` (rows <
+    current, 0 for the globally first row). ``order_cols`` must be unique
+    within ``df`` (true of a value-distribution table keyed by the
+    value). ``totals`` (output column -> input column/Column) optionally
+    appends grand-total columns, computed from the checkpointed artifact
+    (never a second upstream scan) and joined as a 1-row broadcast.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    local = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
+    per_task = local.groupBy("_pid").agg(
+        *[F.sum(as_col(ic)).alias(f"_t_{name}") for name, (ic, _k) in sums.items()]
+    )
+    w_before = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_task.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_t_{name}").over(w_before), F.lit(0)).alias(
+                f"_o_{name}"
+            )
+            for name in sums
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    w_inc = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_exc = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    for name, (ic, kind) in sums.items():
+        if kind == "inclusive":
+            run = F.sum(as_col(ic)).over(w_inc)
+        elif kind == "exclusive":
+            run = F.coalesce(F.sum(as_col(ic)).over(w_exc), F.lit(0))
+        else:  # pragma: no cover - spec error
+            raise ValueError(f"unknown cumsum kind {kind!r} for {name}")
+        out = out.withColumn(name, run + F.col(f"_o_{name}"))
+    out = out.drop("_pid", *[f"_o_{name}" for name in sums])
+    if totals:
+        tot = local.agg(
+            *[F.sum(as_col(ic)).alias(name) for name, ic in totals.items()]
+        )
+        out = out.crossJoin(F.broadcast(tot))
+    return out
+
+
 def percent_rank_col(rank: str, n: str):
     """SQL percent_rank from an exact rank: (rank-1)/(n-1), 0 for n=1."""
     return F.when(
