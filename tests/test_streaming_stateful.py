@@ -278,3 +278,211 @@ def test_running_state_history_matches_batch(spark, sf_dir, tmp_path):
         for r in q_user_state_history(spark, sf_dir).collect()
     }
     assert got == batch and len(batch) > 0
+
+
+# ---------------------------------------------------------------------------
+# Adversarial micro-batch ORDER stress (VERDICT r05 #4): the stateful
+# twins document an in-order-files contract — a row at or before the
+# state's cursor is counted late and SKIPPED, never reordered. The tests
+# above feed time-ordered files; these feed files out of order
+# (latest-first, then earliest, then interleaved) and assert (a) the
+# documented greedy skip semantics hold exactly (independent Python
+# replay of the contract), and (b) the emitted counters still reconcile
+# with a BATCH run over the accepted in-order subset.
+# ---------------------------------------------------------------------------
+
+_ADV_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _adv_files():
+    """Three micro-batch files in adversarial time order.
+
+    Single user, single event_type; (event_id, second, value) triples.
+    File 1 holds the LATEST window, file 2 the EARLIEST (entirely late
+    once file 1 is in state), file 3 interleaves stale and fresh rows."""
+    f1 = [(20, 60, 4.0), (21, 70, 6.0), (22, 80, 2.0)]
+    f2 = [(10, 10, 9.0), (11, 20, 9.5), (12, 30, 9.9)]  # all late
+    f3 = [(30, 75, 7.7), (31, 90, 8.0), (32, 85, 1.0), (33, 100, 3.0)]
+    return [f1, f2, f3]
+
+
+def _adv_accepted():
+    """Greedy in-order subset under the documented contract: within a
+    batch rows sort by (us, event_id); a row with (us, eid) <= cursor is
+    skipped. Computed by hand here, independent of the implementation."""
+    cursor, accepted = None, []
+    for rows in _adv_files():
+        for e, s, v in sorted(rows, key=lambda r: (r[1], r[0])):
+            if cursor is not None and (s, e) < cursor:
+                continue
+            accepted.append((e, s, v))
+            cursor = (s, e)
+    return accepted
+
+
+def _write_adv_src(spark, tmp_path, name):
+    import datetime
+    import time
+
+    src = str(tmp_path / name)
+    for rows in _adv_files():
+        spark.createDataFrame(
+            [
+                (
+                    e,
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+                    1,
+                    "adv",
+                    v,
+                    "{}",
+                )
+                for e, s, v in rows
+            ],
+            _ADV_DDL,
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)  # distinct mtimes pin FileStreamSource batch order
+    return src
+
+
+def _drain(spark, df, tmp_path, qname):
+    (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / f"{qname}_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(qname).toPandas()
+
+
+def test_adversarial_order_twap(spark, tmp_path):
+    from ubparquet_spark.streaming.stateful import running_twap
+
+    src = _write_adv_src(spark, tmp_path, "adv_twap_src")
+    stream = spark.readStream.schema(_ADV_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    hist = _drain(spark, running_twap(stream), tmp_path, "adv_twap")
+    final = hist[hist["event_type"] == "adv"].iloc[-1]
+
+    # independent replay of the LOCF integral over the accepted subset
+    acc = _adv_accepted()
+    ws = dur = nseg = 0
+    for (pe, ps, pv), (e, s, v) in zip(acc, acc[1:]):
+        if s == ps:
+            continue  # zero-duration tie collapses (none in this data)
+        ws += int(pv * 100 + 0.5) * (s - ps) * 1_000_000
+        dur += (s - ps) * 1_000_000
+        nseg += 1
+    assert final["n_segments"] == nseg
+    assert abs(final["span_s"] - dur / 1e6) < 1e-9
+    assert abs(final["twap"] - ws / dur / 100.0) < 1e-9
+    # reconciliation: the accepted subset is exactly what a batch TWAP
+    # over in-order data would integrate — late rows contributed nothing.
+    # Note eid 30 (t=75): late WITHIN file 3 once the cursor sits at t=80
+    assert [e for e, _, _ in acc] == [20, 21, 22, 32, 31, 33]
+
+
+def test_adversarial_order_transitions_and_history(spark, tmp_path):
+    """Transitions + SCD2 twins under shuffled files: stream emissions
+    equal the batch twins run over the accepted in-order subset."""
+    import datetime
+
+    from ubparquet_spark.operators.scd import collapse_runs
+    from ubparquet_spark.streaming.stateful import (
+        running_state_history,
+        running_transitions,
+    )
+
+    # reuse the adversarial (us, eid) skeleton but alternate event types
+    # so runs/transitions are non-trivial
+    types = {20: "a", 21: "a", 22: "b", 10: "a", 11: "b", 12: "a",
+             30: "b", 31: "c", 32: "a", 33: "c"}
+    import time
+
+    src = str(tmp_path / "adv_th_src")
+    for rows in _adv_files():
+        spark.createDataFrame(
+            [
+                (
+                    e,
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+                    1,
+                    types[e],
+                    v,
+                    "{}",
+                )
+                for e, s, v in rows
+            ],
+            _ADV_DDL,
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.05)
+
+    stream1 = spark.readStream.schema(_ADV_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    trans = _drain(spark, running_transitions(stream1), tmp_path, "adv_trans")
+    stream2 = spark.readStream.schema(_ADV_DDL).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    scd = _drain(
+        spark, running_state_history(stream2), tmp_path, "adv_scd"
+    )
+
+    acc = _adv_accepted()  # [20, 21, 22, 32, 31, 33]
+    seq = [types[e] for e, _, _ in acc]  # a a b a c c
+
+    # transitions: sum of increments == pair counts over the accepted seq
+    want_pairs: dict[tuple, int] = {}
+    for p, n in zip(seq, seq[1:]):
+        want_pairs[(p, n)] = want_pairs.get((p, n), 0) + 1
+    got_pairs = (
+        trans.groupby(["prev_type", "next_type"])["n"].sum().to_dict()
+    )
+    assert got_pairs == want_pairs
+
+    # SCD2: last emission per run_id == batch collapse_runs over the
+    # accepted subset (the documented reconciliation)
+    acc_df = spark.createDataFrame(
+        [
+            (
+                e,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+                1,
+                types[e],
+            )
+            for e, s, v in acc
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    ).withColumn(
+        "us",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ),
+    )
+    batch = {
+        (r.event_type, r.valid_from, r.valid_to, r.run_len, r.is_current)
+        for r in collapse_runs(
+            acc_df, ["user_id"], ["us", "event_id"], "event_type",
+        )
+        .select("event_type", "valid_from", "valid_to", "run_len", "is_current")
+        .collect()
+    }
+    final = scd.groupby(["user_id", "run_id"], as_index=False).last()
+    got = {
+        (
+            r.state,
+            int(r.from_us),
+            None if pd.isna(r.to_us) else int(r.to_us),
+            int(r.run_len),
+            bool(r.is_current),
+        )
+        for r in final.itertuples()
+    }
+    assert got == batch and len(batch) == 4

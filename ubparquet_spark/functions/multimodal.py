@@ -568,6 +568,14 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     if w <= 0 or h_signed == 0:
         raise ValueError(f"malformed BMP dimensions {w}x{h_signed}")
+    # a pixel-data offset pointing INTO the headers would silently decode
+    # header bytes as pixels; past the payload end would truncate-raise
+    # with a misleading message — validate like the other malformed paths
+    if offset < 14 + header_size or offset > len(payload):
+        raise ValueError(
+            f"malformed BMP pixel-data offset {offset}: header ends at "
+            f"{14 + header_size}, payload is {len(payload)} bytes"
+        )
     top_down = h_signed < 0
     h = -h_signed if top_down else h_signed
     row_bytes = w * 3

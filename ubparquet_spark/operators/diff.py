@@ -90,12 +90,18 @@ def change_feed(
     keys = list(keys)
     d = snapshot_diff(old, new, keys, compare_cols).select(*keys, "change")
     payload = d.filter(F.col("change") != "removed").join(new, keys, "left")
-    removed = d.filter(F.col("change") == "removed")
-    for c in new.columns:
-        if c not in keys:
-            removed = removed.withColumn(
-                c, F.lit(None).cast(dict(new.dtypes)[c])
-            )
+    # single select (not a withColumn-per-column loop): the loop form
+    # grows the analyzed plan linearly in column count on wide tables
+    types = dict(new.dtypes)
+    removed = d.filter(F.col("change") == "removed").select(
+        *keys,
+        *[
+            F.lit(None).cast(types[c]).alias(c)
+            for c in new.columns
+            if c not in keys
+        ],
+        "change",
+    )
     return payload.select(*new.columns, "change").unionByName(
         removed.select(*new.columns, "change")
     )

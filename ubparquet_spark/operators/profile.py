@@ -27,6 +27,15 @@ exact form is the oracle-checkable default here.
 Min/max are computed on the NATIVE type (string min of a numeric column
 would order lexically) and stringified only for the uniform output
 schema.
+
+Stringification contract: values are rendered with Spark's native
+``CAST(... AS STRING)``. For floating-point columns Spark switches to
+scientific notation at ``|x| >= 1e7`` (``'1.0E7'``) where DuckDB's
+``CAST(... AS VARCHAR)`` prints plain decimal — so oracle-checked
+callers must keep double columns under that magnitude (the registered
+``q_profile_lineitem`` columns all do) or pre-quantize to integer cents
+the way the money plans do. Integer/decimal/date/string columns render
+identically in both engines at any magnitude.
 """
 
 from __future__ import annotations
@@ -40,7 +49,10 @@ from pyspark.sql import functions as F
 def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """One row per column: n_rows, n_null, n_distinct, min/max (strings).
 
-    ``n_distinct`` excludes NULL (SQL COUNT(DISTINCT) semantics)."""
+    ``n_distinct`` excludes NULL (SQL COUNT(DISTINCT) semantics).
+    Min/max strings use Spark-native casts — double columns with
+    ``|x| >= 1e7`` render in scientific notation (see module contract);
+    keep oracle-compared double columns under that magnitude."""
     cols = list(cols) if cols is not None else list(df.columns)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:

@@ -1013,16 +1013,24 @@ GROUP BY first_touch
 # ---------------------------------------------------------------------------
 # RFM segmentation: per-user Recency (days since last event vs the corpus
 # watermark), Frequency (event count), Monetary (summed value in exact
-# integer cents), each bucketed into quartiles with NTILE. The standard
-# user-value segmentation shape: one partial-aggregatable shuffle over
-# events grains to per-user rows; the NTILE windows then run over the
-# USER table (cardinality = users ≪ events — the same accepted
-# post-aggregation trade as q_vocab_coverage). The corpus watermark is a
-# broadcast 1-row aggregate, not an eager count. Tie-breaks are total
-# (metric, user_id), so quartile assignment is engine-deterministic.
+# integer cents), each bucketed into quartiles. The standard user-value
+# segmentation shape: one partial-aggregatable shuffle over events
+# grains to per-user rows (checkpointed once — three consumers below);
+# each quartile then comes from operators/ranks.ranked + ntile_col —
+# bit-identical to NTILE(4) but range-partitioned, because the USER
+# table is fact-grain at warehouse scale and a plain unpartitioned NTILE
+# window would funnel it through one task's sort (the round-6 rewire;
+# the old plan was the q_twap class of scale defect). Desc orderings map
+# to asc ranked() keys via negation plus an explicit null-last flag,
+# reproducing the window's DESC NULLS LAST placement. The corpus
+# watermark is a broadcast 1-row aggregate, not an eager count.
+# Tie-breaks are total (metric, user_id), so quartile assignment is
+# engine-deterministic.
 # ---------------------------------------------------------------------------
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.ranks import ntile_col, ranked
+
     ev = load_table(spark, sf_dir, "events")
     asof = ev.agg(F.max("ts").alias("asof"))
     per_user = (
@@ -1039,18 +1047,40 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
+        .localCheckpoint()
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("user_id").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("user_id").asc())
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id").asc())
-    return per_user.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
+
+    def quartile(df: DataFrame, keys: list, out: str) -> DataFrame:
+        tagged = df.select("user_id", *[k.alias(f"_k{i}") for i, k in enumerate(keys)])
+        r = ranked(
+            tagged,
+            [],
+            [f"_k{i}" for i in range(len(keys))] + ["user_id"],
+            rank_col="_r",
+            n_col="_n",
+        )
+        return r.select(
+            "user_id", ntile_col("_r", "_n", 4).cast("int").alias(out)
+        )
+
+    # asc: ranked()'s range sort is asc-nulls-first, same as the window
+    rq = quartile(per_user, [F.col("recency_days")], "r_quartile")
+    # desc: negate for order, null flag last (DESC NULLS LAST semantics)
+    fq = quartile(
+        per_user,
+        [F.col("frequency").isNull().cast("int"), -F.col("frequency")],
+        "f_quartile",
+    )
+    mq = quartile(
+        per_user,
+        [F.col("monetary_cents").isNull().cast("int"), -F.col("monetary_cents")],
+        "m_quartile",
+    )
+    return (
+        per_user.select("user_id", "recency_days", "frequency", "monetary_cents")
+        .join(rq, "user_id")
+        .join(fq, "user_id")
+        .join(mq, "user_id")
     )
 
 
@@ -1442,8 +1472,9 @@ GROUP BY event_type
 # two per-user min-aggregations (partial-aggregatable; the purchase min is
 # conditional on the signup time, computed after one user-keyed join of
 # two pre-filtered scans), then the median via the same value-
-# DISTRIBUTION technique as q_winsorized_prices — the final window runs
-# over distinct gap values, not users. Gaps are exact integer seconds.
+# DISTRIBUTION technique as q_winsorized_prices — the running total runs
+# over distinct gap values (blocked_cumsum, no single-task sort), not
+# users. Gaps are exact integer seconds.
 # ---------------------------------------------------------------------------
 
 def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,11 +1495,18 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.col("b_us") - F.col("s_us")).alias("gap_us"))
         .select(F.expr("gap_us DIV 1000000").alias("gap_s"))
     )
+    # distinct gap seconds are NOT quantization-bounded (a wide-horizon
+    # corpus has ~1e7+ of them) — the running total is the two-pass
+    # blocked prefix sum, never a single-task global ordered window
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
     dist = gaps.groupBy("gap_s").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("gap_s").rowsBetween(Window.unboundedPreceding, 0)
-    cum = dist.withColumn("cum", F.sum("c").over(w)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy())
-    ).withColumn("sv", F.sum(F.col("gap_s") * F.col("c")).over(Window.partitionBy()))
+    cum = blocked_cumsum(
+        dist,
+        ["gap_s"],
+        {"cum": ("c", "inclusive")},
+        totals={"n": "c", "sv": F.col("gap_s") * F.col("c")},
+    )
     return cum.select(
         F.max("n").alias("n_converted"),
         roundn(F.max(F.col("sv").cast("double") / F.col("n")), 4).alias("mean_gap_s"),
@@ -1696,10 +1734,19 @@ FROM counts c JOIN totals USING (prev_type)
 #
 # Scale shape: the per-user lifetime rollup is the only fact-grain
 # shuffle (user_id keys — millions of partitions). Everything after runs
-# on the lifetime HISTOGRAM, bounded by the day domain (~hundreds of
-# rows at any corpus size), so its global ordered window is a
-# value-domain-bounded artifact, same as q_winsorized_prices — never a
-# fact-table single-partition sort. The ln/exp fold order is the single
+# on the lifetime HISTOGRAM, whose row count is bounded by the DAY-GRAIN
+# domain (t = whole days between first and last event: ~36.5k rows even
+# for a century-long corpus at ANY row count), so its global ordered
+# windows are value-domain-bounded artifacts — never a fact-table
+# single-partition sort. This bounded-domain assumption is PINNED by
+# tests/test_plan_budget.py::test_global_window_allowlist: the window's
+# input must remain the day-grain `t` aggregate; an edit that re-points
+# it at a non-quantized column (where the blocked_cumsum rewrite of
+# q_ks_test/q_mannwhitney_u would be required) fails there loudly.
+# (The KM chain also running-MAXes a flag and running-SUMs ln(factor) —
+# fold shapes blocked_cumsum doesn't carry — which is why this plan pins
+# the bounded domain instead of rewiring.)
+# The ln/exp fold order is the single
 # ascending-t order in both engines, so the double chain is identical
 # before the stabilizing roundn.
 # ---------------------------------------------------------------------------
@@ -2067,9 +2114,9 @@ FROM picked WHERE r = 1
 # Exact two-sample Kolmogorov–Smirnov test: do click values and purchase
 # values come from the same distribution? D = max|F1(v) − F2(v)| computed
 # EXACTLY over the pooled value DISTRIBUTION (one groupBy on cents; both
-# samples' cumulative counts ride one window over the distinct values —
-# the operators/quantiles technique, same caveat: the window input is the
-# distinct-value domain, pre-bin near-unique columns at extreme scale).
+# samples' cumulative counts ride one blocked prefix sum over the
+# distinct values — operators/ranks.blocked_cumsum, so the near-unique
+# cents domain never funnels through a single task's sort).
 # The max is located on the integer numerator |c1·n2 − c2·n1| (decimal /
 # HUGEINT — no float CDF subtraction), so the argmax value and the
 # statistic are bit-exact cross-engine; ties broken at the smallest value.
@@ -2089,34 +2136,43 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v").agg(
         F.sum("a").alias("c1"), F.sum("b").alias("c2")
     )
-    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
+    # distinct cents are near-unique — cumulative counts via the blocked
+    # prefix sum (operators/ranks), never a single-task global window;
+    # the argmax is ONE struct-max aggregate (max num, ties -> min v),
+    # not a row_number over a second global sort
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    scored = dist.select(
-        "v",
-        (
-            F.abs(
-                F.sum(dec("c1")).over(w_ord) * F.sum(dec("c2")).over(w_all)
-                - F.sum(dec("c2")).over(w_ord) * F.sum(dec("c1")).over(w_all)
-            )
-        ).alias("num"),
-        F.sum(dec("c1")).over(w_all).alias("n1"),
-        F.sum(dec("c2")).over(w_all).alias("n2"),
+    cum = blocked_cumsum(
+        dist,
+        ["v"],
+        {"cc1": (dec("c1"), "inclusive"), "cc2": (dec("c2"), "inclusive")},
+        totals={"n1": dec("c1"), "n2": dec("c2")},
     )
-    pick = Window.orderBy(F.col("num").desc(), F.col("v").asc())
-    return (
-        scored.withColumn("_r", F.row_number().over(pick))
-        .filter(F.col("_r") == 1)
-        .select(
-            F.col("n1").cast("long").alias("n_click"),
-            F.col("n2").cast("long").alias("n_purchase"),
-            (F.col("v") / 100.0).alias("ks_at_value"),
-            roundn(
-                F.col("num").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double"),
-                6,
-            ).alias("ks_stat"),
-        )
+    scored = cum.select(
+        "v",
+        F.abs(
+            F.col("cc1") * F.col("n2") - F.col("cc2") * F.col("n1")
+        ).alias("num"),
+        "n1",
+        "n2",
+    )
+    best = scored.agg(
+        F.max(
+            F.struct(
+                F.col("num"), (-F.col("v")).alias("nv"), F.col("n1"), F.col("n2")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.n1").cast("long").alias("n_click"),
+        F.col("b.n2").cast("long").alias("n_purchase"),
+        (-F.col("b.nv") / 100.0).alias("ks_at_value"),
+        roundn(
+            F.col("b.num").cast("double")
+            / (F.col("b.n1") * F.col("b.n2")).cast("double"),
+            6,
+        ).alias("ks_stat"),
     )
 
 
@@ -2235,8 +2291,9 @@ FROM sums
 # q_ks_test on the same click-vs-purchase samples. Midranks make the
 # statistic rational with denominator 2, so everything is carried ×2 as
 # EXACT integers: 2·R₁ = Σ_v c1_v·(2·before_v + c_v + 1) over the pooled
-# value distribution (one groupBy + one ordered window over distinct
-# values, the operators/quantiles shape), then 2U = 2R₁ − n1(n1+1).
+# value distribution (one groupBy + a blocked prefix sum over the
+# distinct values, operators/ranks — the near-unique cents domain never
+# single-task sorts), then 2U = 2R₁ − n1(n1+1).
 # AUC = U/(n1·n2) is the one double division at the end. decimal(38,0) /
 # HUGEINT throughout — no float rank arithmetic.
 # ---------------------------------------------------------------------------
@@ -2252,24 +2309,22 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("v").agg(
         F.sum("a").alias("c1"), F.sum("b").alias("c2")
     )
-    w_ord = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy()
+    # "before" counts via the blocked prefix sum over the near-unique
+    # cents domain (operators/ranks) — no single-task global window
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     c = dec("c1") + dec("c2")
-    scored = dist.select(
-        (
-            dec("c1")
-            * (
-                2 * F.coalesce(
-                    F.sum(dec("c1") + dec("c2")).over(w_ord),
-                    F.lit(0).cast("decimal(38,0)"),
-                )
-                + c
-                + 1
-            )
-        ).alias("term"),
-        F.sum(dec("c1")).over(w_all).alias("n1"),
-        F.sum(dec("c2")).over(w_all).alias("n2"),
+    cum = blocked_cumsum(
+        dist,
+        ["v"],
+        {"before": (dec("c1") + dec("c2"), "exclusive")},
+        totals={"n1": dec("c1"), "n2": dec("c2")},
+    )
+    scored = cum.select(
+        (dec("c1") * (2 * F.col("before") + c + 1)).alias("term"),
+        "n1",
+        "n2",
     )
     sums = scored.groupBy("n1", "n2").agg(F.sum("term").alias("r1x2"))
     u2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)

@@ -1478,36 +1478,36 @@ FROM flags
 # Vocabulary coverage curve: how many distinct tokens (ranked by corpus
 # frequency) are needed to cover 50/90/95/99 % of all token occurrences —
 # the standard tokenizer-vocab-sizing analysis. Corpus-sized work is one
-# partial-aggregatable explode+groupBy; the running-total window then runs
-# over the VOCABULARY (bounded: at most a few million types even at 100 TB,
-# Heaps' law), not the corpus, so the single global window sort is over
-# post-aggregation data — same accepted trade as operators/quantiles.
-# Threshold comparisons use integer cross-multiplication (cum*100 >=
-# t_pct*total): no double rounding at the cut points, identical in both
-# engines.
+# partial-aggregatable explode+groupBy; rank and running total over the
+# VOCABULARY come from operators/ranks.blocked_cumsum (rank IS the
+# running count of 1s) — a web-scale corpus's type inventory runs to
+# hundreds of millions (Heaps' law plus noise tokens), too big to pin as
+# a "bounded domain", so it never single-task sorts (round-6 rewire of
+# the old global window). Desc frequency order maps to an asc key by
+# negation (cnt is never null). Threshold comparisons use integer
+# cross-multiplication (cum*100 >= t_pct*total): no double rounding at
+# the cut points, identical in both engines.
 # ---------------------------------------------------------------------------
 
 VOCAB_COVERAGE_PCTS = (50, 90, 95, 99)
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ubparquet_spark.operators.ranks import blocked_cumsum
 
     docs = load_table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(tokens_col()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_nc", -F.col("cnt"))
     )
-    total = freq.agg(F.sum("cnt").alias("total"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    ordered = freq.select(
-        "cnt",
-        F.row_number().over(w).cast("long").alias("rank"),
-        F.sum("cnt").over(w).alias("cum"),
-    ).crossJoin(F.broadcast(total))
+    ordered = blocked_cumsum(
+        freq,
+        ["_nc", "tok"],
+        {"rank": (F.lit(1).cast("long"), "inclusive"), "cum": ("cnt", "inclusive")},
+        totals={"total": "cnt"},
+    ).select("cnt", "rank", "cum", "total")
     pcts = spark.range(1).select(
         F.explode(F.array(*[F.lit(p) for p in VOCAB_COVERAGE_PCTS])).alias("t_pct")
     )
@@ -2954,8 +2954,10 @@ LIMIT {BM25_TOP}
 # Zipf's-law fit: OLS slope of ln(freq) on ln(rank) over the vocabulary
 # (the corpus-health check that a token distribution looks natural-
 # language-shaped, slope ≈ -1). The corpus contributes ONE wordcount
-# shuffle; the rank window and regression sums run over the VOCABULARY
-# (types ≪ tokens, Heaps' law). Regression sums are computed in exact
+# shuffle; ranks over the VOCABULARY (types ≪ tokens but still
+# hundreds of millions at web scale) come from operators/ranks.ranked —
+# range-partitioned, never a single-task ROW_NUMBER window (round-6
+# rewire). Regression sums are computed in exact
 # scaled-integer / decimal arithmetic so they are order-independent —
 # double summation over an unordered vocab would hash-differ per engine.
 # ---------------------------------------------------------------------------
@@ -2964,16 +2966,16 @@ _ZIPF_SCALE = 10**12
 
 
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ubparquet_spark.operators.ranks import ranked
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(tokens_col()).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_nc", -F.col("c"))  # desc count == asc negated count
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
-    pts = vocab.withColumn("rank", F.row_number().over(w)).select(
+    pts = ranked(vocab, [], ["_nc", "tok"], rank_col="rank", n_col="_n").select(
         F.expr(f"CAST(floor(ln(rank) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("x"),
         F.expr(f"CAST(floor(ln(c) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("y"),
     )

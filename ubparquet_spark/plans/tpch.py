@@ -2356,6 +2356,9 @@ LIMIT {COPURCHASE_TOP}
 # cents domain — the operators/quantiles technique), so the expensive pass
 # shuffles only distinct values, and the clip+agg second pass is one
 # partial-aggregatable scan with the two cut points as a broadcast row.
+# Price cents are near-unique, so the running total uses
+# operators/ranks.blocked_cumsum (range-partitioned two-pass prefix sum)
+# — never a single-task SUM() OVER (ORDER BY v) global window.
 # Lower-nearest-rank percentile definition mirrors exactly in SQL.
 # ---------------------------------------------------------------------------
 
@@ -2363,12 +2366,13 @@ WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
 def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
     orders = load_table(spark, sf_dir, "orders")
     pc = orders.select(cents("o_totalprice").alias("v"))
     dist = pc.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = dist.withColumn("cum", F.sum("c").over(w)).withColumn(
-        "n", F.sum("c").over(Window.partitionBy())
+    cum = blocked_cumsum(
+        dist, ["v"], {"cum": ("c", "inclusive")}, totals={"n": "c"}
     )
     # nearest-rank (ceil) percentile: smallest v with cum >= ceil(q * n)
     cuts = cum.select(
@@ -3142,22 +3146,30 @@ FROM sums
 # Spearman rank correlation between quantity and extended price at line
 # grain — the monotonic-association counterpart of q_price_qty_corr's
 # Pearson. Midranks come from each variable's VALUE DISTRIBUTION
-# (before + (c+1)/2 per distinct value — one groupBy + one window over
-# distinct values per variable, the operators/quantiles shape; never a
-# per-row global rank window), carried ×2 as exact integers and joined
+# (before + (c+1)/2 per distinct value — one groupBy + a blocked prefix
+# sum per variable, operators/ranks.blocked_cumsum; never a per-row
+# global rank window OR a single-task distinct-value window — price
+# cents are near-unique, so that table is row-scale), carried ×2 as
+# exact integers and joined
 # back to rows by value. All Pearson sums over (2r_x, 2r_y) are exact
 # decimal(38,0)/HUGEINT (Σxy ≤ ~8n³); one double expression at the end.
 # ---------------------------------------------------------------------------
 
 def _midrank2(df: DataFrame, col: str) -> DataFrame:
-    """(value, 2·midrank) for ``col``'s distribution — exact integers."""
+    """(value, 2·midrank) for ``col``'s distribution — exact integers.
+
+    The "before" counts come from operators/ranks.blocked_cumsum: price
+    cents are near-unique, so the rank table is row-scale and a plain
+    ``SUM() OVER (ORDER BY _v)`` would funnel it through one task's sort.
+    """
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
     dist = df.groupBy(F.col(col).alias("_v")).agg(
         F.count(F.lit(1)).alias("_c")
     )
-    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum("_c").over(w), F.lit(0))
-    return dist.select(
-        "_v", (2 * before + F.col("_c") + 1).cast("long").alias("_r2")
+    cum = blocked_cumsum(dist, ["_v"], {"_b": ("_c", "exclusive")})
+    return cum.select(
+        "_v", (2 * F.col("_b") + F.col("_c") + 1).cast("long").alias("_r2")
     )
 
 

@@ -198,6 +198,13 @@ def running_twap(stream: DataFrame) -> DataFrame:
 # same in-order contract as running_twap: a row older than the state's
 # last observation is counted late and skipped rather than corrupting
 # the sequence.
+#
+# Non-null event_type PRECONDITION: rows with a null event_type are
+# dropped at the stream edge, while the batch twin keeps nulls as
+# ordinary sequence members (it only drops the pair whose PREV is null)
+# — so the tested stream≡batch equivalence holds on null-free
+# event_type input. Feed both sides a null-filtered stream to compare
+# them on null-bearing data.
 # ---------------------------------------------------------------------------
 
 TRANS_STATE_SCHEMA = "last_us long, last_eid long, last_type string, n_late long"
@@ -335,6 +342,12 @@ def running_source_mix(stream: DataFrame) -> DataFrame:
 # tests/test_streaming_stateful.py). Cross-batch contract mirrors
 # running_twap: files must arrive time-ordered per user; late rows are
 # counted into state and skipped, never silently reordered.
+#
+# Non-null event_type PRECONDITION (same as running_transitions): the
+# stream edge drops null event_type rows, while the batch twin's
+# eqNullSafe flip detection keeps null states as real runs — the tested
+# stream≡batch equivalence therefore assumes null-free event_type input;
+# null-filter the batch side too when comparing on null-bearing data.
 # ---------------------------------------------------------------------------
 
 SCD_STATE_SCHEMA = (
