@@ -310,6 +310,10 @@ ORDERS_STRESS_QUERIES = (
     "q_assoc_rules",
     "q_copurchase_pairs",
     "q_profile_lineitem",
+    # round-6: Spearman midranks now ride blocked_cumsum over BOTH value
+    # distributions (qty bounded, price near-unique = the row-scale rank
+    # table axis) + the two rank joins back to line grain
+    "q_spearman_qty_price",
 )
 
 
@@ -363,6 +367,19 @@ DEEP_STRESS_QUERIES = {
     # (15M ranked customers at 100×) — the operators/ranks design claim
     "q_gini_revenue",
     "q_price_deciles",
+    # round-6 (VERDICT r05 #5): second decade for the statistics batch +
+    # every blocked_cumsum/ranked rewire — the explicit proof that the
+    # extra local constant buys sub-linear second-decade ratios
+    "q_spearman_qty_price",
+    "q_mannwhitney_u",
+    "q_autocorr_daily",
+    "q_ks_test",
+    "q_chi2_lang_source",
+    "q_winsorized_prices",
+    "q_time_to_convert",
+    "q_rfm_segments",
+    "q_zipf_fit",
+    "q_vocab_coverage",
 }
 
 # events-table stress (round 5): q_twap after the segmented_lead rewire —
@@ -400,6 +417,16 @@ EVENTS_STRESS_QUERIES = (
     "q_ks_test",
     # round-5 eighth batch: fixed day×type artifact, one growing groupBy
     "q_autocorr_daily",
+    # round-6: the blocked_cumsum rewires' scale proof — the rank-sum
+    # test rides the pooled cents distribution (domain ~constant under
+    # replication, corpus groupBy grows N×) and the funnel median rides
+    # the gap_s distribution (per-user gap structure replicates, so the
+    # distinct-gap domain stays ~constant while the user join grows N×)
+    "q_mannwhitney_u",
+    "q_time_to_convert",
+    # round-6: three ranked() quartiles over the user-grain table — user
+    # count grows N×, the axis the old unpartitioned NTILE could not absorb
+    "q_rfm_segments",
 )
 
 

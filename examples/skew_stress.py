@@ -157,20 +157,35 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(on).lower())
 
     set_skewjoin(True)
-    results["join_aqe"] = timed(
-        "join_aqe", lambda: run_join(ev.join(dim.hint("shuffle_hash"), "user_id"))
+    results["shj_aqe"] = timed(
+        "shj_aqe", lambda: run_join(ev.join(dim.hint("shuffle_hash"), "user_id"))
     )
     set_skewjoin(False)
     try:
-        results["join_noaqe"] = timed(
-            "join_noaqe",
+        results["shj_noaqe"] = timed(
+            "shj_noaqe",
             lambda: run_join(ev.join(dim.hint("shuffle_hash"), "user_id")),
         )
-        results["join_salted"] = timed(
-            "join_salted", lambda: run_join(salted_join(ev, dim, "user_id", n_salts=32))
+        results["shj_salted"] = timed(
+            "shj_salted",
+            lambda: run_join(salted_join(ev, dim, "user_id", n_salts=32)),
+        )
+        # sort-merge variants: the hot partition pays an O(n log n) SORT,
+        # the skew shape where salting has real leverage
+        results["smj_noaqe"] = timed(
+            "smj_noaqe", lambda: run_join(ev.join(dim.hint("merge"), "user_id"))
+        )
+        results["smj_salted"] = timed(
+            "smj_salted",
+            lambda: run_join(
+                salted_join(ev, dim.hint("merge"), "user_id", n_salts=32)
+            ),
         )
     finally:
         set_skewjoin(True)
+    results["smj_aqe"] = timed(
+        "smj_aqe", lambda: run_join(ev.join(dim.hint("merge"), "user_id"))
+    )
 
     print("RESULTS", {k: round(v, 2) for k, v in results.items()})
 

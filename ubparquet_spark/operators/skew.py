@@ -4,15 +4,29 @@ At 100 TB, a handful of hot keys (a viral user_id, the background-instance
 label 0, an empty-string token) can pin one reducer while the rest idle. AQE
 (`spark.sql.adaptive.skewJoin`, on in `session.py`) splits skewed *join*
 partitions at runtime; these helpers cover the cases AQE doesn't:
-skewed **aggregations** and **broadcast-infeasible skewed joins**.
+skewed **aggregations** whose partials don't combine and
+**broadcast-infeasible skewed joins** AQE can't split.
 
 - :func:`salted_aggregate` — two-stage agg: group on (key, salt) first so the
   hot key's rows spread over ``n_salts`` reducers, then combine partials.
-  Works for any algebraic aggregate (sum/count/min/max expressed as
-  re-combinable partials).
 - :func:`salted_join` — replicate the small-but-not-broadcastable side
   ``n_salts`` times; big side picks a random salt. Every hot-key partition
   shrinks by ``n_salts``.
+
+Measured guidance (``examples/skew_stress.py``, 10M rows with ONE key
+holding 30 % — BENCHNOTES "Round-6: skew helpers"): for the ALGEBRAIC
+aggregates this helper supports, plain ``groupBy`` already wins — Spark's
+partial aggregation spreads the hot key across every mapper, so salting
+just adds a shuffle level (0.99s vs 1.55s). Reach for
+:func:`salted_aggregate` only when the partial state itself is
+key-concentrated (collect/distinct-style paths, or engines without
+map-side combine). :func:`salted_join` wins where the hot partition pays
+a SORT — sort-merge joins (2.01s → 1.45s measured; AQE's skew split
+recovers most of that automatically) — and LOSES on hash-shaped joins
+(the ``n_salts``× small-side replication buys nothing a linear probe
+didn't already absorb). Default playbook: AQE on, joins hash-shaped,
+salting as the manual fallback for sort-shaped skew AQE cannot see
+(streaming joins, AQE-off clusters).
 """
 
 from __future__ import annotations
