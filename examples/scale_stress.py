@@ -88,6 +88,10 @@ STRESS_QUERIES = (
     # round-5 eighth batch: vocabulary-grain checkpoint + ≤C(sources,2)
     # per-token fan-out (source count is constant under replication)
     "q_source_overlap",
+    # round-6: rank + coverage cumsum fused into one blocked_cumsum pass;
+    # replica token salting grows the vocabulary ~N× — exactly the
+    # row-scale type-inventory axis the rewire exists for
+    "q_vocab_coverage",
 )
 
 # embedding paths: replicas are dimension-ROTATED (cyclic shift by k), so

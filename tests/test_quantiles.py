@@ -197,3 +197,27 @@ def test_blocked_cumsum_no_unpartitioned_fact_window(spark):
 
 def _jseq(scala_seq):
     return [scala_seq.apply(i) for i in range(scala_seq.size())]
+
+
+def test_blocked_cumsum_edge_cases(spark):
+    """Empty input and single-row input survive the blocked plan."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
+    empty = spark.createDataFrame([], "v long, c long")
+    out = blocked_cumsum(
+        empty, ["v"], {"cum": ("c", "inclusive")}, totals={"n": "c"}
+    )
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(5, 3)], "v long, c long")
+    rows = blocked_cumsum(
+        one,
+        ["v"],
+        {"ci": ("c", "inclusive"), "ce": ("c", "exclusive")},
+        totals={"n": "c"},
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.ci, r.ce, r.n) == (3, 0, 3)

@@ -139,8 +139,9 @@ def blocked_cumsum(
     current, 0 for the globally first row). ``order_cols`` must be unique
     within ``df`` (true of a value-distribution table keyed by the
     value). ``totals`` (output column -> input column/Column) optionally
-    appends grand-total columns, computed from the checkpointed artifact
-    (never a second upstream scan) and joined as a 1-row broadcast.
+    appends grand-total columns; they ride the SAME per-task aggregate
+    as the offsets (an n_tasks-row rollup, never a second artifact scan)
+    and join back as a 1-row broadcast.
     """
     if num_partitions is None:
         num_partitions = int(
@@ -154,7 +155,11 @@ def blocked_cumsum(
     )
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     per_task = local.groupBy("_pid").agg(
-        *[F.sum(as_col(ic)).alias(f"_t_{name}") for name, (ic, _k) in sums.items()]
+        *[F.sum(as_col(ic)).alias(f"_t_{name}") for name, (ic, _k) in sums.items()],
+        *[
+            F.sum(as_col(ic)).alias(f"_tt_{name}")
+            for name, ic in (totals or {}).items()
+        ],
     )
     w_before = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_task.select(
@@ -187,8 +192,8 @@ def blocked_cumsum(
         out = out.withColumn(name, run + F.col(f"_o_{name}"))
     out = out.drop("_pid", *[f"_o_{name}" for name in sums])
     if totals:
-        tot = local.agg(
-            *[F.sum(as_col(ic)).alias(name) for name, ic in totals.items()]
+        tot = per_task.agg(
+            *[F.sum(f"_tt_{name}").alias(name) for name in totals]
         )
         out = out.crossJoin(F.broadcast(tot))
     return out
