@@ -76,6 +76,8 @@ _CHECK_FIRST = [
     "q_pack_sequences",
     "q_chunk_overlap",
     "q_mixture_sample",
+    # -- round-6 registration (never driver-checked)
+    "q_key_skew_profile",
     # -- next-stalest (newest row is CORRECTNESS_r03)
     "q_customer_pareto",
     "q17_small_qty_revenue",
@@ -87,7 +89,6 @@ _CHECK_FIRST = [
     "q12_service_levels",
     "q22_dormant_customers",
     "q_price_histogram",
-    "q11_important_parts",
 ]
 
 

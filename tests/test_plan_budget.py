@@ -90,8 +90,10 @@ SHUFFLE_BUDGETS = {
     # cents distribution no longer rides a single-task global window —
     # the lazy plan holds the checkpointed-artifact scan branches (task
     # offsets + _pid windows) and the clip agg; the distribution groupBy
-    # + range exchange are paid ONCE at build (localCheckpoint)
-    "q_winsorized_prices": 6,
+    # + range exchange are paid ONCE at build (localCheckpoint);
+    # LOWERED again when blocked_cumsum totals moved onto the offset
+    # window (one per-task consumer, crossJoin dropped)
+    "q_winsorized_prices": 5,
     "q_cohort_ltv": 3,            # cohort min + purchase join + rollup
     # q_twap rewired onto operators/segmented.segmented_lead (round 5):
     # [fact (type,bucket) window] + [firsts groupBy — map-side combined to
@@ -100,10 +102,10 @@ SHUFFLE_BUDGETS = {
     # window tasks are day-bounded — the old budget-1 plan was cheaper on
     # paper but sorted each type's whole history in ONE task.
     "q_twap": 4,
-    # RAISED 4 -> 5 (round-6): gap distribution cumsum rewired onto
-    # blocked_cumsum — no single-task window over the unbounded gap_s
-    # domain; extra exchange is the bounded _pid window
-    "q_time_to_convert": 5,
+    # round-6: gap distribution cumsum rewired onto blocked_cumsum —
+    # no single-task window over the unbounded gap_s domain (settled at
+    # 4 once totals moved onto the offset window)
+    "q_time_to_convert": 4,
     "q_concurrent_sessions": 2,   # session window + cell-join pair rollup
     "q_bm25_topk": 5,             # postings + df/stats broadcast branches
     "q_centroid_drift": 5,        # (label,par,dim) + collect + counts
@@ -119,9 +121,9 @@ SHUFFLE_BUDGETS = {
     # keeps its old budget under the _smallk name.
     "q_semantic_dedup": 10,
     "q_semantic_dedup_smallk": 10,
-    # LOWERED 6 -> 5 (round-6): rank + running total fused into ONE
+    # LOWERED 6 -> 4 (round-6): rank + running total fused into ONE
     # blocked_cumsum pass whose checkpoint truncates the lazy plan
-    "q_vocab_coverage": 5,
+    "q_vocab_coverage": 4,
     "q5_local_supplier": 6,
     # round-5 additions: recorded at registration
     # fact (user) lag window + matrix groupBy + tiny artifact window
@@ -214,11 +216,15 @@ SHUFFLE_BUDGETS = {
     # ONE corpus (lang, source) groupBy (checkpointed ≤100-row table);
     # margins/grid/fold all run over bounded artifacts
     "q_chi2_lang_source": 5,
-    # RAISED 2 -> 5 (round-6): both samples' CDFs now ride
+    # round-6 registration: fact groupBy to key counts + the frequency
+    # histogram's blocked_cumsum branches (artifact scans, _pid window,
+    # tiny offsets) + the 1-row final collapse
+    "q_key_skew_profile": 4,
+    # round-6 (2 -> 4): both samples' CDFs now ride
     # blocked_cumsum over the near-unique cents domain (bounded _pid
     # windows + offset branch) and the argmax is a struct-max aggregate
     # instead of a second global-sort row_number window
-    "q_ks_test": 5,
+    "q_ks_test": 4,
     # digit groupBy + 1-row total broadcast
     "q_benford_prices": 2,
     # per-customer rollup + ranked([]) range repartition (the only
@@ -230,9 +236,9 @@ SHUFFLE_BUDGETS = {
     # one (type, day) corpus groupBy; lag + Pearson sums over the
     # bounded daily artifact
     "q_autocorr_daily": 4,
-    # RAISED 4 -> 5 (round-6): the "before" counts ride blocked_cumsum
+    # round-6 (settled at 4): the "before" counts ride blocked_cumsum
     # (bounded _pid window + offset branch) — the q_ks_test shape
-    "q_mannwhitney_u": 5,
+    "q_mannwhitney_u": 4,
     # LOWERED 14 -> 9 (round-6): each variable's midranks ride
     # blocked_cumsum, whose checkpointed artifact truncates the lazy
     # plan at the materialized distribution — the rank-join exchanges

@@ -140,8 +140,10 @@ def blocked_cumsum(
     within ``df`` (true of a value-distribution table keyed by the
     value). ``totals`` (output column -> input column/Column) optionally
     appends grand-total columns; they ride the SAME per-task aggregate
-    as the offsets (an n_tasks-row rollup, never a second artifact scan)
-    and join back as a 1-row broadcast.
+    AND the same n_tasks-row offset window as the running sums (one
+    unbounded window spec alongside the ordered one — no extra exchange,
+    no second artifact scan, no crossJoin), reaching every row through
+    the one broadcast join.
     """
     if num_partitions is None:
         num_partitions = int(
@@ -162,6 +164,7 @@ def blocked_cumsum(
         ],
     )
     w_before = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()  # over the n_tasks-row per-task table only
     offsets = per_task.select(
         "_pid",
         *[
@@ -169,6 +172,10 @@ def blocked_cumsum(
                 f"_o_{name}"
             )
             for name in sums
+        ],
+        *[
+            F.sum(f"_tt_{name}").over(w_all).alias(name)
+            for name in (totals or {})
         ],
     )
     out = local.join(F.broadcast(offsets), "_pid")
@@ -190,13 +197,7 @@ def blocked_cumsum(
         else:  # pragma: no cover - spec error
             raise ValueError(f"unknown cumsum kind {kind!r} for {name}")
         out = out.withColumn(name, run + F.col(f"_o_{name}"))
-    out = out.drop("_pid", *[f"_o_{name}" for name in sums])
-    if totals:
-        tot = per_task.agg(
-            *[F.sum(f"_tt_{name}").alias(name) for name in totals]
-        )
-        out = out.crossJoin(F.broadcast(tot))
-    return out
+    return out.drop("_pid", *[f"_o_{name}" for name in sums])
 
 
 def percent_rank_col(rank: str, n: str):

@@ -2369,7 +2369,91 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Key-skew profile: the "measure before you salt" diagnostic for the
+# partitioning decisions operators/skew documents (BENCHNOTES round-6
+# table: salting pays off only for sort-shaped skew on genuinely hot
+# keys — this query is how you find out whether you HAVE one). One row:
+# key count, row count, the hottest key's share, and the median/p99 of
+# the key-frequency distribution with their ratio. Scale shape: one
+# fact-grain groupBy to key counts, then everything runs on the
+# FREQUENCY histogram (distinct frequency values — tiny), whose running
+# total rides blocked_cumsum like every other value-distribution plan
+# (frequency domains are near-dense but unbounded at the top).
+# Nearest-rank (ceil) percentile definition, exact integers throughout.
+# ---------------------------------------------------------------------------
+
+SKEW_P_HI = 0.99
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    dist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("k"))
+    cum = blocked_cumsum(
+        dist,
+        ["c"],
+        {"cum": ("k", "inclusive")},
+        totals={"n_keys": "k", "n_rows": F.col("c") * F.col("k")},
+    )
+    med = F.min(
+        F.when(F.col("cum") >= F.ceil(0.5 * F.col("n_keys")), F.col("c"))
+    )
+    p99 = F.min(
+        F.when(
+            F.col("cum") >= F.ceil(SKEW_P_HI * F.col("n_keys")), F.col("c")
+        )
+    )
+    return cum.groupBy("n_keys", "n_rows").agg(
+        F.max("c").alias("top1"),
+        med.alias("median_freq"),
+        p99.alias("p99_freq"),
+    ).select(
+        "n_keys",
+        "n_rows",
+        F.col("top1").alias("top1_count"),
+        roundn(F.col("top1").cast("double") / F.col("n_rows"), 6).alias(
+            "top1_share"
+        ),
+        "median_freq",
+        "p99_freq",
+        roundn(
+            F.col("top1").cast("double") / F.col("median_freq"), 4
+        ).alias("skew_ratio"),
+    )
+
+
+Q_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+), dist AS (
+  SELECT c, COUNT(*) AS k FROM counts GROUP BY c
+), cum AS (
+  SELECT c, k,
+         SUM(k) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(k) OVER () AS n_keys,
+         SUM(c * k) OVER () AS n_rows,
+         MAX(c) OVER () AS top1
+  FROM dist
+)
+SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
+       CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(MAX(top1) AS BIGINT) AS top1_count,
+       {sql_roundn("CAST(MAX(top1) AS DOUBLE) / MAX(n_rows)", 6)} AS top1_share,
+       MIN(CASE WHEN cum >= CEIL(0.5 * n_keys) THEN c END) AS median_freq,
+       MIN(CASE WHEN cum >= CEIL({SKEW_P_HI} * n_keys) THEN c END) AS p99_freq,
+       {sql_roundn("CAST(MAX(top1) AS DOUBLE)"
+                   " / MIN(CASE WHEN cum >= CEIL(0.5 * n_keys) THEN c END)", 4)}
+         AS skew_ratio
+FROM cum
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_key_skew_profile": (q_key_skew_profile, Q_KEY_SKEW_SQL),
     "q_mannwhitney_u": (q_mannwhitney_u, Q_MANNWHITNEY_SQL),
     "q_autocorr_daily": (q_autocorr_daily, Q_AUTOCORR_SQL),
     "q_ks_test": (q_ks_test, Q_KS_SQL),
