@@ -144,3 +144,74 @@ def test_mannwhitney_matches_numpy_midranks(spark, sf_dir):
     row = q_mannwhitney_u(spark, sf_dir).collect()[0]
     assert row.n_click == n1
     assert row.u_stat == u
+
+
+def test_rfm_quartiles_null_monetary_parity(spark, tmp_path):
+    """The ranked()/ntile_col quartiles must place NULL monetary users
+    exactly where the NTILE(4) DESC window would (NULLS LAST in both
+    Spark and DuckDB) — the sf0.01 corpus has no all-null-value user, so
+    this path needs synthetic coverage. Engine-internal comparison: the
+    rewired plan vs Spark's own window on a null-bearing events table."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.plans.events import q_rfm_segments
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for u in range(1, 13):
+        # users 4, 8, 12 emit ONLY null-value events -> null monetary
+        v = None if u % 4 == 0 else float(u)
+        rows.append(
+            (u * 10, base + datetime.timedelta(hours=u), u, "click", v, "{}")
+        )
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    d = str(tmp_path / "rfm_nulls")
+    spark.createDataFrame(rows, ddl).write.parquet(d + "/events.parquet")
+
+    got = {
+        r.user_id: (r.r_quartile, r.f_quartile, r.m_quartile)
+        for r in q_rfm_segments(spark, d).collect()
+    }
+    ev = spark.read.parquet(d + "/events.parquet")
+    asof = ev.agg(F.max("ts").alias("asof"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).alias(
+                "monetary_cents"
+            ),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("asof"), F.to_date("last_ts")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    want = {
+        r.user_id: (r.rq, r.fq, r.mq)
+        for r in per_user.select(
+            "user_id",
+            F.ntile(4)
+            .over(Window.orderBy(F.asc("recency_days"), F.asc("user_id")))
+            .alias("rq"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("frequency"), F.asc("user_id")))
+            .alias("fq"),
+            F.ntile(4)
+            .over(Window.orderBy(F.desc("monetary_cents"), F.asc("user_id")))
+            .alias("mq"),
+        ).collect()
+    }
+    assert got == want and len(want) == 12

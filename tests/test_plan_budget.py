@@ -71,13 +71,16 @@ SHUFFLE_BUDGETS = {
     "q_ann_lsh": 1,
     "q3_shipping_priority": 3,
     "q_contamination": 3,
-    # distribution-based exact quantiles: reverted to the two-pass plan
-    # (value-distribution groupBy per pass) after an A/B with fresh plan
-    # objects showed the fused-explode form slower at sf0.1 (2.42s vs
-    # 1.91s, BENCHNOTES round 3); the extra Exchange is the documented
-    # price of the faster plan — both passes shuffle only the distinct
-    # (key, value) distribution, not the raw rows.
-    "q_exact_quantiles": 4,
+    # distribution-based exact quantiles: two passes, each now riding
+    # the KEYED blocked_cumsum (round-6: a per-key ordered window put a
+    # low-cardinality key's whole near-unique distribution in ONE task;
+    # the blocked form range-partitions (key, value) so every sort is
+    # task-bounded). RAISED 4 -> 8: per pass, the artifact-scan window
+    # branch + offset branch + the _pid-keyed window exchange — every new
+    # Exchange is either the tiny offset table or bounded at
+    # table/partitions rows; the distribution groupBys are paid once at
+    # checkpoint build.
+    "q_exact_quantiles": 8,
     # round-4 additions: recorded at registration
     "q_yoy_growth": 2,            # year rollup + 7-row lag window
     "q_interarrival_stats": 2,    # (user,type) lag window + type rollup
@@ -163,10 +166,11 @@ SHUFFLE_BUDGETS = {
     "q_normalized_dedup": 2,
     # one bin groupBy over a zero-shuffle scoring map
     "q_quality_calibration": 1,
-    # two exact_quantiles passes (distribution groupBy + per-key window
-    # each) + the final outlier-count groupBy; quantile artifacts come
-    # back as BroadcastExchanges, not shuffles
-    "q_robust_outliers_mad": 7,
+    # two exact_quantiles passes (each on the keyed blocked_cumsum —
+    # RAISED 7 -> 9 with the round-6 rewire, same justification as
+    # q_exact_quantiles) + the final outlier-count groupBy; quantile
+    # artifacts come back as BroadcastExchanges, not shuffles
+    "q_robust_outliers_mad": 9,
     # lexical branch: posting groupBy + df/stats broadcast branches + doc
     # rollup; dense branch is a zero-shuffle map; both pools TakeOrdered
     # and fused by a <=2*RRF_POOL-row join

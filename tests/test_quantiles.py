@@ -221,3 +221,52 @@ def test_blocked_cumsum_edge_cases(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.ci, r.ce, r.n) == (3, 0, 3)
+
+
+def test_blocked_cumsum_keyed_matches_keyed_window(spark):
+    """part_cols: per-group running sums == Window.partitionBy(key) on a
+    low-cardinality key over a near-unique domain (the exact_quantiles
+    shape), including per-group totals and exclusive sums."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
+    rng = random.Random(77)
+    rows = [
+        (g, v, rng.randint(1, 5))
+        for g in ("a", "b", "c")
+        for v in rng.sample(range(-1_000_000, 1_000_000), 200)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, c long")
+    w_inc = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_exc = (
+        Window.partitionBy("g").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        (r.g, r.v): (r.ci, r.ce, r.n)
+        for r in df.select(
+            "g", "v",
+            F.sum("c").over(w_inc).alias("ci"),
+            F.coalesce(F.sum("c").over(w_exc), F.lit(0)).alias("ce"),
+            F.sum("c").over(Window.partitionBy("g")).alias("n"),
+        ).collect()
+    }
+    got = {
+        (r.g, r.v): (r.ci, r.ce, r.n)
+        for r in blocked_cumsum(
+            df,
+            ["v"],
+            {"ci": ("c", "inclusive"), "ce": ("c", "exclusive")},
+            part_cols=["g"],
+            totals={"n": "c"},
+            num_partitions=7,
+        ).collect()
+    }
+    assert got == expected

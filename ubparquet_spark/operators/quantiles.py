@@ -17,19 +17,27 @@ DISTRIBUTION instead:
 Interpolation matches DuckDB's ``quantile_cont`` and Spark's ``percentile``:
 ``v = v_lo + (v_hi - v_lo) * (h - floor(h))`` with 0-based order statistics.
 
-At 100 TB the expensive step is the distribution groupBy (one shuffle);
-the window sorts only distinct values per key. For near-unique value columns
-the distinct count approaches the row count and the per-key sort returns as
-the bottleneck — there, pre-bin values to a fixed grain or use
-``percentile_approx`` (``q_sketch_stats``).
+At 100 TB the expensive step is the distribution groupBy (one shuffle).
+The running total comes from ``operators.ranks.blocked_cumsum`` with the
+quantile keys as ``part_cols`` (round 6): a plain
+``Window.partitionBy(keys).orderBy(value)`` puts each key's ENTIRE
+distinct-value distribution in one task — for low-cardinality keys over
+near-unique values (integer cents of a price column) that is rows/n_keys
+through a single sort. The blocked form range-partitions (key, value),
+so every sort is bounded at ~table/partitions rows regardless of key
+cardinality or value uniqueness; only the n_tasks x n_keys offset table
+is broadcast. For monitoring at extreme scale ``percentile_approx``
+(``q_sketch_stats``) remains the cheap sketch alternative.
 """
 
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ubparquet_spark.operators.ranks import blocked_cumsum
 
 
 def exact_quantiles(
@@ -48,9 +56,12 @@ def exact_quantiles(
     dist = df.select(*keys, v).groupBy(*keys, "_v").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    w = Window.partitionBy(*keys).orderBy("_v")
-    dist = dist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
-        "_n", F.sum("_c").over(Window.partitionBy(*keys))
+    dist = blocked_cumsum(
+        dist,
+        ["_v"],
+        {"_cum": ("_c", "inclusive")},
+        part_cols=keys,
+        totals={"_n": "_c"},
     )
     aggs = [F.max("_n").alias("_n")]
     for name, p in probs.items():
@@ -103,9 +114,12 @@ def exact_quantiles_multi(
         *keys, "_e._var", "_e._v"
     )
     dist = base.groupBy(*keys, "_var", "_v").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.partitionBy(*keys, "_var").orderBy("_v")
-    dist = dist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
-        "_n", F.sum("_c").over(Window.partitionBy(*keys, "_var"))
+    dist = blocked_cumsum(
+        dist,
+        ["_v"],
+        {"_cum": ("_c", "inclusive")},
+        part_cols=[*keys, "_var"],
+        totals={"_n": "_c"},
     )
     # quantiles at the (keys, var) grain — h uses that var's own n
     aggs = [F.max("_n").alias("_n")]

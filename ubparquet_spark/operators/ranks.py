@@ -112,10 +112,12 @@ def blocked_cumsum(
     order_cols: list[str],
     sums: dict[str, tuple],
     *,
+    part_cols: list[str] | None = None,
     totals: dict[str, str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """``df`` + exact GLOBAL running sums under ``order_cols``, distributed.
+    """``df`` + exact running sums under ``order_cols``, distributed —
+    global by default, per ``part_cols`` group when given.
 
     Replaces the single-task ``SUM() OVER (ORDER BY v)`` pattern on
     value-distribution tables whose distinct-value domain is NOT
@@ -136,37 +138,54 @@ def blocked_cumsum(
 
     ``sums`` maps output column -> ``(input column/Column, kind)`` with
     kind ``"inclusive"`` (rows <= current) or ``"exclusive"`` (rows <
-    current, 0 for the globally first row). ``order_cols`` must be unique
-    within ``df`` (true of a value-distribution table keyed by the
-    value). ``totals`` (output column -> input column/Column) optionally
-    appends grand-total columns; they ride the SAME per-task aggregate
-    AND the same n_tasks-row offset window as the running sums (one
-    unbounded window spec alongside the ordered one — no extra exchange,
-    no second artifact scan, no crossJoin), reaching every row through
-    the one broadcast join.
+    current, 0 for the group's first row). ``order_cols`` must be unique
+    within a ``part_cols`` group (true of a value-distribution table
+    keyed by the value). ``totals`` (output column -> input
+    column/Column) optionally appends per-group grand-total columns;
+    they ride the SAME per-(task, group) aggregate AND the same offset
+    window table as the running sums (one unbounded-per-group window
+    spec alongside the ordered one — no extra exchange, no second
+    artifact scan, no crossJoin), reaching every row through the one
+    broadcast join.
+
+    ``part_cols`` is for LOW-cardinality grouping keys — exactly the
+    case where a ``Window.partitionBy(keys).orderBy(v)`` over a
+    near-unique value domain degenerates to one task per key (the
+    operators/quantiles caveat this closes): the offset table is
+    n_tasks x n_groups rows and is broadcast. High-cardinality groups
+    never have that pathology (their per-key partitions are small) and
+    should keep the plain keyed window.
     """
+    part_cols = list(part_cols or [])
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
+    sort_cols = [*part_cols, *order_cols]
     local = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*[F.asc(c) for c in order_cols])
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
-    per_task = local.groupBy("_pid").agg(
+    per_task = local.groupBy("_pid", *part_cols).agg(
         *[F.sum(as_col(ic)).alias(f"_t_{name}") for name, (ic, _k) in sums.items()],
         *[
             F.sum(as_col(ic)).alias(f"_tt_{name}")
             for name, ic in (totals or {}).items()
         ],
     )
-    w_before = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    w_all = Window.partitionBy()  # over the n_tasks-row per-task table only
+    # windows over the n_tasks x n_groups offset table only
+    w_before = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*part_cols)
     offsets = per_task.select(
         "_pid",
+        *part_cols,
         *[
             F.coalesce(F.sum(f"_t_{name}").over(w_before), F.lit(0)).alias(
                 f"_o_{name}"
@@ -178,14 +197,14 @@ def blocked_cumsum(
             for name in (totals or {})
         ],
     )
-    out = local.join(F.broadcast(offsets), "_pid")
+    out = local.join(F.broadcast(offsets), ["_pid", *part_cols])
     w_inc = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *part_cols)
         .orderBy(*[F.asc(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_exc = (
-        Window.partitionBy("_pid")
+        Window.partitionBy("_pid", *part_cols)
         .orderBy(*[F.asc(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, -1)
     )

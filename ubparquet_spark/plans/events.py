@@ -2163,7 +2163,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("num"), (-F.col("v")).alias("nv"), F.col("n1"), F.col("n2")
             )
         ).alias("b")
-    )
+    # empty pooled input: max() yields one null struct where the oracle's
+    # WHERE-filtered pick yields zero rows — drop it for parity
+    ).filter(F.col("b").isNotNull())
     return best.select(
         F.col("b.n1").cast("long").alias("n_click"),
         F.col("b.n2").cast("long").alias("n_purchase"),
