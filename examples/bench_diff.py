@@ -17,6 +17,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import signal
+
+# die silently when piped into `head` instead of a BrokenPipeError trace
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 
 def main() -> None:

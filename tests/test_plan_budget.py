@@ -71,16 +71,15 @@ SHUFFLE_BUDGETS = {
     "q_ann_lsh": 1,
     "q3_shipping_priority": 3,
     "q_contamination": 3,
-    # distribution-based exact quantiles: two passes, each now riding
-    # the KEYED blocked_cumsum (round-6: a per-key ordered window put a
+    # distribution-based exact quantiles: ONE fused explode pass on the
+    # KEYED blocked_cumsum (round-6: a per-key ordered window put a
     # low-cardinality key's whole near-unique distribution in ONE task;
     # the blocked form range-partitions (key, value) so every sort is
-    # task-bounded). RAISED 4 -> 8: per pass, the artifact-scan window
-    # branch + offset branch + the _pid-keyed window exchange — every new
-    # Exchange is either the tiny offset table or bounded at
-    # table/partitions rows; the distribution groupBys are paid once at
-    # checkpoint build.
-    "q_exact_quantiles": 8,
+    # task-bounded — and with a checkpoint per pass, fusing the two
+    # columns halved the passes, re-flipping the round-3 A/B). The
+    # exchanges are the artifact-scan window branch + offset branch +
+    # the _pid-keyed window, each tiny or task-bounded.
+    "q_exact_quantiles": 5,
     # round-4 additions: recorded at registration
     "q_yoy_growth": 2,            # year rollup + 7-row lag window
     "q_interarrival_stats": 2,    # (user,type) lag window + type rollup

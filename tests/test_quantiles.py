@@ -270,3 +270,43 @@ def test_blocked_cumsum_keyed_matches_keyed_window(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_exact_quantiles_multi_matches_percentile(spark):
+    """The one-scan multi-column form equals Spark's exact percentile on
+    both columns, including ties and the n_rows contract (first column's
+    non-null count)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.quantiles import exact_quantiles_multi
+
+    rng = random.Random(9)
+    rows = [
+        (g, float(rng.randint(0, 40)), float(rng.randint(-5, 5)))
+        for g in ("a", "b")
+        for _ in range(137)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {
+        r.k: r.asDict()
+        for r in exact_quantiles_multi(
+            df, ["k"], {"x": {"x_med": 0.5, "x_p90": 0.9}, "y": {"y_q1": 0.25}}
+        ).collect()
+    }
+    want = {
+        r.k: r.asDict()
+        for r in df.groupBy("k")
+        .agg(
+            F.expr("percentile(x, 0.5)").alias("x_med"),
+            F.expr("percentile(x, 0.9)").alias("x_p90"),
+            F.expr("percentile(y, 0.25)").alias("y_q1"),
+            F.count("x").alias("n_rows"),
+        )
+        .collect()
+    }
+    for k in want:
+        for c in ("x_med", "x_p90", "y_q1"):
+            assert abs(got[k][c] - want[k][c]) < 1e-9, (k, c)
+        assert got[k]["n_rows"] == want[k]["n_rows"]

@@ -1444,31 +1444,26 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Two per-column distribution passes + a 3-row join — measured FASTER
-    # than the round-2 fused explode form (A/B with fresh plan objects at
-    # sf0.1: two-pass 1.9 s vs fused 2.4 s best-of-4; the round-2 "fusion
-    # 2.1× win" was a shuffle-reuse measurement artifact — re-counting the
-    # same DataFrame object skips its shuffle stages). In a column store
-    # "one scan" buys little: each pass prunes to exactly the columns it
-    # needs, so two passes read the same bytes the fused scan read, while
-    # the fused form pays explode row-doubling plus a string grouping key
-    # through its shuffle. `exact_quantiles_multi` remains the right
-    # operator when MANY value columns amortize one pass (N passes vs 1).
-    from ubparquet_spark.operators.quantiles import exact_quantiles
+    # ONE fused explode pass (`exact_quantiles_multi`) — the round-3 A/B
+    # that picked two per-column passes (1.9 s vs 2.4 s) flipped when the
+    # round-6 blocked_cumsum rewire made each pass pay a checkpoint
+    # build: re-measured with fresh plan objects at sf0.1, fused 2.19 s
+    # vs two-pass 2.85 s best-of-3 — one checkpoint + one blocked pass
+    # now beats two of each, where the old window plans had nothing to
+    # amortize. (Both histories in BENCHNOTES; the explode row-doubling
+    # cost is unchanged, the fixed per-pass cost is what moved.)
+    from ubparquet_spark.operators.quantiles import exact_quantiles_multi
 
     li = load_table(spark, sf_dir, "lineitem")
-    price = exact_quantiles(
+    both = exact_quantiles_multi(
         li,
         ["l_returnflag"],
-        "l_extendedprice",
-        {"median_price": 0.5, "p90_price": 0.9},
+        {
+            "l_extendedprice": {"median_price": 0.5, "p90_price": 0.9},
+            "l_discount": {"q1_discount": 0.25},
+        },
     )
-    disc = exact_quantiles(
-        li, ["l_returnflag"], "l_discount", {"q1_discount": 0.25}
-    )
-    return price.join(
-        disc.select("l_returnflag", "q1_discount"), ["l_returnflag"]
-    ).select(
+    return both.select(
         "l_returnflag",
         roundn(F.col("median_price")).alias("median_price"),
         roundn(F.col("p90_price")).alias("p90_price"),
