@@ -112,3 +112,96 @@ def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
             failures.append(f"{name}: {str(e).splitlines()[0][:100]}")
     assert not failures, failures
 
+
+
+# ---------------------------------------------------------------------------
+# Degenerate-corpus ORACLE sweep (round 6) — the empty-table sweep's big
+# sibling. Constant prices/quantities/values (zero variance), all users
+# collapsed to 3, every document one of TWO texts (mass duplicates, one
+# lang, one source with no numeric suffix), every embedding the same
+# vector. This data hits the paths sf0.01 never does: zero-variance
+# divisions (Pearson/Spearman/OLS denominators), empty regex extractions
+# under ANSI casts, single-source regressions, all-ties rankings. The
+# gate is FULL oracle parity, not just no-throw: every registered query
+# must run AND every oracled query must hash-match DuckDB on this
+# corpus. Round-6 findings fixed to get here green: q_spearman /
+# q_heaps_fit NULL-on-zero-variance via identical double guard
+# expressions in both engines, q_regex_source_buckets /
+# q_mixture_sample try_cast instead of ANSI CAST.
+# ---------------------------------------------------------------------------
+
+_DEGEN_SQL = {
+    "region": "SELECT * FROM src",
+    "nation": "SELECT * FROM src",
+    "customer": "SELECT * FROM src",
+    "supplier": "SELECT * FROM src",
+    "part": "SELECT * FROM src",
+    "orders": (
+        "SELECT o_orderkey, o_custkey % 3 AS o_custkey, o_orderstatus,"
+        " CAST(100.0 AS DOUBLE) AS o_totalprice, o_orderdate,"
+        " o_orderpriority FROM src"
+    ),
+    "lineitem": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " CAST(5.0 AS DOUBLE) AS l_quantity,"
+        " CAST(100.0 AS DOUBLE) AS l_extendedprice,"
+        " CAST(0.05 AS DOUBLE) AS l_discount,"
+        " CAST(0.02 AS DOUBLE) AS l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM src"
+    ),
+    "events": (
+        "SELECT event_id, ts, user_id % 3 AS user_id, event_type,"
+        " CASE WHEN value IS NULL THEN NULL ELSE 5.0 END AS value,"
+        " props FROM src"
+    ),
+    "documents": (
+        "SELECT doc_id, CASE WHEN doc_id % 2 = 0"
+        " THEN 'the quick brown fox jumps over the lazy dog'"
+        " ELSE 'lorem ipsum dolor sit amet' END AS text,"
+        " 'en' AS lang, 'web' AS source, 44 AS n_chars FROM src"
+    ),
+    "embeddings": (
+        "SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(0.5 AS FLOAT)) AS embedding, 1 AS label FROM src"
+    ),
+}
+
+
+def test_degenerate_corpus_full_oracle_parity(spark, tmp_path_factory):
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_degen"))
+    build = duckdb.connect()
+    for t, sql in _DEGEN_SQL.items():
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
+        )
+        build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con = duckdb.connect()
+    for t in _DEGEN_SQL:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+
+    def vhash(p):
+        p = p[sorted(p.columns)].sort_values(
+            by=sorted(p.columns), ignore_index=True
+        )
+        return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()[:12]
+
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            pdf = fn(spark, dst).toPandas()
+        except Exception as e:
+            failures.append(f"{name}: THREW {str(e).splitlines()[0][:120]}")
+            continue
+        if name not in oracles:
+            continue
+        if vhash(pdf) != vhash(con.sql(oracles[name]).df()):
+            failures.append(f"{name}: hash mismatch ({len(pdf)} rows)")
+    assert not failures, failures

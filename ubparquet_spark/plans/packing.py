@@ -190,7 +190,10 @@ HASH_MOD = 1_000_000
 
 
 def _keep_rate() -> F.Column:
-    idx = F.substring("source", 4, 8).cast("int")
+    # try_cast: a source tag without the numeric suffix yields a NULL
+    # rate (and a 0 keep via the coalesce below), not an ANSI cast error
+    # — mirrored with TRY_CAST in the oracle (degenerate-corpus sweep)
+    idx = F.substring("source", 4, 8).try_cast("int")
     return (F.lit(N_SOURCES) - idx) / float(N_SOURCES)
 
 
@@ -209,7 +212,10 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # string, so the shared helper reproduces the original md5 input
     u = hash_unit(F.col("doc_id"), "", HASH_MOD)
     flagged = docs.select(
-        "source", (u < _keep_rate()).cast("long").alias("keep")
+        "source",
+        # NULL rate (non-numeric source tag): keep 0, matching the SQL
+        # CASE's ELSE branch — sum semantics stay engine-identical
+        F.coalesce((u < _keep_rate()).cast("long"), F.lit(0)).alias("keep"),
     )
     agg = flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
@@ -229,13 +235,13 @@ WITH flagged AS (
   SELECT source,
          CASE WHEN (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                          AS BIGINT) % {HASH_MOD}) / {HASH_MOD}.0
-                   < ({N_SOURCES} - CAST(substr(source, 4, 8) AS INT))
+                   < ({N_SOURCES} - TRY_CAST(substr(source, 4, 8) AS INT))
                      / {N_SOURCES}.0
               THEN 1 ELSE 0 END AS keep
   FROM documents
 )
 SELECT source,
-       ({N_SOURCES} - CAST(substr(source, 4, 8) AS INT)) / {N_SOURCES}.0 AS rate,
+       ({N_SOURCES} - TRY_CAST(substr(source, 4, 8) AS INT)) / {N_SOURCES}.0 AS rate,
        CAST(count(*) AS BIGINT) AS n_total,
        CAST(SUM(keep) AS BIGINT) AS n_kept,
        CAST(SUM(keep) AS DOUBLE) / count(*) AS emp_rate

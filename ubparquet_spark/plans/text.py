@@ -4174,12 +4174,18 @@ def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("double") / _ZIPF_SCALE
     sxy = F.col("sxy").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
     sxx = F.col("sxx").cast("double") / (float(_ZIPF_SCALE) * _ZIPF_SCALE)
-    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # a single source (or identical ln-sizes) leaves the regression
+    # undefined: NULL in both engines via the IDENTICAL double guard
+    # expression, never an ANSI DIVIDE_BY_ZERO (degenerate-corpus sweep)
+    varx = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / varx
     return sums.select(
         F.col("n").alias("n_sources"),
-        roundn(beta, 6).alias("heaps_beta"),
+        F.when(varx > 0, roundn(beta, 6)).alias("heaps_beta"),
         # K = exp(mean(y) - β·mean(x))
-        roundn(F.exp((sy - beta * sx) / n), 6).alias("heaps_k"),
+        F.when(varx > 0, roundn(F.exp((sy - beta * sx) / n), 6)).alias(
+            "heaps_k"
+        ),
     )
 
 
@@ -4207,12 +4213,15 @@ WITH per_source AS (
   FROM sums
 )
 SELECT n AS n_sources,
-       {sql_roundn(
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN {sql_roundn(
            "(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)", 6)}
-         AS heaps_beta,
-       {sql_roundn(
+       END AS heaps_beta,
+       CASE WHEN nd * sxxd - sxd * sxd > 0
+            THEN {sql_roundn(
            "EXP((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))"
-           " * sxd) / nd)", 6)} AS heaps_k
+           " * sxd) / nd)", 6)}
+       END AS heaps_k
 FROM d
 """
 

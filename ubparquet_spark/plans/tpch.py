@@ -833,7 +833,9 @@ WHERE (p_brand = 'Brand#11' AND l_quantity BETWEEN 1 AND 20 AND p_size <= 10)
 
 def q_regex_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.regexp_extract("source", "([0-9]+)", 1).cast("long")
+    # try_cast: a source tag with no digits extracts '' — a null bucket,
+    # not an ANSI cast error (both engines; degenerate-corpus sweep)
+    src_num = F.regexp_extract("source", "([0-9]+)", 1).try_cast("long")
     return (
         docs.select((src_num % 10).alias("source_bucket"), "n_chars")
         .groupBy("source_bucket")
@@ -845,7 +847,7 @@ def q_regex_source_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_REGEX_SQL = """
-SELECT CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 10 AS source_bucket,
+SELECT TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 10 AS source_bucket,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
@@ -3190,12 +3192,15 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    # zero variance on either variable (a constant column) leaves rho
+    # undefined: NULL, matching DuckDB's NULL-on-zero-divisor — never an
+    # ANSI DIVIDE_BY_ZERO (degenerate-corpus sweep)
+    var2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
     return sums.select(
         F.col("n").alias("n_rows"),
-        roundn(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
+        F.when(
+            var2 > 0,
+            roundn((n * sxy - sx * sy) / F.sqrt(var2), 6),
         ).alias("spearman_rho"),
     )
 
@@ -3228,14 +3233,18 @@ joined AS (
   FROM joined
 )
 SELECT n AS n_rows,
-       {sql_roundn(
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN {sql_roundn(
            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
            " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
            " / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
            "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
            "        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
            "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)}
-         AS spearman_rho
+       END AS spearman_rho
 FROM sums
 """
 
