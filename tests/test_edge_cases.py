@@ -167,7 +167,52 @@ _DEGEN_SQL = {
 }
 
 
-def test_degenerate_corpus_full_oracle_parity(spark, tmp_path_factory):
+# Extremes corpus (round 6, second sweep): NEGATIVE amounts (refunds),
+# sub-cent values that round to 0 cents, near-1e6 magnitudes, boundary
+# discounts (0.0 / 1.0), and EMPTY documents. First run found: Benford
+# ANSI casts of '-' and log(1 + 1/0) on digit 0, the minhash sentinel
+# bucket (docs with < 3 tokens collapsed into one md5('') band — every
+# tiny doc a "near-dup candidate" of every other), and BPE's '' word
+# hitting the sequence(1, 0) -> [1, 0] hazard. All fixed with
+# engine-identical semantics; the sweep pins them.
+_EXTREME_SQL = dict(
+    _DEGEN_SQL,
+    orders=(
+        "SELECT o_orderkey, o_custkey, o_orderstatus,"
+        " CAST(CASE o_orderkey % 3 WHEN 0 THEN -50.25 WHEN 1 THEN 0.004"
+        " ELSE 999999.99 END AS DOUBLE) AS o_totalprice,"
+        " o_orderdate, o_orderpriority FROM src"
+    ),
+    lineitem=(
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " CAST(CASE l_orderkey % 2 WHEN 0 THEN -3.0 ELSE 49.0 END"
+        " AS DOUBLE) AS l_quantity,"
+        " CAST(CASE l_orderkey % 3 WHEN 0 THEN -1234.56 WHEN 1 THEN 0.009"
+        " ELSE 999999.99 END AS DOUBLE) AS l_extendedprice,"
+        " CAST(CASE l_orderkey % 2 WHEN 0 THEN 0.0 ELSE 1.0 END"
+        " AS DOUBLE) AS l_discount,"
+        " l_tax, l_returnflag, l_linestatus, l_shipdate FROM src"
+    ),
+    events=(
+        "SELECT event_id, ts, user_id, event_type,"
+        " CAST(CASE WHEN value IS NULL THEN NULL"
+        " WHEN event_id % 3 = 0 THEN -123.45 WHEN event_id % 3 = 1 THEN 0.005"
+        " ELSE 999999.99 END AS DOUBLE) AS value, props FROM src"
+    ),
+    documents=(
+        "SELECT doc_id,"
+        " CAST(CASE WHEN doc_id % 7 = 0 THEN '' ELSE text END AS VARCHAR)"
+        " AS text, lang, source,"
+        " CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE n_chars END AS BIGINT)"
+        " AS n_chars FROM src"
+    ),
+    embeddings="SELECT * FROM src",
+)
+
+
+def _oracle_parity_sweep(spark, dst: str, table_sql: dict) -> list[str]:
+    """Build the corpus via DuckDB, then require every registered query
+    to run AND every oracled query to hash-match DuckDB on it."""
     import hashlib
 
     import duckdb
@@ -175,15 +220,14 @@ def test_degenerate_corpus_full_oracle_parity(spark, tmp_path_factory):
     import __spark_entry__ as entry
 
     src = "/root/testdata/sf0.001"
-    dst = str(tmp_path_factory.mktemp("sf_degen"))
     build = duckdb.connect()
-    for t, sql in _DEGEN_SQL.items():
+    for t, sql in table_sql.items():
         build.sql(
             f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
         )
         build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
     con = duckdb.connect()
-    for t in _DEGEN_SQL:
+    for t in table_sql:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
 
     def vhash(p):
@@ -204,4 +248,16 @@ def test_degenerate_corpus_full_oracle_parity(spark, tmp_path_factory):
             continue
         if vhash(pdf) != vhash(con.sql(oracles[name]).df()):
             failures.append(f"{name}: hash mismatch ({len(pdf)} rows)")
+    return failures
+
+
+def test_degenerate_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_degen"))
+    failures = _oracle_parity_sweep(spark, dst, _DEGEN_SQL)
+    assert not failures, failures
+
+
+def test_extremes_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_extreme"))
+    failures = _oracle_parity_sweep(spark, dst, _EXTREME_SQL)
     assert not failures, failures

@@ -324,16 +324,26 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
     # (A conditional repartition to widen the single-split local scan was
     # measured SLOWER here — the extra exchange costs more than the now-
     # cheap signature map; on a real lake file splits parallelize it.)
-    base = docs.withColumn("toks", F.split("text", " ")).withColumn(
-        "bases",
-        # size >= 3 guard: sequence(1, n<=0) would yield [1, 0] (step -1)
-        F.expr(
-            "if(size(toks) >= 3,"
-            " transform(sequence(1, size(toks) - 2),"
-            " i -> pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 3), ' ')),"
-            f" 1, 15), 16, 10) AS BIGINT), {_MH_P})),"
-            " array())"
-        ),
+    base = (
+        docs.withColumn("toks", F.split("text", " "))
+        # a doc with < 3 tokens has NO shingles: it must emit NO bands.
+        # Without this filter its empty signature collapses to a single
+        # sentinel bucket (array_min([]) -> NULL -> concat_ws skips ->
+        # md5('')) that pairs every tiny doc with every other one as a
+        # "near-dup candidate" — and diverges from the oracle's NULL
+        # band_key (extremes-corpus sweep finding, round 6)
+        .filter(F.size("toks") >= 3)
+        .withColumn(
+            "bases",
+            # size >= 3 guard: sequence(1, n<=0) would yield [1, 0] (step -1)
+            F.expr(
+                "if(size(toks) >= 3,"
+                " transform(sequence(1, size(toks) - 2),"
+                " i -> pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 3), ' ')),"
+                f" 1, 15), 16, 10) AS BIGINT), {_MH_P})),"
+                " array())"
+            ),
+        )
     )
     sigs = base.select(
         "doc_id",
@@ -401,6 +411,7 @@ def _minhash_band_ctes() -> str:
            i -> CAST('0x' || substr(md5(array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')), 1, 15) AS BIGINT) % {_MH_P}
          ) AS bases
   FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
 ), sigs AS (
   SELECT doc_id,
          {hashes}
@@ -1892,6 +1903,11 @@ def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tokens_col()).alias("tok"))
+        # an empty string is not a word: split('') yields [''] in both
+        # engines, and the '' "word" then hits the sequence(1, 0) ->
+        # [1, 0] hazard in the syms build (Spark) vs NULL (DuckDB) —
+        # filtered identically on both sides (degenerate/extremes sweep)
+        .filter(F.col("tok") != "")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn(
@@ -2046,6 +2062,7 @@ def _bpe_ctes() -> str:
         f"""w AS (
   SELECT tok, COUNT(*) AS cnt
   FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok != ''
   GROUP BY tok
 ), s0 AS (
   SELECT tok, cnt,

@@ -3029,11 +3029,19 @@ FROM lineitem"""
 
 def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    digit = F.substring(cents("o_totalprice").cast("string"), 1, 1).cast(
+    # |cents|: Benford's law reads the leading significant digit, and a
+    # negative amount (refund/chargeback) would otherwise put '-' into
+    # the ANSI string->long cast (extremes-corpus sweep finding)
+    digit = F.substring(F.abs(cents("o_totalprice")).cast("string"), 1, 1).cast(
         "long"
     )
     total = orders.agg(F.count(F.lit(1)).alias("n_total"))
-    per = orders.select(digit.alias("digit")).groupBy("digit").agg(
+    # digit 0 = a zero-cent amount (sub-cent price): no leading
+    # significant digit exists, and 1/digit would divide by zero —
+    # excluded identically in both engines (extremes-corpus sweep)
+    per = orders.select(digit.alias("digit")).filter(
+        F.col("digit") >= 1
+    ).groupBy("digit").agg(
         F.count(F.lit(1)).alias("n")
     )
     expected = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(
@@ -3056,10 +3064,13 @@ Q_BENFORD_SQL = f"""
 WITH total AS (
   SELECT COUNT(*) AS n_total FROM orders
 ), per AS (
-  SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+  SELECT CAST(substr(CAST(ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
                           AS VARCHAR), 1, 1) AS BIGINT) AS digit,
          COUNT(*) AS n
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE CAST(substr(CAST(ABS(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                         AS VARCHAR), 1, 1) AS BIGINT) >= 1
+  GROUP BY 1
 )
 SELECT digit, n,
        {sql_roundn("CAST(n AS DOUBLE) / n_total", 6)} AS obs_frac,
