@@ -261,3 +261,38 @@ def test_extremes_corpus_full_oracle_parity(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("sf_extreme"))
     failures = _oracle_parity_sweep(spark, dst, _EXTREME_SQL)
     assert not failures, failures
+
+
+# Unicode corpus (round 6, third sweep): CJK, emoji (incl. a ZWJ family
+# sequence), combining accents, RTL Arabic, Cyrillic — pins that the
+# whole text stack (split/substr/length/md5 shingles, char entropy,
+# lang-id, BPE char folds) agrees across engines on multibyte input.
+# Passed clean on first run; kept as a regression gate.
+_UNICODE_TEXT = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN '中文分词 测试文本 数据管道 中文分词'"
+    " WHEN 1 THEN '\U0001F600 café naïve résumé"
+    " \U0001F468‍\U0001F469‍\U0001F467 \U0001F600'"
+    " WHEN 2 THEN 'مرحبا بالعالم اختبار مرحبا'"
+    " WHEN 3 THEN 'привет мир тест привет'"
+    " ELSE 'ascii words here stay plain ascii words' END"
+)
+
+_UNICODE_SQL = dict(
+    _DEGEN_SQL,
+    orders="SELECT * FROM src",
+    lineitem="SELECT * FROM src",
+    events="SELECT * FROM src",
+    embeddings="SELECT * FROM src",
+    documents=(
+        f"SELECT doc_id, CAST({_UNICODE_TEXT} AS VARCHAR) AS text,"
+        f" lang, source, CAST(length({_UNICODE_TEXT}) AS BIGINT) AS n_chars"
+        " FROM src"
+    ),
+)
+
+
+def test_unicode_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_unicode"))
+    failures = _oracle_parity_sweep(spark, dst, _UNICODE_SQL)
+    assert not failures, failures
