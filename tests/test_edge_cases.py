@@ -296,3 +296,31 @@ def test_unicode_corpus_full_oracle_parity(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("sf_unicode"))
     failures = _oracle_parity_sweep(spark, dst, _UNICODE_SQL)
     assert not failures, failures
+
+
+# Zero-vector corpus (round 6, fourth sweep): every 5th embedding is
+# all-zero (padding rows in a real feature store). First run threw ANSI
+# DIVIDE_BY_ZERO in ELEVEN queries — every inline cosine divided by
+# sqrt(norm²·norm²)=0. Fixed centrally: plans/similarity._cosine yields
+# NULL for zero-norm vectors (DuckDB's /0 -> NULL), which drops them
+# from >= threshold joins and sorts them last in desc top-k on both
+# engines; q_semantic_dedup_smallk's unrolled pair cosine carries the
+# same guard.
+_ZEROVEC_SQL = dict(
+    _DEGEN_SQL,
+    orders="SELECT * FROM src",
+    lineitem="SELECT * FROM src",
+    events="SELECT * FROM src",
+    documents="SELECT * FROM src",
+    embeddings=(
+        "SELECT vec_id, CASE WHEN vec_id % 5 = 0"
+        " THEN list_transform(embedding, x -> CAST(0.0 AS FLOAT))"
+        " ELSE embedding END AS embedding, label FROM src"
+    ),
+)
+
+
+def test_zero_vector_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_zerovec"))
+    failures = _oracle_parity_sweep(spark, dst, _ZEROVEC_SQL)
+    assert not failures, failures

@@ -43,6 +43,16 @@ def _sq_norm(a: str) -> Column:
     return _dot(a, a)
 
 
+def _cosine(a: str, b: str) -> Column:
+    """Cosine similarity; NULL when either vector has zero norm (a
+    padding/all-zero embedding leaves the angle undefined) — matching
+    DuckDB, whose x/0 yields NULL, instead of an ANSI DIVIDE_BY_ZERO
+    (zero-vector corpus sweep, round 6). NULLs sort last under the
+    descending top-k orderings in both engines."""
+    den = _sq_norm(a) * _sq_norm(b)
+    return F.when(den > 0, _dot(a, b) / F.sqrt(den))
+
+
 def _sign_bucket(a: str, bits: int = LSH_SIGN_BITS, offset: int = 0) -> Column:
     """Sign-bit LSH bucket from ``bits`` dimensions starting at ``offset``."""
     terms = " + ".join(
@@ -87,8 +97,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             roundn(
-                _dot("embedding", "qvec")
-                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                _cosine("embedding", "qvec"),
                 6,
             ).alias("cosine"),
         )
@@ -128,8 +137,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "bucket",
             roundn(
-                _dot("embedding", "qvec")
-                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                _cosine("embedding", "qvec"),
                 6,
             ).alias("cosine"),
         )
@@ -188,8 +196,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "qbucket",
         roundn(
-            _dot("embedding", "qvec")
-            / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+            _cosine("embedding", "qvec"),
             6,
         ).alias("cosine"),
     )
@@ -317,8 +324,7 @@ def embedding_neardup_pairs(
     a = e.alias("a")
     b = e.alias("b")
     cos = roundn(
-        _dot("a.embedding", "b.embedding")
-        / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
+        _cosine("a.embedding", "b.embedding"),
         6,
     )
     return (
@@ -555,8 +561,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             roundn(
-                _dot("embedding", "qvec")
-                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                _cosine("embedding", "qvec"),
                 6,
             ).alias("cosine"),
         )
@@ -685,8 +690,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "qvec",
             roundn(
-                _dot("centroid", "qvec")
-                / F.sqrt(_sq_norm("centroid") * _sq_norm("qvec")),
+                _cosine("centroid", "qvec"),
                 6,
             ).alias("cscore"),
         )
@@ -701,8 +705,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             roundn(
-                _dot("embedding", "qvec")
-                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                _cosine("embedding", "qvec"),
                 6,
             ).alias("cosine"),
         )
@@ -759,8 +762,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "qvec",
             roundn(
-                _dot("centroid", "qvec")
-                / F.sqrt(_sq_norm("centroid") * _sq_norm("qvec")),
+                _cosine("centroid", "qvec"),
                 6,
             ).alias("cscore"),
         )
@@ -778,8 +780,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "probe_rank",
             roundn(
-                _dot("embedding", "qvec")
-                / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+                _cosine("embedding", "qvec"),
                 6,
             ).alias("cosine"),
         )
@@ -872,8 +873,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cell",
         roundn(
-            _dot("embedding", "qvec")
-            / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+            _cosine("embedding", "qvec"),
             6,
         ).alias("cosine"),
     )
@@ -1169,7 +1169,11 @@ def q_semantic_dedup_smallk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_dot = F.expr(
         " + ".join(f"(a.dvec[{i}] * b.dvec[{i}])" for i in range(n_dims))
     )
-    cos = roundn(pair_dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    # zero-norm guard: an all-zero embedding has no angle — NULL cosine
+    # (DuckDB's /0 -> NULL), so the >= threshold join arm never matches;
+    # without it ANSI mode throws DIVIDE_BY_ZERO (zero-vector sweep)
+    den = F.col("a.norm") * F.col("b.norm")
+    cos = F.when(den > 0, roundn(pair_dot / den, 6))
     # LEFT join from every b row to its earlier near-duplicates, then one
     # any-match aggregation — fuses the old pairs → distinct → join-back
     # tail (3 stages, a 3rd re-execution of `assigned`) into join + groupBy:
@@ -2063,8 +2067,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("vec_id") % HN_ANCHOR_MOD == 0).alias("a")
     b = e.hint("shuffle_hash").alias("b")
     cos = roundn(
-        _dot("a.embedding", "b.embedding")
-        / F.sqrt(_sq_norm("a.embedding") * _sq_norm("b.embedding")),
+        _cosine("a.embedding", "b.embedding"),
         6,
     )
     pairs = (
@@ -2232,12 +2235,11 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         roundn(
-            _dot("embedding", "qvec")
-            / F.sqrt(_sq_norm("embedding") * _sq_norm("qvec")),
+            _cosine("embedding", "qvec"),
             6,
         ).alias("cf"),
         roundn(
-            _dot("hvec", "qh") / F.sqrt(_sq_norm("hvec") * _sq_norm("qh")),
+            _cosine("hvec", "qh"),
             6,
         ).alias("ch"),
     )
