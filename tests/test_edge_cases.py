@@ -86,30 +86,15 @@ def test_dedup_groups_no_edges(spark):
 
 def test_every_registered_query_survives_empty_tables(spark, tmp_path_factory):
     """A 100 TB lake has empty partitions somewhere every day: every
-    registered query must plan and execute (0 rows is fine, throwing is
-    not) against a fully empty, schema-identical dataset. Guards the
-    sequence(1, n<=0) class of hazards for good."""
-    import duckdb
-
-    import __spark_entry__ as entry
-
-    src = "/root/testdata/sf0.001"
+    registered query must plan and execute against a fully empty,
+    schema-identical dataset — AND (round 7, upgraded from no-throw to
+    full parity) every oracled query must hash-match DuckDB on it.
+    Guards the sequence(1, n<=0) hazard class and the 0-rows-vs-one-NULL-
+    row empty-aggregate divergence class (q_key_skew_profile, round-6
+    ADVICE) for good."""
     dst = str(tmp_path_factory.mktemp("sf_empty"))
-    con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.sql(
-            f"COPY (SELECT * FROM '{src}/{t}.parquet' LIMIT 0)"
-            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    failures = []
-    for name, fn in entry.queries().items():
-        try:
-            assert fn(spark, dst).count() >= 0
-        except Exception as e:  # collect all, report once
-            failures.append(f"{name}: {str(e).splitlines()[0][:100]}")
+    empty_sql = {t: "SELECT * FROM src LIMIT 0" for t in _DEGEN_SQL}
+    failures = _oracle_parity_sweep(spark, dst, empty_sql)
     assert not failures, failures
 
 

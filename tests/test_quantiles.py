@@ -82,6 +82,35 @@ def test_distributed_rank_matches_window_functions(spark):
     assert got == expected
 
 
+def test_ranked_nullable_group_key(spark):
+    """ranked() keeps NULL-key groups: Window.partitionBy treats NULL as
+    an ordinary partition value, so the blocked offset join must be
+    null-safe (round-6 ADVICE — a name-list join dropped these rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import ranked
+
+    rows = [(g, i * 13 % 29, i) for g in ("a", None, "b") for i in range(11)]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    expected = {
+        (r.g, r.id): (r.rk, r.n)
+        for r in df.select(
+            "g", "id",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n"),
+        ).collect()
+    }
+    got = {
+        (r.g, r.id): (r.rank, r.n_rows)
+        for r in ranked(df, ["g"], ["v", "id"], num_partitions=5).select(
+            "g", "id", "rank", "n_rows"
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_rank_canary_real_table_multi_partition(spark, sf_dir):
     """Round-2 carry-over canary: at real multi-task scale (sf0.01 orders,
     32 range partitions) recompute one group's ranks via a plain window
@@ -226,7 +255,10 @@ def test_blocked_cumsum_edge_cases(spark):
 def test_blocked_cumsum_keyed_matches_keyed_window(spark):
     """part_cols: per-group running sums == Window.partitionBy(key) on a
     low-cardinality key over a near-unique domain (the exact_quantiles
-    shape), including per-group totals and exclusive sums."""
+    shape), including per-group totals and exclusive sums. A NULL group
+    key is included: Window.partitionBy treats NULL as an ordinary
+    partition value, so the blocked offset join must be null-safe or the
+    whole NULL-key group silently vanishes (round-6 ADVICE)."""
     import random
 
     from pyspark.sql import Window
@@ -237,7 +269,7 @@ def test_blocked_cumsum_keyed_matches_keyed_window(spark):
     rng = random.Random(77)
     rows = [
         (g, v, rng.randint(1, 5))
-        for g in ("a", "b", "c")
+        for g in ("a", "b", "c", None)
         for v in rng.sample(range(-1_000_000, 1_000_000), 200)
     ]
     df = spark.createDataFrame(rows, "g string, v long, c long")

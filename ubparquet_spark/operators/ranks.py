@@ -43,6 +43,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _shuffle_partitions(df: DataFrame) -> int:
+    """Shuffle-partition count with a fallback for non-numeric confs
+    (``spark.sql.shuffle.partitions`` may be set to ``auto`` under some
+    resource managers)."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _null_safe_join_broadcast(
+    local: DataFrame, offsets: DataFrame, part_cols: list[str]
+) -> DataFrame:
+    """Broadcast-join ``offsets`` back onto ``local`` on ``(_pid,
+    part_cols)`` with NULL-SAFE equality on the group keys.
+
+    A ``join(..., ["_pid", *part_cols])`` name-list join is null-unsafe:
+    a NULL group key (kept as an ordinary group by ``groupBy`` — and by
+    the ``Window.partitionBy`` these operators replace) would silently
+    vanish from the output. ``eqNullSafe`` keys remain valid
+    BroadcastHashJoin keys, so the physical plan is unchanged for
+    non-null keys."""
+    l, o = local.alias("_lhs"), offsets.alias("_rhs")
+    cond = F.col("_lhs._pid") == F.col("_rhs._pid")
+    for c in part_cols:
+        cond &= F.col(f"_lhs.{c}").eqNullSafe(F.col(f"_rhs.{c}"))
+    return l.join(F.broadcast(o), cond).drop(
+        F.col("_rhs._pid"), *[F.col(f"_rhs.{c}") for c in part_cols]
+    )
+
+
 def ranked(
     df: DataFrame,
     part_cols: list[str],
@@ -57,9 +89,7 @@ def ranked(
     unique within a group), and ``n_col`` — the group's row count."""
     sort_cols = [*part_cols, *order_cols]
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        num_partitions = _shuffle_partitions(df)
     local = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
@@ -101,7 +131,7 @@ def ranked(
         F.sum("_cnt").over(Window.partitionBy(*part_cols)).alias(n_col),
     )
     return (
-        local.join(F.broadcast(offsets), ["_pid", *part_cols])
+        _null_safe_join_broadcast(local, offsets, part_cols)
         .withColumn(rank_col, F.col("_g") - F.col("_min_g") + 1 + F.col("_off"))
         .drop("_pid", "_g", "_min_g", "_off")
     )
@@ -158,15 +188,19 @@ def blocked_cumsum(
     """
     part_cols = list(part_cols or [])
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        num_partitions = _shuffle_partitions(df)
     sort_cols = [*part_cols, *order_cols]
+    # lazy checkpoint: materializes at the plan's FIRST ACTION (so merely
+    # constructing a plan launches no Spark jobs), after which the offset
+    # branch and the window branch both read the one artifact. Caveat
+    # (inherent to localCheckpoint): the artifact lives on executor local
+    # storage, not a reliable store — an executor loss mid-job fails the
+    # job rather than recomputing the lineage.
     local = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     per_task = local.groupBy("_pid", *part_cols).agg(
@@ -197,7 +231,7 @@ def blocked_cumsum(
             for name in (totals or {})
         ],
     )
-    out = local.join(F.broadcast(offsets), ["_pid", *part_cols])
+    out = _null_safe_join_broadcast(local, offsets, part_cols)
     w_inc = (
         Window.partitionBy("_pid", *part_cols)
         .orderBy(*[F.asc(c) for c in order_cols])

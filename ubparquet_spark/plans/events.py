@@ -423,6 +423,7 @@ SELECT date_trunc('day', ts) AS day,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY ROLLUP (1, 2)
+HAVING COUNT(*) > 0
 """
 
 
@@ -2408,6 +2409,9 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum") >= F.ceil(SKEW_P_HI * F.col("n_keys")), F.col("c")
         )
     )
+    # empty-input parity: groupBy yields 0 rows on an empty events table;
+    # the oracle's ungrouped aggregate carries HAVING COUNT(*) > 0 so both
+    # engines emit 0 rows (q_ks_test convention).
     return cum.groupBy("n_keys", "n_rows").agg(
         F.max("c").alias("top1"),
         med.alias("median_freq"),
@@ -2451,6 +2455,7 @@ SELECT CAST(MAX(n_keys) AS BIGINT) AS n_keys,
                    " / MIN(CASE WHEN cum >= CEIL(0.5 * n_keys) THEN c END)", 4)}
          AS skew_ratio
 FROM cum
+HAVING COUNT(*) > 0
 """
 
 

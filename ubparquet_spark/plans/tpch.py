@@ -470,6 +470,11 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 
 def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # empty-input parity: Spark's ROLLUP/CUBE emit 0 rows on empty input
+    # (no grand-total row); the oracle carries HAVING COUNT(*) > 0 —
+    # a no-op on non-empty input where every grouping-set row covers
+    # >= 1 source row. Same convention in q_cube_orders /
+    # q_events_time_rollup (round-7 empty-parity sweep finding).
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -485,6 +490,7 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -637,6 +643,7 @@ SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
+HAVING COUNT(*) > 0
 """
 
 
