@@ -21,74 +21,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness check records only the FIRST ~50 registry
-# entries (CORRECTNESS_r01..r04.json each stopped at exactly 50).  Order
+# entries (CORRECTNESS_r01..r06.json each stopped at exactly 50).  Order
 # the registry so the queries that most need a fresh green row come first.
 #
-# ROUND-6 ROTATION (executes VERDICT r05 "Next round" #1):
-#   1. all 39 queries whose newest driver row is CORRECTNESS_r02 —
-#      the deferred variants lead (q_ann_ivf_multiprobe, q_ann_recall,
-#      q_doc_prefix_dedup, q_knn_batch, q_doc_fingerprint,
-#      q_bpe_token_stats), then the rest of the r02 cohort;
-#   2. round-6 registrations (never driver-checked) — inserted as
-#      they land this round;
-#   3. the stalest CORRECTNESS_r03 queries filling the ~50 window.
+# ROUND-7 ROTATION (executes VERDICT r06 "Next round" #1):
+#   1. all 33 queries whose newest driver row is CORRECTNESS_r03, the
+#      round-6 structurally-rewired plans leading (q_exact_quantiles,
+#      q_rfm_segments, q_order_price_ranks, q_price_qty_corr,
+#      q_semantic_dedup_2level — they changed shape since their last
+#      hard row);
+#   2. round-7 registrations (never driver-checked) — inserted as they
+#      land this round;
+#   3. oldest-r04 fills — leading with the three rollup/cube queries
+#      whose ORACLES changed this round (empty-input HAVING guard).
 # After this round no registry query's newest driver row predates
-# round 3; the r03/r04 cohorts rotate in rounds 7-8.  All 181 stay
-# covered every session by the sf0.01 DuckDB-oracle pytest gate.
+# round 4; the r04 remainder rotates in round 8.  All stay covered
+# every session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
-    # -- stalest driver rows (newest row is CORRECTNESS_r02)
-    "q_ann_ivf_multiprobe",
-    "q_ann_recall",
-    "q_doc_prefix_dedup",
-    "q_knn_batch",
-    "q_doc_fingerprint",
-    "q_bpe_token_stats",
-    "q_events_outliers",
-    "q_events_hourly",
-    "q_events_sliding",
-    "q_events_sessionize",
-    "q_events_json",
-    "q_events_retention",
-    "q_gopher_rules",
-    "q_vocab_coverage",
-    "q_crossdoc_spans",
-    "q_unigram_logprob",
-    "q_lexical_diversity",
-    "q_tfidf_top_term",
-    "q_doc_stats",
-    "q_doc_quality",
-    "q_lang_id",
-    "q_doc_exact_dedup",
-    "q_minhash_lsh_buckets",
-    "q_simhash",
-    "q_token_histogram",
-    "q_doc_rolling_hash",
-    "q_doc_repetition",
-    "q_contamination",
-    "q_domain_cap",
-    "q_ivf_recall",
-    "q_knn_bruteforce",
-    "q_label_centroids",
-    "q_embedding_neardup",
-    "q_embedding_norms",
-    "q_kmeans_clusters",
-    "q_pq_topk",
-    "q_pack_sequences",
-    "q_chunk_overlap",
-    "q_mixture_sample",
-    # -- round-6 registration (never driver-checked)
-    "q_key_skew_profile",
-    # -- next-stalest (newest row is CORRECTNESS_r03)
-    "q_customer_pareto",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q4_order_priority",
-    "q21_waiting_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_service_levels",
-    "q22_dormant_customers",
-    "q_price_histogram",
+    # -- stalest driver rows (newest row is CORRECTNESS_r03)
+    "q_exact_quantiles",
+    "q_rfm_segments",
+    "q_order_price_ranks",
+    "q_price_qty_corr",
+    "q_semantic_dedup_2level",
+    "q11_important_parts",
+    "q13_order_count_histogram",
+    "q18_large_volume_orders",
+    "q2_min_cost_parts",
+    "q_bigram_pmi",
+    "q_boilerplate_shingles",
+    "q_dau_mau",
+    "q_dedup_cluster_sizes",
+    "q_doc_dedup_decisions",
+    "q_doc_embedding",
+    "q_events_user_mode",
+    "q_events_voxelize",
+    "q_fiducial_cut",
+    "q_first_touch",
+    "q_grouping_sets",
+    "q_incremental_dedup",
+    "q_jl_projection",
+    "q_lang_mismatch",
+    "q_linear_quality",
+    "q_ngram_jaccard_pairs",
+    "q_paragraph_dedup",
+    "q_paragraph_dedup_text",
+    "q_reservoir_per_group",
+    "q_source_concentration",
+    "q_token_drift",
+    "q_volume_anomaly",
+    "q_weighted_sample",
+    "q_zorder_cells",
+    # -- round-7 registrations (never driver-checked) land here
+    # -- oldest r04 cohort fills the window
+    "q_cube_orders",
+    "q_rollup_revenue",
+    "q_events_time_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q19_disjunctive",
+    "q_above_avg_balance",
+    "q_asof_prev_click",
+    "q_bm25_topk",
+    "q_bpe_merges",
 ]
 
 
