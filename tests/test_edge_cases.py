@@ -309,3 +309,72 @@ def test_zero_vector_corpus_full_oracle_parity(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("sf_zerovec"))
     failures = _oracle_parity_sweep(spark, dst, _ZEROVEC_SQL)
     assert not failures, failures
+
+
+# Time-axis corpus (round 7, fifth sweep — VERDICT r06 "Next round" #2):
+# the one un-swept input family. Events are rewritten per user into four
+# pathologies: (0) ALL events at ONE tied end-of-month timestamp — zero
+# gaps, zero-duration sessions, cross-user DAU ties; (1) a single LEAP
+# DAY corpus (2024-02-29, second offsets); (2) epoch-boundary
+# timestamps (1970-01-01 + seconds); (3) strict REVERSE arrival — ts
+# decreases as event_id increases, across a year-end boundary. The
+# parquet is additionally written ORDER BY ts DESC to stress any
+# implicit file-order assumption; every 17th event is NULL-ts (an
+# un-timed row, where Spark windows sort NULL FIRST but DuckDB sorts
+# NULL LAST — and Spark's F.window drops the row while date_trunc
+# buckets it); the leap-day slice adds MICROSECOND-grain ties within
+# one second. Orders/lineitem dates collapse onto leap-month-end /
+# year-end / year-start / epoch so that date windows, yoy rollups,
+# gaps-and-islands and recency ranks all hit massive ties and boundary
+# EXTRACTs. First run (pre-NULL-ts) was clean; the NULL-ts slice found
+# NINE diverging plans, fixed with one explicit engine-identical
+# policy: time-ordered / time-bucketed analyses exclude NULL event
+# times (q_events_hourly/sliding/sessionize, q_asof_prev_click,
+# q_first_touch, q_event_transitions, q_user_state_history,
+# q_cusum_changepoint, q_autocorr_daily).
+_TIME_AXIS_SQL = dict(
+    _DEGEN_SQL,
+    documents="SELECT * FROM src",
+    embeddings="SELECT * FROM src",
+    events=(
+        "SELECT event_id,"
+        " CAST(CASE WHEN event_id % 17 = 0 THEN NULL"  # un-timed events
+        "  WHEN user_id % 4 = 0 THEN TIMESTAMP '2024-06-30 23:59:59'"
+        "  WHEN user_id % 4 = 1 THEN TIMESTAMP '2024-02-29 00:00:00'"
+        "   + (event_id % 86400) * INTERVAL 1 SECOND"
+        "   + (event_id % 7) * INTERVAL 1 MICROSECOND"  # sub-second ties
+        "  WHEN user_id % 4 = 2 THEN TIMESTAMP '1970-01-01 00:00:00'"
+        "   + (event_id % 3600) * INTERVAL 1 SECOND"
+        "  ELSE TIMESTAMP '2024-12-31 23:59:58'"
+        "   - (event_id % 100000) * INTERVAL 1 SECOND"
+        " END AS TIMESTAMP) AS ts,"
+        " user_id, event_type, value, props"
+        " FROM src ORDER BY ts DESC, event_id DESC"
+    ),
+    orders=(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " CAST(CASE CAST(o_orderkey % 4 AS INTEGER)"
+        "  WHEN 0 THEN TIMESTAMP '1996-02-29 00:00:00'"
+        "  WHEN 1 THEN TIMESTAMP '1995-12-31 00:00:00'"
+        "  WHEN 2 THEN TIMESTAMP '1996-01-01 00:00:00'"
+        "  ELSE TIMESTAMP '1970-01-01 00:00:00'"
+        " END AS TIMESTAMP) AS o_orderdate,"
+        " o_orderpriority FROM src"
+    ),
+    lineitem=(
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,"
+        " l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus,"
+        " CAST(CASE CAST(l_orderkey % 3 AS INTEGER)"
+        "  WHEN 0 THEN TIMESTAMP '1996-02-29 00:00:00'"
+        "  WHEN 1 THEN TIMESTAMP '1995-12-31 00:00:00'"
+        "  ELSE TIMESTAMP '1996-01-01 00:00:00'"
+        " END AS TIMESTAMP) AS l_shipdate FROM src"
+    ),
+)
+
+
+def test_time_axis_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_timeaxis"))
+    failures = _oracle_parity_sweep(spark, dst, _TIME_AXIS_SQL)
+    assert not failures, failures

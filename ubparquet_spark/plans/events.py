@@ -59,6 +59,7 @@ SELECT
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
   FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """
 
@@ -86,6 +87,7 @@ SELECT
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 CROSS JOIN (SELECT UNNEST([0, 1]) AS off)
+WHERE ts IS NOT NULL
 GROUP BY 1
 """
 
@@ -128,7 +130,7 @@ WITH flagged AS (
               > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS new_sess
   FROM events
-  WHERE user_id < 100
+  WHERE user_id < 100 AND ts IS NOT NULL
 ), numbered AS (
   SELECT user_id, ts, value,
          SUM(new_sess) OVER (
@@ -363,7 +365,11 @@ GROUP BY 1
 def q_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.asof import as_of_join
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts policy: an event without a time cannot anchor or answer an
+    # as-of lookup — excluded on BOTH sides in both engines (Spark would
+    # otherwise sort NULL first in the asof window while DuckDB's ASOF
+    # inequality silently drops it; round-7 time-axis sweep).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -388,8 +394,10 @@ def q_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ASOF_SQL = """
 SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS prev_click_ts
-FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+ASOF JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'click' AND ts IS NOT NULL) c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
@@ -972,7 +980,11 @@ FROM daily d JOIN monthly m ON d.month = m.month
 # ---------------------------------------------------------------------------
 
 def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts policy: an event without a time cannot be a "first" touch;
+    # such rows are excluded from the whole analysis in both engines
+    # (min_by's struct comparison ranks NULL ts smallest while DuckDB's
+    # ORDER BY ts ranks it last — round-7 time-axis sweep).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.min_by(
             "event_type", F.struct(F.col("ts"), F.col("event_id"))
@@ -992,11 +1004,11 @@ Q_FIRST_TOUCH_SQL = f"""
 WITH ranked AS (
   SELECT user_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), conv AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
 ), per_user AS (
   SELECT r.user_id, r.event_type AS first_touch, c.converted
   FROM ranked r JOIN conv c USING (user_id)
@@ -1680,7 +1692,11 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    # NULL-ts policy: time-ordered transition pairs exclude un-timed
+    # events in both engines (round-7 time-axis sweep).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id",
         F.expr(
             "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
@@ -1709,7 +1725,7 @@ WITH pairs AS (
   SELECT LAG(event_type) OVER (PARTITION BY user_id
                                ORDER BY epoch_us(ts), event_id) AS prev_type,
          event_type AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), counts AS (
   SELECT prev_type, next_type, COUNT(*) AS n
   FROM pairs WHERE prev_type IS NOT NULL
@@ -1865,7 +1881,11 @@ WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.scd import collapse_runs
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # NULL-ts policy: state history is a time-ordered run collapse —
+    # un-timed events are excluded in both engines (round-7 sweep).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    ).select(
         "user_id", "event_type", "ts", "event_id"
     )
     return collapse_runs(ev, ["user_id"], ["ts", "event_id"], "event_type")
@@ -1877,7 +1897,7 @@ WITH flagged AS (
          CASE WHEN ROW_NUMBER() OVER w = 1
                 OR LAG(event_type) OVER w IS DISTINCT FROM event_type
               THEN 1 ELSE 0 END AS flip
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, event_type, ts,
@@ -2033,7 +2053,11 @@ GROUP BY touch_type
 # ---------------------------------------------------------------------------
 
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts policy: a day series has no slot for an unknown day —
+    # NULL-ts rows are excluded in both engines (the NULL day group
+    # would otherwise sort first in Spark, last in DuckDB; round-7
+    # time-axis sweep).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (
         ev.select(
             "event_type",
@@ -2088,6 +2112,7 @@ WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day,
          SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
   FROM events
+  WHERE ts IS NOT NULL
   GROUP BY 1, 2
 ), scored AS (
   SELECT event_type, day,
@@ -2218,7 +2243,8 @@ FROM picked WHERE r = 1
 # ---------------------------------------------------------------------------
 
 def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts policy: same day-series exclusion as q_cusum_changepoint.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = (
         ev.select(
             "event_type",
@@ -2262,7 +2288,7 @@ Q_AUTOCORR_SQL = f"""
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day,
          SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), pairs AS (
   SELECT event_type, c AS x,
          LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS y
