@@ -56,3 +56,25 @@ def test_dedup_groups_canonical_flags(spark):
     assert out[5] == (5, True) and out[6] == (5, False)
     # singletons are their own canonical
     assert out[0] == (0, True) and out[4] == (4, True) and out[7] == (7, True)
+
+
+def test_padding_rows_never_cluster(spark):
+    """Padding-row contract at the dedup API layer (round 7): zero-norm
+    embeddings produce NULL cosine upstream, so they contribute NO edges
+    — dedup_groups over an empty edge set must mark every id (including
+    the padding rows) its own canonical representative, and
+    connected_components over no edges returns no labels at all."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.functions.dedup_clusters import (
+        connected_components,
+        dedup_groups,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "vec_id long")
+    out = dedup_groups(edges, ids, "vec_id").collect()
+    assert len(out) == 5
+    assert all(r.is_canonical and r.canonical_id == r.vec_id for r in out)

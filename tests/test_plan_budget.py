@@ -367,3 +367,76 @@ def test_global_window_allowlist(spark, sf_dir):
         "allowlist entries whose plans no longer hold an unpartitioned "
         f"window — remove them to keep the list honest: {stale_allow}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Boundedness canaries for the allowlist (round 7, VERDICT r06 #3): the
+# allowlist sanctions each query's unpartitioned window because its
+# INPUT is bounded — previously a prose claim. Here each sanctioned
+# window's child subtree is materialized at sf0.1 and its row count
+# asserted against the documented bound, so an edit that un-bounds an
+# allowlisted window (e.g. second-grain instead of day-grain KM) fails
+# this test instead of the cluster. Bounds import the plan constants
+# where one exists; structural bounds (KM day domain, yoy year rollup)
+# are stated literally.
+# ---------------------------------------------------------------------------
+
+def _unsanctioned_window_input_counts(spark, df):
+    counts = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            so = node.orderSpec()
+            order = [
+                str(so.apply(i).child().toString()) for i in range(so.size())
+            ]
+            ch0 = node.children().head().output()
+            child_out = [str(ch0.apply(i).name()) for i in range(ch0.size())]
+            if not _is_sanctioned(order, child_out):
+                ds = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, node.children().head()
+                )
+                counts.append(ds.count())
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return counts
+
+
+def _allowlist_bounds():
+    from ubparquet_spark.plans.similarity import IVF_PROBES
+    from ubparquet_spark.plans.text import BPE_VOCAB_TOP, RRF_POOL
+    from ubparquet_spark.plans.tpch import PARETO_TOP
+
+    return {
+        "q_customer_pareto": PARETO_TOP,          # TakeOrdered head
+        "q_survival_km": 36_500,                  # day-grain lifetimes, a century
+        "q_hybrid_rrf": RRF_POOL,                 # per retrieval pool
+        "q_bpe_vocab": BPE_VOCAB_TOP,             # TakeOrdered symbol artifact
+        "q_ann_ivf_multiprobe": IVF_PROBES,       # probe set
+        "q_yoy_growth": 50,                       # year-grain rollup
+    }
+
+
+@pytest.mark.parametrize("name", sorted(GLOBAL_WINDOW_ALLOWLIST))
+def test_allowlisted_window_inputs_are_bounded(spark, name):
+    import __spark_entry__ as entry
+
+    bounds = _allowlist_bounds()
+    assert set(bounds) == GLOBAL_WINDOW_ALLOWLIST, (
+        "allowlist and bounds table diverged — every sanctioned query "
+        "needs a numeric window-input bound"
+    )
+    # deliberately the LARGEST local corpus, not the sf0.01 test default:
+    # the bound is a scale claim
+    df = entry.queries()[name](spark, "/root/testdata/sf0.1")
+    counts = _unsanctioned_window_input_counts(spark, df)
+    assert counts, f"{name}: no unsanctioned window found (stale allowlist?)"
+    assert max(counts) <= bounds[name], (
+        f"{name}: window input has {max(counts)} rows, documented bound "
+        f"{bounds[name]} — the boundedness justification no longer holds"
+    )

@@ -161,3 +161,43 @@ def test_ivf_pq_topk_accepts_pretrained_artifacts(spark, vec_df, vecs):
     ).collect()
     scratch = ivf_pq_topk(vec_df, query, **kwargs).collect()
     assert [tuple(r) for r in trained] == [tuple(r) for r in scratch]
+
+
+def test_zero_and_null_vector_pq_contract(spark):
+    """Padding-row contract at the PQ API layer (round 7): an all-zero
+    vector is an ordinary point — each subspace encodes to the
+    smallest-norm code (lowest code id on ties) and ADC scores stay
+    finite; a NULL vector encodes NULL codes and a NULL adc_dist, never
+    a silent code 0."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.pq import (
+        adc_table,
+        pq_adc_scores,
+        pq_encode,
+    )
+
+    # m=2 subspaces of width 2; in each, code 1 is the zero centroid
+    books = [
+        [[2.0, 0.0], [0.0, 0.0], [5.0, 5.0]],
+        [[1.0, 1.0], [0.0, 0.0], [3.0, 0.0]],
+    ]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, None),
+        (2, [2.0, 0.0, 3.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    enc = pq_encode(df, books)
+    got = {r.vec_id: r.codes for r in enc.collect()}
+    assert got == {0: [1, 1], 1: None, 2: [0, 2]}, got
+
+    table = adc_table(books, [0.0, 0.0, 0.0, 0.0])
+    # zero query: each table row is the per-code squared norm
+    assert table == [[4.0, 0.0, 50.0], [2.0, 0.0, 9.0]]
+    scored = {
+        r.vec_id: r.adc_dist
+        for r in pq_adc_scores(enc, table).collect()
+    }
+    assert scored[0] == 0.0 and scored[2] == 13.0
+    assert scored[1] is None

@@ -40,8 +40,13 @@ def assign_clusters(
     vectors: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """``vectors`` + ``cluster`` (int): index of the nearest centroid,
-    lowest index on ties. Centroids ride along as a broadcast-size literal
-    array — the assign step is a narrow map over the table."""
+    lowest index on ties; NULL vectors assign NULL (the padding-row
+    contract shared with ``assign_clusters_blas`` — without the explicit
+    guard a NULL distance sorts SMALLEST in the struct argmin and every
+    NULL vector silently lands on cluster 0). An all-zero vector is an
+    ordinary euclidean point: it assigns to the smallest-norm centroid.
+    Centroids ride along as a broadcast-size literal array — the assign
+    step is a narrow map over the table."""
     if not centroids:
         raise ValueError("assign_clusters requires at least one centroid")
     cent_lit = F.array(
@@ -66,7 +71,9 @@ def assign_clusters(
     return (
         vectors.withColumn("_cents", cent_lit)
         .withColumn("_v", F.col(vec_col))
-        .withColumn("cluster", best["c"])
+        .withColumn(
+            "cluster", F.when(F.col(vec_col).isNotNull(), best["c"])
+        )
         .drop("_cents", "_v")
     )
 
@@ -236,7 +243,11 @@ def assign_subclusters(
     return (
         assigned.withColumn("_cells", cell_lit)
         .withColumn("_v", F.col(vec_col))
-        .withColumn("sub", best["c"])
+        # same padding-row contract as assign_clusters: a NULL vector
+        # (or NULL cell) yields a NULL sub, never a silent 0
+        .withColumn(
+            "sub", F.when(F.col(vec_col).isNotNull(), best["c"])
+        )
         .drop("_cells", "_v")
     )
 

@@ -151,6 +151,10 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """``vectors`` + ``codes`` (array<int>, length m): per-subspace nearest
+    code, NULL for a NULL vector (padding-row contract — without the
+    explicit guard a NULL subspace distance sorts smallest in the struct
+    argmin and every NULL vector silently encodes as code 0 everywhere).
+    An all-zero vector is ordinary: each subspace takes the smallest-norm
     code. One narrow projection — no shuffle, no Python in the row path."""
     m = len(codebooks)
     w = len(codebooks[0][0])
@@ -165,7 +169,13 @@ def pq_encode(
         "    CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
         "   s.code AS code))).code)"
     )
-    return vectors.withColumn("_books", cb).withColumn("codes", codes).drop("_books")
+    return (
+        vectors.withColumn("_books", cb)
+        .withColumn(
+            "codes", F.when(F.col(vec_col).isNotNull(), codes)
+        )
+        .drop("_books")
+    )
 
 
 def adc_table(
