@@ -321,3 +321,160 @@ def test_real_bmp_path_end_to_end_and_cross_codec_parity(spark):
         decode_resize_features(both).collect(), key=lambda r: r["media_id"]
     )
     assert a.asDict(True) | {"media_id": 1} == b.asDict(True)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round 7) — the fourth fully-real format.
+# ---------------------------------------------------------------------------
+
+def _forward_filter_png(img, filters):
+    """Hand-build a PNG whose scanlines use the GIVEN filter types
+    (encode_png always emits filter 0): applies each filter forward per
+    RFC 2083 §6, so decode must reverse all five to reproduce `img`."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    out = b""
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = flat[y]
+        enc = np.zeros(w * ch, dtype=np.int32)
+        for i in range(w * ch):
+            a = int(cur[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[i] = (int(cur[i]) - pred) % 256
+        out += bytes([ft]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(out)) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip_gray_rgb_rgba():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(9, 13), (9, 13, 3), (9, 13, 4)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        got = decode_png(encode_png(img))
+        assert got.shape == img.shape and (got == img).all()
+
+
+def test_png_decode_reverses_all_five_filters():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import decode_png
+
+    rng = np.random.default_rng(5)
+    for ch_shape in [(12, 7), (12, 7, 3), (12, 7, 4)]:
+        img = rng.integers(0, 256, ch_shape).astype(np.uint8)
+        # every row a different filter type, cycling 0..4
+        payload = _forward_filter_png(img, [0, 1, 2, 3, 4])
+        got = decode_png(payload)
+        assert (got == img).all()
+
+
+def test_png_malformed_inputs_raise_specifically():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from ubparquet_spark.functions.multimodal import decode_png, encode_png
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png(img)
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + good[2:])
+    # flip one IDAT byte -> CRC mismatch, not a silent misdecode
+    idat_at = good.index(b"IDAT") + 4
+    corrupt = bytearray(good)
+    corrupt[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(corrupt))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[:-6])
+    # 16-bit depth gate
+    ihdr_at = good.index(b"IHDR") + 4
+    deep = bytearray(good)
+    deep[ihdr_at + 8] = 16
+    body = bytes(deep[ihdr_at : ihdr_at + 13])
+    deep[ihdr_at + 13 : ihdr_at + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + body[:13]) & 0xFFFFFFFF
+    )
+    with pytest.raises(ValueError, match="only 8-bit"):
+        decode_png(bytes(deep))
+    # raster-size mismatch: IDAT decompresses to the wrong length
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="malformed PNG raster"):
+        decode_png(short)
+
+
+def test_png_spark_decode_resize_features(spark):
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import (
+        decode_png,
+        decode_resize_features,
+        synth_png_df,
+    )
+
+    df = synth_png_df(spark, n=12)
+    out = decode_resize_features(df, dst_w=8, dst_h=6)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 12
+    src = {r["media_id"]: r for r in df.collect()}
+    for mid, r in rows.items():
+        img = decode_png(bytes(src[mid]["payload"]))
+        if img.ndim == 2:
+            img3 = np.stack([img] * 3, axis=2)
+        elif img.shape[2] == 4:
+            img3 = img[:, :, :3]
+        else:
+            img3 = img
+        assert (r.width, r.height) == (img.shape[1], img.shape[0])
+        assert abs(r.mean_r - img3[:, :, 0].mean()) < 1e-9
+        assert len(r.feature) == 8 * 6
