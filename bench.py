@@ -64,6 +64,49 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else None,
     }
+    # Host-drift factor (VERDICT r06 #6): same-session totals on this
+    # shared box drift 98-124 s with untouched queries inflating
+    # uniformly. Record the MEDIAN per-query ratio vs the newest frozen
+    # per-round artifact — the median is robust to the minority of
+    # structurally-changed queries, so ~1.0 means "same host speed" and
+    # a mover's real change is its ratio divided by this factor.
+    baseline = os.environ.get("SPARK_GRAFT_DRIFT_BASELINE")
+    if baseline is None:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        frozen = sorted(
+            glob.glob(os.path.join(here, "BENCHFULL_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        )
+        baseline = frozen[-1] if frozen else ""
+    if baseline:
+        try:
+            with open(baseline) as f:
+                base = json.load(f)
+            base_q = base["queries"]
+            if base.get("sf") != payload["sf"]:
+                raise ValueError(
+                    f"baseline sf={base.get('sf')} != run sf={payload['sf']}"
+                    " — drift ratio would compare different data scales"
+                )
+            ratios = sorted(
+                timings[q] / base_q[q]
+                for q in timings.keys() & base_q.keys()
+                if base_q[q] > 0
+            )
+            if ratios:
+                mid = len(ratios) // 2
+                med = (
+                    ratios[mid]
+                    if len(ratios) % 2
+                    else (ratios[mid - 1] + ratios[mid]) / 2
+                )
+                payload["drift_factor"] = round(med, 3)
+                payload["drift_baseline"] = baseline
+        except (OSError, ValueError, KeyError) as e:
+            print(f"bench: drift baseline unusable: {e}", file=sys.stderr)
     print(json.dumps(payload))
     # The driver's BENCH_r{N}.json stores only a truncated stdout tail, so
     # per-query times for most of the registry are unrecoverable from it.
