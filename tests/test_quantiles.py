@@ -342,3 +342,29 @@ def test_exact_quantiles_multi_matches_percentile(spark):
         for c in ("x_med", "x_p90", "y_q1"):
             assert abs(got[k][c] - want[k][c]) < 1e-9, (k, c)
         assert got[k]["n_rows"] == want[k]["n_rows"]
+
+
+def test_high_cardinality_strategy_matches_blocked(spark):
+    """Both running-total strategies produce identical quantiles —
+    the choice is a physical-plan decision, never a semantic one."""
+    import random
+
+    from ubparquet_spark.operators.quantiles import exact_quantiles
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{rng.randint(0, 40)}", round(rng.uniform(0, 100), 2))
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = {
+        r.k: (r.p50, r.n_rows)
+        for r in exact_quantiles(df, ["k"], "v", {"p50": 0.5}).collect()
+    }
+    b = {
+        r.k: (r.p50, r.n_rows)
+        for r in exact_quantiles(
+            df, ["k"], "v", {"p50": 0.5}, high_cardinality_keys=True
+        ).collect()
+    }
+    assert a == b

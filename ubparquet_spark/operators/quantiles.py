@@ -45,24 +45,53 @@ def exact_quantiles(
     keys: Sequence[str],
     value_col: str,
     probs: Mapping[str, float],
+    *,
+    high_cardinality_keys: bool = False,
 ) -> DataFrame:
     """Per-``keys`` exact quantiles of ``value_col``.
 
     ``probs`` maps output column name -> probability in [0, 1]. Also emits
     ``n_rows``. One shuffle for the distribution, one window pass over the
-    distinct values, one final aggregation per key."""
+    distinct values, one final aggregation per key.
+
+    ``high_cardinality_keys`` picks the running-total strategy
+    (round-7 key-cardinality stress, examples/keyed_cumsum_stress.py):
+
+    - ``False`` (default) — blocked_cumsum: bounded per-task sorts at ANY
+      per-key domain size, but the n_tasks x n_keys offset table is
+      broadcast. Right for few keys over near-unique values; measured
+      3.8x faster than the window at 10M rows / 1 key, and it is the
+      only strategy that FINISHES that shape at 100M.
+    - ``True`` — plain ``Window.partitionBy(keys)``: no offset table at
+      all; each key's distinct-value domain sorts in one task, fine when
+      keys are many (domains small). Measured 2.7x faster at 10M rows /
+      100k keys, where the blocked offset table is 3.2M rows and its
+      broadcast dominates. Crossover is roughly where rows/n_keys drops
+      below ~rows/n_tasks, i.e. n_keys > n_tasks."""
     keys = list(keys)
     v = F.col(value_col).cast("double").alias("_v")
     dist = df.select(*keys, v).groupBy(*keys, "_v").agg(
         F.count(F.lit(1)).alias("_c")
     )
-    dist = blocked_cumsum(
-        dist,
-        ["_v"],
-        {"_cum": ("_c", "inclusive")},
-        part_cols=keys,
-        totals={"_n": "_c"},
-    )
+    if high_cardinality_keys:
+        from pyspark.sql import Window
+
+        w_run = (
+            Window.partitionBy(*keys)
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dist = dist.withColumn("_cum", F.sum("_c").over(w_run)).withColumn(
+            "_n", F.sum("_c").over(Window.partitionBy(*keys))
+        )
+    else:
+        dist = blocked_cumsum(
+            dist,
+            ["_v"],
+            {"_cum": ("_c", "inclusive")},
+            part_cols=keys,
+            totals={"_n": "_c"},
+        )
     aggs = [F.max("_n").alias("_n")]
     for name, p in probs.items():
         # h = (n-1)*p, 0-based; bracketing order statistics are the first
