@@ -74,3 +74,38 @@ def test_asof_preserves_left_rowcount(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
     out = as_of_join(purchases, clicks, ["user_id"], left_ts="ts", right_ts="cts", right_payload=["cts"])
     assert out.count() == purchases.count()
+
+
+def test_asof_null_key_and_null_ts_never_match(spark):
+    """Equi-join NULL-key semantics (round-7 null-key sweep): NULL-key
+    or NULL-ts right rows match nothing; NULL-key / NULL-ts left rows
+    are kept with a null payload — exactly DuckDB/kdb ASOF."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 100),     # normal: matches right at ts 90
+            (2, None, 100),   # NULL key: kept, null payload
+            (3, 30, None),    # NULL ts: kept, null payload
+        ],
+        "id long, k long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 90, 7.0),     # the legitimate match
+            (None, 80, 8.0),   # NULL key: must never match anything
+            (10, None, 9.0),   # NULL ts: must never match anything
+            (30, 95, 6.0),
+        ],
+        "k long, rts long, payload double",
+    )
+    got = {
+        r.id: r.asof_payload
+        for r in as_of_join(
+            left, right, ["k"],
+            left_ts="ts", right_ts="rts", right_payload=["payload"],
+        ).collect()
+    }
+    assert got == {1: 7.0, 2: None, 3: None}

@@ -378,3 +378,50 @@ def test_time_axis_corpus_full_oracle_parity(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("sf_timeaxis"))
     failures = _oracle_parity_sweep(spark, dst, _TIME_AXIS_SQL)
     assert not failures, failures
+
+
+# NULL-key corpus (round 7, seventh sweep): the six sweeps cover the
+# value/text/vector/time axes — this one nulls the GROUPING/JOIN keys
+# themselves (user_id, o_custkey, lang, source, label). The divergence
+# engine: GROUP BY and window PARTITION BY keep a NULL-key group in
+# both engines, but equi joins drop it, and NULL sorts FIRST in Spark
+# vs LAST in DuckDB wherever a key doubles as an ORDER tie-break.
+# First run found THREE diverging plans, fixed with explicit
+# engine-identical policies: as_of_join now enforces equi-join NULL-key
+# semantics at the OPERATOR level (a NULL key / NULL right_ts never
+# matches; NULL-key left rows keep a null payload), and the per-user
+# analytics q_first_touch / q_rfm_segments exclude NULL user_id in
+# both engines (the RFM NTILE tie-break key is user_id, whose NULL
+# ordering is engine-dependent).
+_NULL_KEY_SQL = dict(
+    _DEGEN_SQL,
+    documents=(
+        "SELECT doc_id, text,"
+        " CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,"
+        " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source,"
+        " n_chars FROM src"
+    ),
+    embeddings=(
+        "SELECT vec_id, embedding,"
+        " CASE WHEN vec_id % 6 = 0 THEN NULL ELSE label END AS label"
+        " FROM src"
+    ),
+    events=(
+        "SELECT event_id, ts,"
+        " CASE WHEN event_id % 11 = 0 THEN NULL ELSE user_id END AS user_id,"
+        " event_type, value, props FROM src"
+    ),
+    orders=(
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_custkey END"
+        " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority FROM src"
+    ),
+    lineitem="SELECT * FROM src",
+)
+
+
+def test_null_key_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_nullkey"))
+    failures = _oracle_parity_sweep(spark, dst, _NULL_KEY_SQL)
+    assert not failures, failures

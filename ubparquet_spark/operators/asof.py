@@ -36,8 +36,22 @@ def as_of_join(
     prefix: str = "asof_",
 ) -> DataFrame:
     """Left rows + the latest right payload at or before each left row's
-    timestamp. Left rows with no prior right row carry nulls."""
+    timestamp. Left rows with no prior right row carry nulls.
+
+    NULL-key semantics match an equi join (DuckDB/kdb ASOF): a NULL in
+    any ``on`` key never matches — right rows with a NULL key are
+    dropped here (they could match nothing), and left rows with a NULL
+    key are KEPT with a null payload. Without the explicit right-side
+    filter the union+window technique would group NULL keys into one
+    window partition and happily match NULL-key lefts to NULL-key
+    rights (round-7 null-key sweep finding). A NULL ``right_ts`` also
+    never matches (it cannot be "at or before" anything); NULL
+    ``left_ts`` rows keep a null payload for the same reason."""
     lcols = left.columns
+    no_match = F.col(right_ts).isNull()
+    for k in on:
+        no_match = no_match | F.col(k).isNull()
+    right = right.filter(~no_match)
     # Carry ONE struct per right row (never-null on the right side) rather
     # than last(col, ignoreNulls) per payload column: per-column carry would
     # treat a NULL payload value in the latest right row as "no row" and

@@ -983,8 +983,13 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-ts policy: an event without a time cannot be a "first" touch;
     # such rows are excluded from the whole analysis in both engines
     # (min_by's struct comparison ranks NULL ts smallest while DuckDB's
-    # ORDER BY ts ranks it last — round-7 time-axis sweep).
-    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    # ORDER BY ts ranks it last — round-7 time-axis sweep). NULL-user
+    # policy likewise: per-user attribution has no row for "no user" —
+    # the oracle's USING join already drops the NULL-user group, the
+    # Spark groupBy would keep it (round-7 null-key sweep).
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     per_user = ev.groupBy("user_id").agg(
         F.min_by(
             "event_type", F.struct(F.col("ts"), F.col("event_id"))
@@ -1004,11 +1009,11 @@ Q_FIRST_TOUCH_SQL = f"""
 WITH ranked AS (
   SELECT user_id, event_type,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), conv AS (
   SELECT user_id,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY user_id
 ), per_user AS (
   SELECT r.user_id, r.event_type AS first_touch, c.converted
   FROM ranked r JOIN conv c USING (user_id)
@@ -1044,7 +1049,12 @@ GROUP BY first_touch
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.ranks import ntile_col, ranked
 
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-user policy: user-value segmentation has no row for "no
+    # user"; also the NTILE tie-break key is user_id, whose NULL
+    # ordering differs across engines (round-7 null-key sweep)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     asof = ev.agg(F.max("ts").alias("asof"))
     per_user = (
         ev.groupBy("user_id")
@@ -1099,13 +1109,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_RFM_SQL = """
 WITH wmark AS (
-  SELECT MAX(ts) AS w FROM events
+  SELECT MAX(ts) AS w FROM events WHERE user_id IS NOT NULL
 ), per_user AS (
   SELECT user_id,
          date_diff('day', CAST(MAX(ts) AS DATE), CAST((SELECT w FROM wmark) AS DATE)) AS recency_days,
          COUNT(*) AS frequency,
          CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
   FROM events
+  WHERE user_id IS NOT NULL
   GROUP BY user_id
 )
 SELECT user_id, recency_days, frequency, monetary_cents,
