@@ -73,6 +73,7 @@ _CHECK_FIRST = [
     "q_weighted_sample",
     "q_zorder_cells",
     # -- round-7 registrations (never driver-checked) land here
+    "q_value_sanity",
     # -- oldest r04 cohort fills the window
     "q_cube_orders",
     "q_rollup_revenue",

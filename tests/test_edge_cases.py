@@ -425,3 +425,60 @@ def test_null_key_corpus_full_oracle_parity(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("sf_nullkey"))
     failures = _oracle_parity_sweep(spark, dst, _NULL_KEY_SQL)
     assert not failures, failures
+
+
+def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):
+    """q_value_sanity is the documented gate for the finite-money
+    contract (the exact-cents convention fails LOUDLY on NaN/Inf in
+    both engines — round-7 NaN probe): on a poisoned corpus it must
+    itself run, hash-match its oracle, and count the corruption."""
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_naninf"))
+    build = duckdb.connect()
+    specs = {
+        "events": (
+            "SELECT event_id, ts, user_id, event_type,"
+            " CASE WHEN event_id % 19 = 0 THEN CAST('nan' AS DOUBLE)"
+            "  WHEN event_id % 23 = 0 THEN CAST('inf' AS DOUBLE)"
+            "  WHEN event_id % 29 = 0 THEN CAST('-inf' AS DOUBLE)"
+            "  ELSE value END AS value, props FROM src"
+        ),
+        "orders": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus,"
+            " CASE WHEN o_orderkey % 17 = 0 THEN CAST('nan' AS DOUBLE)"
+            "  ELSE o_totalprice END AS o_totalprice,"
+            " o_orderdate, o_orderpriority FROM src"
+        ),
+        "lineitem": "SELECT * FROM src",
+    }
+    for t, sql in specs.items():
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
+        )
+        build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con = duckdb.connect()
+    for t in specs:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+
+    pdf = entry.queries()["q_value_sanity"](spark, dst).toPandas()
+    odf = con.sql(entry.oracle_sql()["q_value_sanity"]).df()
+
+    def vhash(p):
+        p = p[sorted(p.columns)].sort_values(
+            by=sorted(p.columns), ignore_index=True
+        )
+        return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()[:12]
+
+    assert vhash(pdf) == vhash(odf)
+    ev = pdf[pdf.column_name == "value"].iloc[0]
+    assert ev.n_nan > 0 and ev.n_posinf > 0 and ev.n_neginf > 0
+    ord_ = pdf[pdf.column_name == "o_totalprice"].iloc[0]
+    assert ord_.n_nan > 0 and ord_.n_posinf == 0
+    li = pdf[pdf.column_name == "l_quantity"].iloc[0]
+    assert li.n_nan == 0 and li.n_posinf == 0

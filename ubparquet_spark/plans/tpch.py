@@ -344,6 +344,89 @@ FROM lineitem
 
 
 # ---------------------------------------------------------------------------
+# Value-sanity audit (round 7): the "measure before you trust" gate for
+# money/measure columns — the q_key_skew_profile sibling on the VALUE
+# axis. The repo-wide exact-cents convention (cents()/sum_money())
+# deliberately FAILS LOUDLY on NaN/Infinity in both engines (Spark ANSI
+# long overflow, DuckDB NaN->INT64 conversion error) rather than
+# silently nulling corrupt money data; this query is the tool you run
+# FIRST on an untrusted corpus to find such rows. One
+# partial-aggregatable pass per audited column, one bounded row each —
+# no shuffle beyond the final 4-row union.
+# ---------------------------------------------------------------------------
+
+_SANITY_COLS = [
+    ("events", "value"),
+    ("orders", "o_totalprice"),
+    ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"),
+]
+
+
+def q_value_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for t, c in _SANITY_COLS:
+        v = F.col(c)
+        finite = (
+            v.isNotNull()
+            & ~F.isnan(v)
+            & (v != F.lit(float("inf")))
+            & (v != F.lit(float("-inf")))
+        )
+        agg = load_table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(v.isNull(), 1).otherwise(0)).alias("n_null"),
+            F.sum(F.when(v.isNotNull() & F.isnan(v), 1).otherwise(0)).alias(
+                "n_nan"
+            ),
+            F.sum(
+                F.when(v == F.lit(float("inf")), 1).otherwise(0)
+            ).alias("n_posinf"),
+            F.sum(
+                F.when(v == F.lit(float("-inf")), 1).otherwise(0)
+            ).alias("n_neginf"),
+            F.sum(F.when(finite & (v < 0), 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+            # exact integer cents over the FINITE slice only — order-
+            # independent, safe regardless of what the corrupt rows hold
+            F.sum(
+                F.when(finite, cents(c)).cast("decimal(38,0)")
+            ).cast("double").alias("sum_finite_cents"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                "*",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+Q_VALUE_SANITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(SUM(CASE WHEN isnan({c}) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+  CAST(SUM(CASE WHEN {c} = CAST('inf' AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_posinf,
+  CAST(SUM(CASE WHEN {c} = CAST('-inf' AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_neginf,
+  CAST(SUM(CASE WHEN {c} IS NOT NULL AND NOT isnan({c}) AND NOT isinf({c})
+                 AND {c} < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+  CAST(SUM(CASE WHEN {c} IS NOT NULL AND NOT isnan({c}) AND NOT isinf({c})
+            THEN CAST(FLOOR({c} * 100 + 0.5) AS HUGEINT) END) AS DOUBLE)
+    AS sum_finite_cents
+FROM {t}"""
+    for t, c in _SANITY_COLS
+)
+
+
+# ---------------------------------------------------------------------------
 # Top-k per group (W3) — deterministic row_number window
 # ---------------------------------------------------------------------------
 
@@ -3330,6 +3413,7 @@ QUERIES: dict[str, tuple] = {
     "q_dedup_audit": (q_dedup_audit, Q_DEDUP_AUDIT_SQL),
     "q_distinct_segments": (q_distinct_segments, Q_DISTINCT_SQL),
     "q_sanity_bounds": (q_sanity_bounds, Q_SANITY_SQL),
+    "q_value_sanity": (q_value_sanity, Q_VALUE_SANITY_SQL),
     "q_top_orders_per_customer": (q_top_orders_per_customer, Q_TOPK_SQL),
     "q_cumulative_revenue": (q_cumulative_revenue, Q_CUMSUM_SQL),
 }
