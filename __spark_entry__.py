@@ -74,6 +74,7 @@ _CHECK_FIRST = [
     "q_zorder_cells",
     # -- round-7 registrations (never driver-checked) land here
     "q_value_sanity",
+    "q_key_integrity",
     # -- oldest r04 cohort fills the window
     "q_cube_orders",
     "q_rollup_revenue",

@@ -482,3 +482,60 @@ def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):
     assert ord_.n_nan > 0 and ord_.n_posinf == 0
     li = pdf[pdf.column_name == "l_quantity"].iloc[0]
     assert li.n_nan == 0 and li.n_posinf == 0
+
+
+def test_key_integrity_on_duplicate_row_corpus(spark, tmp_path_factory):
+    """q_key_integrity is the uniqueness-contract gate (round-7
+    duplicate-row probe: re-delivered duplicate PK rows make
+    join-then-group vs group-then-join shapes legitimately diverge in
+    11 queries — out of contract by design). On a corpus with injected
+    re-deliveries the gate must hash-match its oracle and count the
+    duplication exactly."""
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_dupkeys"))
+    build = duckdb.connect()
+    specs = {
+        "events": "SELECT * FROM src UNION ALL"
+                  " SELECT * FROM src WHERE event_id % 7 = 0",
+        "orders": "SELECT * FROM src UNION ALL"
+                  " SELECT * FROM src WHERE o_orderkey % 11 = 0",
+        "documents": "SELECT * FROM src UNION ALL"
+                     " SELECT * FROM src WHERE doc_id % 9 = 0",
+        "lineitem": "SELECT * FROM src",
+        "customer": "SELECT * FROM src",
+        "embeddings": "SELECT * FROM src",
+    }
+    for t, sql in specs.items():
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
+        )
+        build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con = duckdb.connect()
+    for t in specs:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+
+    pdf = entry.queries()["q_key_integrity"](spark, dst).toPandas()
+    odf = con.sql(entry.oracle_sql()["q_key_integrity"]).df()
+
+    def vhash(p):
+        p = p[sorted(p.columns)].sort_values(
+            by=sorted(p.columns), ignore_index=True
+        )
+        return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()[:12]
+
+    assert vhash(pdf) == vhash(odf)
+    by_t = {r.table_name: r for _, r in pdf.iterrows()}
+    # every 7th of 1000 events re-delivered once: ceil counts from the data
+    ev = by_t["events"]
+    assert ev.n_dup_keys > 0 and ev.max_multiplicity == 2
+    assert ev.n_rows == ev.n_keys + ev.n_dup_keys
+    assert by_t["orders"].n_dup_keys > 0
+    assert by_t["documents"].n_dup_keys > 0
+    assert by_t["customer"].n_dup_keys == 0
+    assert by_t["embeddings"].n_dup_keys == 0

@@ -427,6 +427,75 @@ FROM {t}"""
 
 
 # ---------------------------------------------------------------------------
+# Key-integrity audit (round 7): the uniqueness-contract gate — the
+# third "measure before you trust" diagnostic (value axis:
+# q_value_sanity; key-skew axis: q_key_skew_profile). Primary-key
+# uniqueness is a DATA CONTRACT here as in any warehouse: pair
+# generators (spatial/minhash/setsim) and the ranked()/blocked_cumsum
+# machinery assume it, and on re-delivered duplicate rows the
+# join-then-group vs group-then-join shapes legitimately diverge (the
+# round-7 duplicate-row probe measured 11 such multiplicity
+# divergences — every one disappears on unique keys, which the sf0.01
+# gate proves). This query finds contract violations first: per keyed
+# table, row count, distinct keys, duplicated keys and the worst
+# multiplicity. One two-level partial-aggregatable pass per table.
+# ---------------------------------------------------------------------------
+
+_KEY_SPECS = [
+    ("events", ["event_id"]),
+    ("orders", ["o_orderkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("customer", ["c_custkey"]),
+    ("documents", ["doc_id"]),
+    ("embeddings", ["vec_id"]),
+]
+
+
+def q_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for t, keys in _KEY_SPECS:
+        per_key = (
+            load_table(spark, sf_dir, t)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+        agg = per_key.agg(
+            F.sum("_m").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.when(F.col("_m") > 1, 1).otherwise(0)).alias(
+                "n_dup_keys"
+            ),
+            F.sum(
+                F.when(F.col("_m") > 1, F.col("_m")).otherwise(0)
+            ).alias("n_rows_in_dups"),
+            F.max("_m").alias("max_multiplicity"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(t).alias("table_name"),
+                F.lit(",".join(keys)).alias("key_columns"),
+                "*",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+Q_KEY_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{t}' AS table_name, '{",".join(keys)}' AS key_columns,
+  CAST(SUM(_m) AS BIGINT) AS n_rows,
+  COUNT(*) AS n_keys,
+  CAST(SUM(CASE WHEN _m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+  CAST(SUM(CASE WHEN _m > 1 THEN _m ELSE 0 END) AS BIGINT) AS n_rows_in_dups,
+  CAST(MAX(_m) AS BIGINT) AS max_multiplicity
+FROM (SELECT COUNT(*) AS _m FROM {t} GROUP BY {", ".join(keys)})"""
+    for t, keys in _KEY_SPECS
+)
+
+
+# ---------------------------------------------------------------------------
 # Top-k per group (W3) — deterministic row_number window
 # ---------------------------------------------------------------------------
 
@@ -3414,6 +3483,7 @@ QUERIES: dict[str, tuple] = {
     "q_distinct_segments": (q_distinct_segments, Q_DISTINCT_SQL),
     "q_sanity_bounds": (q_sanity_bounds, Q_SANITY_SQL),
     "q_value_sanity": (q_value_sanity, Q_VALUE_SANITY_SQL),
+    "q_key_integrity": (q_key_integrity, Q_KEY_INTEGRITY_SQL),
     "q_top_orders_per_customer": (q_top_orders_per_customer, Q_TOPK_SQL),
     "q_cumulative_revenue": (q_cumulative_revenue, Q_CUMSUM_SQL),
 }
