@@ -91,8 +91,6 @@ _CHECK_FIRST = [
     "q19_disjunctive",
     "q_above_avg_balance",
     "q_asof_prev_click",
-    "q_bm25_topk",
-    "q_bpe_merges",
 ]
 
 
