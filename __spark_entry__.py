@@ -24,73 +24,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries (CORRECTNESS_r01..r06.json each stopped at exactly 50).  Order
 # the registry so the queries that most need a fresh green row come first.
 #
-# ROUND-7 ROTATION (executes VERDICT r06 "Next round" #1):
-#   1. all 33 queries whose newest driver row is CORRECTNESS_r03, the
-#      round-6 structurally-rewired plans leading (q_exact_quantiles,
-#      q_rfm_segments, q_order_price_ranks, q_price_qty_corr,
-#      q_semantic_dedup_2level — they changed shape since their last
-#      hard row);
-#   2. round-7 registrations (never driver-checked) — inserted as they
+# ROUND-8 ROTATION (executes VERDICT r07 "Next round" #1):
+#   1. the full r04-stale cohort — all 34 registry queries whose newest
+#      driver row is CORRECTNESS_r04 (recomputed from the r01–r07
+#      artifacts at the start of this round);
+#   2. round-8 registrations (never driver-checked) — inserted as they
 #      land this round;
-#   3. oldest-r04 fills — leading with the three rollup/cube queries
-#      whose ORACLES changed this round (empty-input HAVING guard).
+#   3. oldest-r05 fills (alphabetical head of the r05 cohort) to bring
+#      the window to exactly 50.
 # After this round no registry query's newest driver row predates
-# round 4; the r04 remainder rotates in round 8.  All stay covered
+# round 5; the r05 remainder rotates in round 9.  All stay covered
 # every session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
-    # -- stalest driver rows (newest row is CORRECTNESS_r03)
-    "q_exact_quantiles",
-    "q_rfm_segments",
-    "q_order_price_ranks",
-    "q_price_qty_corr",
-    "q_semantic_dedup_2level",
-    "q11_important_parts",
-    "q13_order_count_histogram",
-    "q18_large_volume_orders",
-    "q2_min_cost_parts",
-    "q_bigram_pmi",
-    "q_boilerplate_shingles",
-    "q_dau_mau",
-    "q_dedup_cluster_sizes",
-    "q_doc_dedup_decisions",
-    "q_doc_embedding",
-    "q_events_user_mode",
-    "q_events_voxelize",
-    "q_fiducial_cut",
-    "q_first_touch",
-    "q_grouping_sets",
-    "q_incremental_dedup",
-    "q_jl_projection",
-    "q_lang_mismatch",
-    "q_linear_quality",
-    "q_ngram_jaccard_pairs",
-    "q_paragraph_dedup",
-    "q_paragraph_dedup_text",
-    "q_reservoir_per_group",
-    "q_source_concentration",
-    "q_token_drift",
-    "q_volume_anomaly",
-    "q_weighted_sample",
-    "q_zorder_cells",
-    # -- round-7 registrations (never driver-checked) land here
-    "q_value_sanity",
-    "q_key_integrity",
-    # -- oldest r04 cohort fills the window
-    "q_cube_orders",
-    "q_rollup_revenue",
-    "q_events_time_rollup",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q19_disjunctive",
-    "q_above_avg_balance",
-    "q_asof_prev_click",
+    # -- stalest driver rows (newest row is CORRECTNESS_r04)
+    "q_bm25_topk",
+    "q_bpe_merges",
+    "q_bpe_vocab",
+    "q_contamination_bloom",
+    "q_cumulative_revenue",
+    "q_customers_without_orders",
+    "q_dedup_audit",
+    "q_distinct_segments",
+    "q_event_pairs_10min",
+    "q_events_dow",
+    "q_events_funnel",
+    "q_events_gap_fill",
+    "q_late_orders_semi",
+    "q_latest_event_per_user",
+    "q_mod_sample",
+    "q_neighbor_degree",
+    "q_order_gaps",
+    "q_order_qty_profile",
+    "q_pivot_user_events",
+    "q_point_lookup",
+    "q_price_stats",
+    "q_priority_remap",
+    "q_regex_source_buckets",
+    "q_rolling_7day_revenue",
+    "q_sanity_bounds",
+    "q_semantic_dedup",
+    "q_semantic_dedup_smallk",
+    "q_set_ops_customers",
+    "q_small_quantity_revenue",
+    "q_spatial_pairs",
+    "q_stratified_sample",
+    "q_string_funcs",
+    "q_top_orders_per_customer",
+    "q_unpivot_metrics",
+    # -- round-8 registrations (never driver-checked) land here
+    "q_canonicalize_keys",
+    # -- oldest r05 cohort fills the window to exactly 50
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_assoc_rules",
+    "q_attribution_window",
+    "q_autocorr_daily",
+    "q_benford_prices",
+    "q_bigram_logprob",
+    "q_brand_pagerank",
+    "q_centroid_drift",
+    "q_char_entropy",
+    "q_chi2_lang_source",
+    "q_cohort_ltv",
+    "q_concurrent_sessions",
+    "q_consistent_sample",
+    "q_copurchase_pairs",
 ]
 
 

@@ -78,7 +78,9 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         frozen = sorted(
             glob.glob(os.path.join(here, "BENCHFULL_r*.json")),
-            key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+            key=lambda p: int(
+                re.search(r"BENCHFULL_r(\d+)", os.path.basename(p)).group(1)
+            ),
         )
         baseline = frozen[-1] if frozen else ""
     if baseline:

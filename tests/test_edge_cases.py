@@ -427,6 +427,49 @@ def test_null_key_corpus_full_oracle_parity(spark, tmp_path_factory):
     assert not failures, failures
 
 
+# NULL-payload corpus (round 8, eighth sweep — VERDICT r07 "Next round"
+# #2): sweeps 1–7 null the keys and the time axis; this one nulls the
+# PAYLOADS under fully valid keys — NULL `text` (every 7th document,
+# with its n_chars metadata nulled consistently), NULL `embedding`
+# (every 5th vector — the round-7 operator contracts assign_clusters /
+# pq_encode are NULL-in-NULL-out, but no corpus sweep had pushed NULL
+# vectors through the REGISTERED plans), NULL `props` JSON and NULL
+# `value` under valid event keys/timestamps. The modulo phases differ
+# (7/5/4/6) so groups mix NULL and non-NULL payloads — the divergence
+# engine is aggregate-vs-scalar NULL semantics (SUM skips NULLs, `+`
+# propagates them), Spark's NULL-vs-DuckDB element access on NULL
+# arrays, and string functions over NULL text.
+_NULL_PAYLOAD_SQL = dict(
+    _DEGEN_SQL,
+    orders="SELECT * FROM src",
+    lineitem="SELECT * FROM src",
+    documents=(
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,"
+        " lang, source,"
+        " CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END AS n_chars"
+        " FROM src"
+    ),
+    embeddings=(
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 5 = 0 THEN NULL ELSE embedding END"
+        " AS embedding, label FROM src"
+    ),
+    events=(
+        "SELECT event_id, ts, user_id, event_type,"
+        " CASE WHEN event_id % 4 = 0 THEN NULL ELSE value END AS value,"
+        " CASE WHEN event_id % 6 = 0 THEN NULL ELSE props END AS props"
+        " FROM src"
+    ),
+)
+
+
+def test_null_payload_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_nullpayload"))
+    failures = _oracle_parity_sweep(spark, dst, _NULL_PAYLOAD_SQL)
+    assert not failures, failures
+
+
 def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):
     """q_value_sanity is the documented gate for the finite-money
     contract (the exact-cents convention fails LOUDLY on NaN/Inf in

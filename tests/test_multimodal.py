@@ -451,6 +451,14 @@ def test_png_malformed_inputs_raise_specifically():
     )
     with pytest.raises(ValueError, match="malformed PNG raster"):
         decode_png(short)
+    # CRC-valid but wrong-length IHDR body (round-8 ADVICE): must raise
+    # the contract ValueError, not an internal struct.error
+    bad_ihdr = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr[:-1])
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(bad_ihdr)
 
 
 def test_png_spark_decode_resize_features(spark):

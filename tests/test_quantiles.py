@@ -368,3 +368,16 @@ def test_high_cardinality_strategy_matches_blocked(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_high_cardinality_rejected_for_global_quantile(spark):
+    """keys=[] with the window strategy would be an unpartitioned global
+    window (round-8 ADVICE): refuse loudly, the blocked default is the
+    bounded plan for a global quantile."""
+    import pytest
+
+    from ubparquet_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+    with pytest.raises(ValueError, match="global window"):
+        exact_quantiles(df, [], "v", {"p50": 0.5}, high_cardinality_keys=True)

@@ -766,6 +766,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos = body_end + 4
     if ihdr is None or not ended:
         raise ValueError("malformed PNG: missing IHDR or IEND")
+    if len(ihdr) != 13:
+        raise ValueError(f"malformed PNG: IHDR length {len(ihdr)} != 13")
     w, h, depth, color_type, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )

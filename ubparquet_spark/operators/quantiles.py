@@ -67,8 +67,18 @@ def exact_quantiles(
       keys are many (domains small). Measured 2.7x faster at 10M rows /
       100k keys, where the blocked offset table is 3.2M rows and its
       broadcast dominates. Crossover is roughly where rows/n_keys drops
-      below ~rows/n_tasks, i.e. n_keys > n_tasks."""
+      below ~rows/n_tasks, i.e. n_keys > n_tasks.
+
+    With ``keys=[]`` only the blocked strategy is bounded (the window
+    variant would be a single-task global window), so
+    ``high_cardinality_keys=True`` is rejected there."""
     keys = list(keys)
+    if high_cardinality_keys and not keys:
+        raise ValueError(
+            "high_cardinality_keys=True with keys=[] would build an "
+            "unpartitioned global window; the default blocked strategy "
+            "is the bounded plan for a global quantile"
+        )
     v = F.col(value_col).cast("double").alias("_v")
     dist = df.select(*keys, v).groupBy(*keys, "_v").agg(
         F.count(F.lit(1)).alias("_c")

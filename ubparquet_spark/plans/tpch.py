@@ -483,6 +483,67 @@ def q_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Key canonicalization (round 8): the remediation step AFTER
+# q_key_integrity flags a table. The synthetic lake's lineitem composite
+# key (l_orderkey, l_linenumber) is itself non-unique (11,785 duplicated
+# keys at sf0.01, max multiplicity 6, payloads differing), so this plan
+# remediates real violations, not a synthetic toy: one keyed shuffle +
+# row_number over a TOTAL payload order picks a deterministic winner per
+# key. Both engines order ascending with NULLS FIRST so the winner is
+# value-identical. operators/canonical.py holds the reusable operator;
+# this query pins its semantics against the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_CANON_ORDER = [
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+]
+
+
+def q_canonicalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.canonical import canonicalize_keys
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    canon = canonicalize_keys(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        [F.col(c).asc() for c in _CANON_ORDER],
+    )
+    return canon.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        dbl(money("l_extendedprice")).alias("extendedprice"),
+        "l_returnflag",
+    )
+
+
+Q_CANONICALIZE_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE)
+         AS extendedprice,
+       l_returnflag
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY l_orderkey, l_linenumber
+    ORDER BY {", ".join(c + " ASC NULLS FIRST" for c in _CANON_ORDER)}
+  ) AS rn
+  FROM lineitem
+  WHERE l_orderkey < 500
+)
+WHERE rn = 1
+"""
+
+
 Q_KEY_INTEGRITY_SQL = "\nUNION ALL\n".join(
     f"""SELECT '{t}' AS table_name, '{",".join(keys)}' AS key_columns,
   CAST(SUM(_m) AS BIGINT) AS n_rows,
@@ -3484,6 +3545,7 @@ QUERIES: dict[str, tuple] = {
     "q_sanity_bounds": (q_sanity_bounds, Q_SANITY_SQL),
     "q_value_sanity": (q_value_sanity, Q_VALUE_SANITY_SQL),
     "q_key_integrity": (q_key_integrity, Q_KEY_INTEGRITY_SQL),
+    "q_canonicalize_keys": (q_canonicalize_keys, Q_CANONICALIZE_SQL),
     "q_top_orders_per_customer": (q_top_orders_per_customer, Q_TOPK_SQL),
     "q_cumulative_revenue": (q_cumulative_revenue, Q_CUMSUM_SQL),
 }
