@@ -39,7 +39,9 @@ PROBS = {"p50": 0.5, "p95": 0.95}
 def blocked(df, keys):
     from ubparquet_spark.operators.quantiles import exact_quantiles
 
-    return exact_quantiles(df, keys, "v", PROBS)
+    return exact_quantiles(
+        df, keys, "v", PROBS, high_cardinality_keys=False
+    )
 
 
 def plain_window(df, keys):

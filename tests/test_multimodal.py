@@ -461,6 +461,113 @@ def test_png_malformed_inputs_raise_specifically():
         decode_png(bad_ihdr)
 
 
+# ---------------------------------------------------------------------------
+# JPEG (round 8): the fifth real codec. Lossy round-trips — tests bound
+# the reconstruction error by content class instead of asserting equality.
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_flat_image_roundtrips_exact():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert np.array_equal(out, img)  # DC-only block quantizes losslessly
+    rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+    rgb[:, :] = (200, 100, 50)
+    out = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_jpeg_gradient_roundtrip_error_bounded():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    h, w = 24, 33  # non-multiple-of-8 dims exercise edge padding
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [xx * 255 // (w - 1), yy * 255 // (h - 1), (xx + yy) * 255 // (w + h - 2)],
+        axis=2,
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 6 and err.mean() <= 2.0
+    gray = (xx * 255 // (w - 1)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray, quality=92))
+    assert np.abs(out.astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_jpeg_noise_roundtrip_and_quality_monotonicity():
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+
+    def mean_err(q):
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        return np.abs(out.astype(int) - img.astype(int)).mean()
+
+    assert mean_err(95) <= mean_err(50) + 1e-9  # higher quality, lower loss
+    assert mean_err(95) < 16  # noise is JPEG's worst case; still bounded
+
+
+def test_jpeg_malformed_inputs_raise_specifically():
+    import numpy as np
+    import pytest
+
+    from ubparquet_spark.functions.multimodal import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    good = encode_jpeg(img)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG" + good[4:])
+    with pytest.raises(ValueError, match="truncated JPEG"):
+        decode_jpeg(good[:-8] if len(good) > 8 else good[:4])
+    # progressive SOF2 gate
+    sof0_at = good.index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof0_at + 1] = 0xC2
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(img, quality=0)
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg(img.astype(np.float32))
+    with pytest.raises(ValueError, match="shape"):
+        encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
+
+
+def test_jpeg_through_decode_resize_features(spark):
+    """The real-JPEG corpus runs the full image pipeline: per-format
+    dispatch inside one Arrow-batched mapInPandas stage."""
+    import numpy as np
+
+    from ubparquet_spark.functions.multimodal import (
+        decode_jpeg,
+        decode_resize_features,
+        synth_jpeg_df,
+    )
+
+    df = synth_jpeg_df(spark, n=9)
+    out = {r.media_id: r for r in decode_resize_features(df).collect()}
+    assert len(out) == 9
+    src = {r["media_id"]: r for r in df.collect()}
+    for mid, row in out.items():
+        img = decode_jpeg(bytes(src[mid]["payload"]))
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=2)
+        assert row.width == img.shape[1] and row.height == img.shape[0]
+        assert abs(row.mean_r - img[:, :, 0].mean()) < 1e-9
+        assert len(row.feature) == 16 * 12
+
+
 def test_png_spark_decode_resize_features(spark):
     import numpy as np
 

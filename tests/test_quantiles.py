@@ -370,6 +370,58 @@ def test_high_cardinality_strategy_matches_blocked(spark):
     assert a == b
 
 
+def test_auto_dispatch_rule_and_probe(spark):
+    """Round-8 auto-dispatch: the strategy choice follows the measured
+    BENCHNOTES crossover (plain keyed window iff n_keys >= n_tasks),
+    from a caller hint or the approx_count_distinct probe."""
+    from ubparquet_spark.operators.ranks import (
+        _shuffle_partitions,
+        use_plain_keyed_window,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    n_tasks = _shuffle_partitions(df)
+    assert use_plain_keyed_window(df, [], n_keys=10**9) is False
+    assert use_plain_keyed_window(df, ["k"], n_keys=n_tasks - 1) is False
+    assert bool(use_plain_keyed_window(df, ["k"], n_keys=n_tasks)) is True
+    # probe path: 3 distinct keys -> blocked; ~20x n_tasks keys -> window
+    few = spark.range(300).select(
+        (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+    )
+    assert bool(use_plain_keyed_window(few, ["k"])) is False
+    many = spark.range(n_tasks * 20).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    assert bool(use_plain_keyed_window(many, ["k"])) is True
+    # composite keys probe through a struct
+    comp = many.withColumn("k2", F.col("k") % 2)
+    assert bool(use_plain_keyed_window(comp, ["k", "k2"])) is True
+
+
+def test_auto_dispatch_picks_each_physical_plan(spark):
+    """AUTO must actually switch the physical plan: the blocked strategy
+    broadcast-joins its offset table; the plain keyed window has no join
+    at all. Results are identical either way (strategy-equality test
+    above); this pins the dispatch itself."""
+    from ubparquet_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame(
+        [(f"g{i % 4}", float(i)) for i in range(100)], "k string, v double"
+    )
+
+    def plan(q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    low = exact_quantiles(df, ["k"], "v", {"p50": 0.5}, n_keys=2)
+    assert "BroadcastHashJoin" in plan(low)
+    high = exact_quantiles(df, ["k"], "v", {"p50": 0.5}, n_keys=10**6)
+    assert "BroadcastHashJoin" not in plan(high)
+    # results agree regardless of the dispatch decision
+    a = {(r.k, r.p50, r.n_rows) for r in low.collect()}
+    b = {(r.k, r.p50, r.n_rows) for r in high.collect()}
+    assert a == b
+
+
 def test_high_cardinality_rejected_for_global_quantile(spark):
     """keys=[] with the window strategy would be an unpartitioned global
     window (round-8 ADVICE): refuse loudly, the blocked default is the

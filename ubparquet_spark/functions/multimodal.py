@@ -4,12 +4,14 @@ The LLM-data-pipeline extension surface (BASELINE.json): media payloads are
 ``binary`` columns with a typed ``meta`` struct; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-The actual codec step is STUBBED: the container has no image/audio libraries,
-so ``decode_media`` raises ``NotImplementedError`` unless
-``allow_fake=True`` selects the deterministic fake decoder (md5-seeded pixel
-stats). Everything around the stub — schema, batch iteration, UDF
-signatures, partition behavior, output shapes — is real and tested; swapping
-``_fake_decode`` for Pillow/librosa/pyav is a one-function change.
+FIVE codecs are fully real, pure numpy/stdlib: PPM/PGM, WAV/PCM, BMP,
+PNG (round 7) and baseline JPEG (round 8). Formats beyond those
+(video containers, lossy audio, HEIC, progressive JPEG) remain honestly
+env-gated: ``decode_media`` raises ``NotImplementedError`` unless
+``allow_fake=True`` selects the deterministic fake decoder (md5-seeded
+pixel stats). Everything around that gate — schema, batch iteration, UDF
+signatures, partition behavior, output shapes — is real and tested;
+swapping ``_fake_decode`` for Pillow/librosa/pyav is a one-function change.
 
 Scale notes: ``mapInPandas`` streams Arrow batches through Python without
 collecting; binary payloads stay off the driver. Media tables should be
@@ -51,10 +53,11 @@ def synth_media_df(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFram
             "channels": 3 if kind == "image" else (1 if kind == "audio" else 3),
             "sample_rate": 16000 if kind == "audio" else None,
             "n_frames": 30 * (1 + i % 5) if kind == "video" else None,
-            # "jpeg" not "png": PNG is a REAL codec since round 7, and
-            # these payloads are fake bytes — they must stay behind the
-            # env-gated formats so decode_resize_features never tries them
-            "format": {"image": "jpeg", "audio": "wav", "video": "mp4"}[kind],
+            # these payloads are fake bytes, so they carry formats with NO
+            # real codec in this repo (JPEG graduated to a real codec in
+            # round 8, PNG in round 7 — fakes must stay behind env-gated
+            # formats so decode_resize_features never tries them)
+            "format": {"image": "heic", "audio": "flac", "video": "mp4"}[kind],
         }
         rows.append({"media_id": i, "kind": kind, "payload": payload, "meta": meta})
     return spark.createDataFrame(rows, MEDIA_DDL)
@@ -322,9 +325,11 @@ def decode_resize_features(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
                 fmt = meta["format"] if isinstance(meta, dict) else meta.format
-                decode = {"bmp": decode_bmp, "png": decode_png}.get(
-                    fmt, decode_ppm
-                )
+                decode = {
+                    "bmp": decode_bmp,
+                    "png": decode_png,
+                    "jpeg": decode_jpeg,
+                }.get(fmt, decode_ppm)
                 img = decode(bytes(payload))
                 if img.ndim == 2:
                     img = np.stack([img] * 3, axis=2)
@@ -346,7 +351,7 @@ def decode_resize_features(
             yield pd.DataFrame.from_records(recs)
 
     return df.filter(
-        F.col("meta.format").isin("ppm", "pgm", "bmp", "png")
+        F.col("meta.format").isin("ppm", "pgm", "bmp", "png", "jpeg")
     ).mapInPandas(batches, out_schema)
 
 
@@ -639,8 +644,8 @@ def synth_bmp_df(spark: SparkSession, n: int = 24, seed: int = 5) -> DataFrame:
 # per-scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) reverse
 # with numpy + a per-row loop only where the recurrence is inherently
 # sequential. Same plumbing as PPM/WAV/BMP: Arrow-batched mapInPandas,
-# payloads never touch the driver. JPEG remains the one honest
-# env-gated stub (entropy decode needs a real codec library).
+# payloads never touch the driver. (Baseline JPEG joined as the fifth
+# real codec in round 8 — see the section at the end of this module.)
 # ---------------------------------------------------------------------------
 
 import zlib
@@ -830,6 +835,540 @@ def synth_png_df(spark: SparkSession, n: int = 24, seed: int = 13) -> DataFrame:
                 "media_id": i,
                 "kind": "image",
                 "payload": encode_png(img),
+                "meta": meta,
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+# ---------------------------------------------------------------------------
+# Fifth real codec (round 8, VERDICT r07 "Next round" #7): baseline
+# sequential JPEG (ITU-T T.81), pure numpy + stdlib — the last image
+# stub graduates. Decoder: marker parse (DQT/DHT/SOF0/DRI/SOS), canonical
+# Huffman entropy decode with byte-destuffing and RSTn restart handling,
+# dequantize + dezigzag, orthonormal 8x8 IDCT as two matrix products,
+# nearest-neighbour chroma upsampling for 4:2:0/4:2:2, JFIF YCbCr->RGB.
+# Encoder: 4:4:4 (no subsampling), Annex-K quantization tables scaled by
+# the libjpeg quality curve, FLAT canonical Huffman tables (every DC
+# category 4 bits, every AC symbol 8 bits — a valid prefix code written
+# into DHT, so any standard decoder reads the stream; flat tables trade
+# a few percent of compression for zero table-construction machinery).
+# Round-trips are LOSSY by design; tests bound the reconstruction error.
+# Reference parity note: the reference engine stores already-decoded
+# arrays (root2parquet.py) and has no media codecs at all — this is
+# extension surface for the multimodal pipeline, same plumbing as
+# PPM/WAV/BMP/PNG: Arrow-batched mapInPandas, payloads never on driver.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K base quantization tables (natural / row-major order)
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis A: dct2(X) = A @ X @ A.T."""
+    k = np.arange(8)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    a[0] *= 1.0 / np.sqrt(2.0)
+    return a * 0.5
+
+
+_DCT_A = _dct_matrix()
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality curve: 1..100 -> scaled table clipped to [1, 255]."""
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be in [1, 100], got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# Flat canonical Huffman specs: (BITS[1..16], HUFFVAL). DC: 12 categories,
+# all 4-bit codes. AC: 162 run/size symbols, all 8-bit codes. Both satisfy
+# Kraft with headroom (12 < 2^4, 162 < 2^8) and avoid the all-ones code.
+_DC_SPEC = ([0, 0, 0, 12] + [0] * 12, list(range(12)))
+_AC_SYMBOLS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_SPEC = ([0] * 7 + [162] + [0] * 8, _AC_SYMBOLS)
+
+
+def _canonical_codes(bits: list, huffval: list) -> dict:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self._acc = (self._acc << length) | (value & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _encode_block(
+    wr: _BitWriter, coefs: np.ndarray, dc_prev: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC value."""
+    dc = int(coefs[0])
+    diff = dc - dc_prev
+    mag = abs(diff)
+    t = mag.bit_length()
+    code, length = dc_codes[t]
+    wr.write(code, length)
+    if t:
+        wr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(coefs[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL
+            wr.write(zc, zl)
+            run -= 16
+        mag = abs(v)
+        s = mag.bit_length()
+        code, length = ac_codes[(run << 4) | s]
+        wr.write(code, length)
+        wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        wr.write(code, length)
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 (H,W) gray / (H,W,3) RGB -> baseline sequential JFIF bytes.
+
+    4:4:4 sampling (every component full resolution), Annex-K quant
+    tables at the given quality, flat canonical Huffman tables written
+    into DHT. Lossy: round-trip error is bounded by the quality setting
+    (see tests), exact only for images the quantizer preserves."""
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    if arr.ndim == 2:
+        comps = [arr.astype(np.float64)]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[:, :, 0].astype(np.float64)
+        g = arr[:, :, 1].astype(np.float64)
+        b = arr[:, :, 2].astype(np.float64)
+        comps = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    h, w = arr.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qts = [_scaled_qt(_JPEG_QT_LUMA, quality)]
+    if len(comps) == 3:
+        qts.append(_scaled_qt(_JPEG_QT_CHROMA, quality))
+    dc_codes = _canonical_codes(*_DC_SPEC)
+    ac_codes = _canonical_codes(*_AC_SPEC)
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    wr = _BitWriter()
+    dc_prev = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(comps):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                if blk.shape != (8, 8):  # edge replication pad
+                    blk = np.pad(
+                        blk,
+                        ((0, 8 - blk.shape[0]), (0, 8 - blk.shape[1])),
+                        mode="edge",
+                    )
+                qt = qts[min(ci, 1)].reshape(8, 8)
+                f = _DCT_A @ (blk - 128.0) @ _DCT_A.T
+                q = np.round(f / qt).astype(np.int64)
+                dc_prev[ci] = _encode_block(
+                    wr, q.ravel()[_ZIGZAG], dc_prev[ci], dc_codes, ac_codes
+                )
+    scan = wr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tq, qt in enumerate(qts):
+        out += seg(0xFFDB, bytes([tq]) + bytes(qt[_ZIGZAG].astype(np.uint8)))
+    nf = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nf)
+    for ci in range(nf):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])  # id, 1x1 sampling, qt id
+    out += seg(0xFFC0, sof)
+    for tc_th, (bits, vals) in (
+        ((0, 0), _DC_SPEC),
+        ((1, 0), _AC_SPEC),
+    ):
+        out += seg(
+            0xFFC4,
+            bytes([(tc_th[0] << 4) | tc_th[1]]) + bytes(bits) + bytes(vals),
+        )
+    sos = bytes([nf])
+    for ci in range(nf):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approximation
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode tables per T.81 F.2.2.3."""
+
+    def __init__(self, bits: list, huffval: list) -> None:
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.val_ptr[length] = k
+                self.min_code[length] = code
+                code += n
+                k += n
+                self.max_code[length] = code - 1
+            code <<= 1
+        self.huffval = huffval
+        if k != len(huffval):
+            raise ValueError("malformed JPEG: DHT count/value mismatch")
+
+
+class _BitReader:
+    """MSB-first reader over one destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8)).tolist()
+        self.pos = 0
+
+    def bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.bits[self.pos]
+        self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode(self, table: _HuffDecoder) -> int:
+        code = self.bit()
+        for length in range(1, 17):
+            if table.max_code[length] >= code:
+                return table.huffval[
+                    table.val_ptr[length] + code - table.min_code[length]
+                ]
+            code = (code << 1) | self.bit()
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential JFIF/JPEG bytes -> uint8 (H,W) or (H,W,3).
+
+    Supports 8-bit baseline (SOF0) with 1 or 3 components, sampling
+    factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, and byte
+    stuffing. Progressive (SOF2) and arithmetic coding raise ValueError
+    — extend with a codec library outside this container. Chroma is
+    upsampled nearest-neighbour; malformed inputs raise ValueError."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple, _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"malformed JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("malformed JPEG: no scan data")
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue  # standalone markers
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment header")
+        (seg_len,) = struct.unpack(">H", payload[pos : pos + 2])
+        body = payload[pos + 2 : pos + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                if len(zz) != 64:
+                    raise ValueError("malformed JPEG: short DQT")
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = zz
+                qts[tq] = qt.reshape(8, 8)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                huffs[(tc, th)] = _HuffDecoder(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nf = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if nf not in (1, 3):
+                raise ValueError(f"unsupported component count {nf}")
+            comps = []
+            for i in range(nf):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError(f"unsupported sampling {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential (SOF0) JPEG supported, got "
+                f"SOF marker 0x{marker:02X}"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("malformed JPEG: SOS before SOF0")
+            ns = body[0]
+            scan_map = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan_map[cs] = (tt >> 4, tt & 0xF)
+            return _decode_scan(
+                payload, pos, frame, qts, huffs, scan_map, restart_interval
+            )
+    raise ValueError("malformed JPEG: no SOS marker")
+
+
+def _decode_scan(
+    payload, pos, frame, qts, huffs, scan_map, restart_interval
+) -> np.ndarray:
+    # destuff: split entropy bytes into restart segments
+    segments, cur = [], bytearray()
+    i = pos
+    while i < len(payload):
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < len(payload) else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        elif nxt == 0xD9:
+            break
+        else:
+            raise ValueError(
+                f"unexpected marker 0x{nxt:02X} inside JPEG scan"
+                if nxt is not None
+                else "truncated JPEG scan"
+            )
+    segments.append(bytes(cur))
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+        if c["tq"] not in qts:
+            raise ValueError(f"malformed JPEG: missing quant table {c['tq']}")
+
+    n_mcu = mcux * mcuy
+    per_seg = restart_interval or n_mcu
+    mcu = 0
+    dc_prev = [0] * len(comps)
+    for seg_idx, seg_bytes in enumerate(segments):
+        if mcu >= n_mcu:
+            break
+        rd = _BitReader(seg_bytes)
+        dc_prev = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, c in enumerate(comps):
+                if c["id"] not in scan_map:
+                    raise ValueError("scan/component mismatch")
+                td, ta = scan_map[c["id"]]
+                try:
+                    dct, act = huffs[(0, td)], huffs[(1, ta)]
+                except KeyError:
+                    raise ValueError(
+                        "malformed JPEG: missing Huffman table"
+                    ) from None
+                qt = qts[c["tq"]]
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        coefs = np.zeros(64, dtype=np.int64)
+                        t = rd.decode(dct)
+                        diff = _extend(rd.receive(t), t) if t else 0
+                        dc_prev[ci] += diff
+                        coefs[0] = dc_prev[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC index overrun"
+                                )
+                            coefs[k] = _extend(rd.receive(s), s)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[_ZIGZAG] = coefs * qt.ravel()[_ZIGZAG]
+                        px = _DCT_A.T @ blk.reshape(8, 8) @ _DCT_A + 128.0
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+            mcu += 1
+    if mcu < n_mcu:
+        raise ValueError(
+            f"truncated JPEG: {mcu}/{n_mcu} MCUs decoded"
+        )
+
+    full = []
+    for c, plane in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def synth_jpeg_df(spark: SparkSession, n: int = 24, seed: int = 17) -> DataFrame:
+    """Media table whose image payloads are REAL baseline JPEG bytes —
+    gray / RGB cycled per row (smooth gradients JPEG preserves well)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        w, h = 16 + (i % 4) * 8, 16 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack(
+            [
+                (xx * 255 // max(w - 1, 1)),
+                (yy * 255 // max(h - 1, 1)),
+                ((xx + yy) * 127 // max(w + h - 2, 1) + rng.integers(0, 8)),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        if i % 3 == 0:
+            img, channels = base[:, :, 0], 1
+        else:
+            img, channels = base, 3
+        meta = {
+            "width": w, "height": h, "channels": channels,
+            "sample_rate": None, "n_frames": None, "format": "jpeg",
+        }
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "image",
+                "payload": encode_jpeg(img, quality=92),
                 "meta": meta,
             }
         )

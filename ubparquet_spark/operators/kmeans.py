@@ -166,7 +166,12 @@ def kmeans_fit(
     samplers from ``operators.sampling`` compose upstream for a random
     init). Returns plain Python centroids — k·dim doubles, the
     quantizer artifact you broadcast into ``assign_clusters`` /
-    ``plans.similarity.q_ann_ivf``-style probes."""
+    ``plans.similarity.q_ann_ivf``-style probes.
+
+    NULL vectors are dropped from training here (round-8 NULL-payload
+    contract: a NULL row can neither seed a centroid nor contribute to a
+    mean); downstream assignment still maps them to a NULL cluster."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     init_rows = (
         vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )

@@ -104,7 +104,10 @@ def pq_fit(
     Lloyd round is ONE ``(sub, code, dim)``-keyed shuffle for all
     subspaces. Returns ``codebooks[sub][code] -> list[float]`` (6 dp
     rounded means), the artifact for :func:`pq_encode` / :func:`pq_adc_topk`.
-    """
+
+    NULL vectors are dropped from training (round-8 NULL-payload
+    contract); :func:`pq_encode` still maps them to NULL codes."""
+    vectors = vectors.filter(F.col(vec_col).isNotNull())
     init_rows = vectors.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     if not init_rows:
         raise ValueError("pq_fit requires a non-empty training set")

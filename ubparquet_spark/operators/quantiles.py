@@ -37,7 +37,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ubparquet_spark.operators.ranks import blocked_cumsum
+from ubparquet_spark.operators.ranks import blocked_cumsum, use_plain_keyed_window
 
 
 def exact_quantiles(
@@ -46,7 +46,8 @@ def exact_quantiles(
     value_col: str,
     probs: Mapping[str, float],
     *,
-    high_cardinality_keys: bool = False,
+    high_cardinality_keys: bool | None = None,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """Per-``keys`` exact quantiles of ``value_col``.
 
@@ -57,11 +58,20 @@ def exact_quantiles(
     ``high_cardinality_keys`` picks the running-total strategy
     (round-7 key-cardinality stress, examples/keyed_cumsum_stress.py):
 
-    - ``False`` (default) — blocked_cumsum: bounded per-task sorts at ANY
+    - ``None`` (default, round 8) — AUTO: dispatch on the measured
+      crossover via :func:`use_plain_keyed_window`. Pass ``n_keys`` when
+      the key cardinality is known (keeps plan construction fully lazy);
+      otherwise a one-job ``approx_count_distinct`` probe over the key
+      columns runs at construction time.
+    - ``False`` — blocked_cumsum: bounded per-task sorts at ANY
       per-key domain size, but the n_tasks x n_keys offset table is
       broadcast. Right for few keys over near-unique values; measured
       3.8x faster than the window at 10M rows / 1 key, and it is the
-      only strategy that FINISHES that shape at 100M.
+      only strategy that FINISHES that shape at 100M. Memory note for
+      extreme single-machine stresses: the 1e8-row keyed run needs
+      ``SPARK_GRAFT_DRIVER_MEM=48g`` in local mode — the lazy-checkpoint
+      artifact competes with window-sort execution memory under the 8g
+      default (BENCHNOTES round 7).
     - ``True`` — plain ``Window.partitionBy(keys)``: no offset table at
       all; each key's distinct-value domain sorts in one task, fine when
       keys are many (domains small). Measured 2.7x faster at 10M rows /
@@ -69,9 +79,11 @@ def exact_quantiles(
       broadcast dominates. Crossover is roughly where rows/n_keys drops
       below ~rows/n_tasks, i.e. n_keys > n_tasks.
 
-    With ``keys=[]`` only the blocked strategy is bounded (the window
-    variant would be a single-task global window), so
-    ``high_cardinality_keys=True`` is rejected there."""
+    Both strategies are result-identical (pinned by tests); the choice
+    is physical only. With ``keys=[]`` only the blocked strategy is
+    bounded (the window variant would be a single-task global window),
+    so ``high_cardinality_keys=True`` is rejected there and AUTO always
+    resolves to blocked."""
     keys = list(keys)
     if high_cardinality_keys and not keys:
         raise ValueError(
@@ -79,6 +91,8 @@ def exact_quantiles(
             "unpartitioned global window; the default blocked strategy "
             "is the bounded plan for a global quantile"
         )
+    if high_cardinality_keys is None:
+        high_cardinality_keys = use_plain_keyed_window(df, keys, n_keys=n_keys)
     v = F.col(value_col).cast("double").alias("_v")
     dist = df.select(*keys, v).groupBy(*keys, "_v").agg(
         F.count(F.lit(1)).alias("_c")

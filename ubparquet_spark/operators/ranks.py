@@ -54,6 +54,36 @@ def _shuffle_partitions(df: DataFrame) -> int:
         return df.sparkSession.sparkContext.defaultParallelism
 
 
+def use_plain_keyed_window(
+    df: DataFrame, keys: list[str], *, n_keys: int | None = None
+) -> bool:
+    """Pick the keyed running-total strategy from the measured crossover.
+
+    Returns True when a plain ``Window.partitionBy(keys)`` is the right
+    physical plan, False when :func:`blocked_cumsum` is. The rule is the
+    round-7 key-cardinality stress (BENCHNOTES r7, measured on
+    examples/keyed_cumsum_stress.py): the blocked form wins 2.4–3.8×
+    when ``n_keys`` is far below the task count (its per-task sorts are
+    bounded; the plain window funnels rows/n_keys through single tasks)
+    and is the only strategy that finishes at 100M rows / few keys; the
+    plain keyed window wins ~1.6× once ``n_keys >= n_tasks`` (per-key
+    domains are already small, and the blocked n_tasks × n_keys offset
+    broadcast dominates).
+
+    ``n_keys`` — caller-known key cardinality; when omitted, a single
+    ``approx_count_distinct`` probe over the key columns runs HERE
+    (one cheap column-pruned job at dispatch time — pass ``n_keys`` to
+    keep plan construction fully lazy). ``keys == []`` is always the
+    blocked strategy: the "window" alternative would be an unpartitioned
+    global window through one task."""
+    if not keys:
+        return False
+    if n_keys is None:
+        probe = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
+        n_keys = df.agg(F.approx_count_distinct(probe)).first()[0]
+    return n_keys >= _shuffle_partitions(df)
+
+
 def _null_safe_join_broadcast(
     local: DataFrame, offsets: DataFrame, part_cols: list[str]
 ) -> DataFrame:

@@ -415,7 +415,13 @@ def _rounded_update(assigned: DataFrame, prev: list[list[float]]) -> list[list[f
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.kmeans import assign_clusters
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round-8 NULL-payload policy: clustering covers vectors that EXIST —
+    # NULL embeddings are excluded at the scan in BOTH engines (the
+    # trainer cannot seed from a NULL row, and a NULL distance would
+    # otherwise pick an engine-dependent "nearest" cluster)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     train = emb.filter(F.col("vec_id") < KMEANS_TRAIN_LIMIT)
     init = train.orderBy("vec_id").limit(KMEANS_K).collect()
     cents = [[float(v) for v in r.embedding] for r in init]
@@ -477,7 +483,10 @@ def _kmeans_sql() -> str:
 )"""
 
     ctes = [
-        f"train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {KMEANS_TRAIN_LIMIT})",
+        # round-8 NULL-payload policy: clustering covers non-NULL vectors
+        "embnn AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        f"train AS (SELECT vec_id, embedding FROM embnn WHERE vec_id < {KMEANS_TRAIN_LIMIT})",
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
@@ -489,7 +498,7 @@ def _kmeans_sql() -> str:
         ctes.append(assign_cte(f"a{r}", "train", prev))
         ctes.append(update_cte(f"c{r + 1}", f"a{r}", prev))
         prev = f"c{r + 1}"
-    ctes.append(assign_cte("afinal", "embeddings", prev))
+    ctes.append(assign_cte("afinal", "embnn", prev))
     sq = _sql_dot("afinal.embedding", "afinal.embedding")
     return (
         "WITH "
@@ -972,7 +981,12 @@ PQ_TOPK = 10
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators import pq
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round-8 NULL-payload policy: PQ trains/encodes/queries over vectors
+    # that EXIST — NULL embeddings excluded at the scan in BOTH engines
+    # (the query row is the lowest NON-NULL vec_id)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     train = emb.filter(F.col("vec_id") < PQ_TRAIN_LIMIT)
     qrow = emb.orderBy("vec_id").limit(1).collect()
     if not qrow:  # empty table -> typed empty result
@@ -1010,7 +1024,10 @@ def _pq_sql() -> str:
 )"""
 
     ctes = [
-        f"train AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {PQ_TRAIN_LIMIT})",
+        # round-8 NULL-payload policy: PQ covers non-NULL vectors
+        "embnn AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        f"train AS (SELECT vec_id, embedding FROM embnn WHERE vec_id < {PQ_TRAIN_LIMIT})",
         f"""subs AS (
   SELECT vec_id, j.j AS sub,
          list_transform(list_slice(embedding, j.j * {w} + 1, (j.j + 1) * {w}),
@@ -1054,11 +1071,11 @@ def _pq_sql() -> str:
   SELECT vec_id, j.j AS sub,
          list_transform(list_slice(embedding, j.j * {w} + 1, (j.j + 1) * {w}),
                         x -> CAST(x AS DOUBLE)) AS svec
-  FROM embeddings, range(0, {PQ_M}) j(j)
+  FROM embnn, range(0, {PQ_M}) j(j)
 )""",
         assign_cte("enc", "all_subs", prev),
         """qv AS (
-  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 1
+  SELECT vec_id, embedding FROM embnn ORDER BY vec_id LIMIT 1
 )""",
         f"""qsubs AS (
   SELECT j.j AS sub,
@@ -1080,7 +1097,7 @@ SELECT e.vec_id,
        FLOOR(SUM(t.d) * 10000 + 0.5) / 10000 AS adc_dist
 FROM enc e
 JOIN tbl t ON t.sub = e.sub AND t.code = e.code
-WHERE e.vec_id != (SELECT min(vec_id) FROM embeddings)
+WHERE e.vec_id != (SELECT min(vec_id) FROM embnn)
 GROUP BY e.vec_id
 ORDER BY adc_dist ASC, e.vec_id ASC
 LIMIT {PQ_TOPK}
@@ -1290,9 +1307,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_clusters_blas,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # at 100 TB this count comes free from parquet footer metadata — Spark
-    # answers COUNT(*) over parquet with a metadata-only job
+    # round-8 NULL-payload policy: semantic dedup covers vectors that
+    # EXIST — NULL embeddings excluded at the scan in BOTH engines
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # at 100 TB this count comes ~free from parquet scan statistics
     n = emb.count()
     k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
     train = emb.filter(F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0)
@@ -1410,13 +1430,16 @@ def _semdedup_scaled_sql() -> str:
 )"""
 
     ctes = [
+        # round-8 NULL-payload policy: semantic dedup covers non-NULL vectors
+        "embnn AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
         f"""kk AS (
   SELECT GREATEST({SEMDEDUP_K_MIN},
                   LEAST({SEMDEDUP_K_MAX}, COUNT(*) // {SEMDEDUP_CELL_TARGET})) AS k
-  FROM embeddings
+  FROM embnn
 )""",
         f"""train AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embnn
   WHERE vec_id % {SEMDEDUP_TRAIN_MOD} = 0
 )""",
         """c0 AS (
@@ -1431,7 +1454,7 @@ def _semdedup_scaled_sql() -> str:
         ctes.append(assign_cte(f"a{r}", "train", prev))
         ctes.append(update_cte(f"c{r + 1}", f"a{r}", prev))
         prev = f"c{r + 1}"
-    ctes.append(assign_cte("afinal", "embeddings", prev))
+    ctes.append(assign_cte("afinal", "embnn", prev))
     ctes.extend(
         [
             """assigned AS (
@@ -1609,7 +1632,11 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_subclusters_blas,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # round-8 NULL-payload policy: NULL embeddings excluded at the scan
+    # in BOTH engines (see q_semantic_dedup)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     n = emb.count()
     k1, k2, k_eff = _two_level_ks(n)
     # same dispatch boundary as the one-level scaled form: past 128
@@ -1708,6 +1735,9 @@ def _semdedup_2level_sql() -> str:
 )"""
 
     ctes = [
+        # round-8 NULL-payload policy: semantic dedup covers non-NULL vectors
+        "embnn AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
         f"""kk AS (
   SELECT keff,
          k1,
@@ -1717,12 +1747,12 @@ def _semdedup_2level_sql() -> str:
     FROM (
       SELECT GREATEST({SEMDEDUP_K_MIN},
                       LEAST({SEMDEDUP_K_MAX}, COUNT(*) // {SEMDEDUP_CELL_TARGET})) AS keff
-      FROM embeddings
+      FROM embnn
     )
   )
 )""",
         f"""train AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM embnn
   WHERE vec_id % {SEMDEDUP_TRAIN_MOD} = 0
 )""",
         """c0 AS (
@@ -1788,7 +1818,7 @@ def _semdedup_2level_sql() -> str:
     ctes.append("""wd AS (
   SELECT MAX(cnt) AS w FROM (SELECT c, COUNT(*) AS cnt FROM subc GROUP BY c)
 )""")
-    ctes.append(assign_cte("afin", "embeddings", l1))
+    ctes.append(assign_cte("afin", "embnn", l1))
     dfin = dist.format(v="afin.embedding", c="subc")
     ctes.append(f"""bfin AS (
   SELECT vec_id, cell, embedding, sub FROM (

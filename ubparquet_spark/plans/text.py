@@ -943,11 +943,15 @@ def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DOC_ROLLING_HASH_SQL = f"""
 SELECT doc_id,
+       -- NULL text -> NULL hash (round-8 NULL-payload policy): Spark's
+       -- aggregate() propagates the NULL naturally, but DuckDB's
+       -- list_prepend(0, NULL) yields [0] and would fold to 0
+       CASE WHEN text IS NULL THEN NULL ELSE
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text, ' '),
              t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {_RH_P})),
-         (acc, h) -> (acc * {_RH_B} + h) % {_RH_P}) AS rolling_hash
+         (acc, h) -> (acc * {_RH_B} + h) % {_RH_P}) END AS rolling_hash
 FROM documents
 """
 
@@ -985,11 +989,15 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1 AS DOUBLE) - CAST(size(array_distinct(toks)) AS DOUBLE)"
         " / CAST(size(toks) AS DOUBLE)"
     )
+    # round-8 NULL-payload policy: a NULL-text doc has UNKNOWN repetition
+    # metrics — every output is NULL (not "0 trigrams", which would imply
+    # an analyzed empty doc). Pinned explicitly in both engines.
+    has_text = F.col("text").isNotNull()
     return d.select(
         "doc_id",
-        F.size("grams").alias("n_trigrams"),
-        dup_tri.alias("dup_trigram_frac"),
-        dup_tok.alias("dup_token_frac"),
+        F.when(has_text, F.size("grams")).alias("n_trigrams"),
+        F.when(has_text, dup_tri).alias("dup_trigram_frac"),
+        F.when(has_text, dup_tok).alias("dup_token_frac"),
     ).withColumn(
         "keep",
         F.expr(
@@ -1008,8 +1016,10 @@ WITH base AS (
   FROM documents
 ), fr AS (
   SELECT doc_id,
-         len(grams) AS n_trigrams,
-         CASE WHEN len(grams) > 0
+         -- NULL text -> all metrics NULL (round-8 NULL-payload policy)
+         CASE WHEN toks IS NULL THEN NULL ELSE len(grams) END AS n_trigrams,
+         CASE WHEN toks IS NULL THEN NULL
+              WHEN len(grams) > 0
               THEN CAST(1 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE)
                    / CAST(len(grams) AS DOUBLE)
               ELSE CAST(0 AS DOUBLE) END AS dup_trigram_frac,

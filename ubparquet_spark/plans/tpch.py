@@ -2798,14 +2798,17 @@ def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
+    # event_type is a known handful of values << n_tasks: pin the blocked
+    # strategy (what round-8 auto-dispatch would pick) instead of paying
+    # its approx_count_distinct probe job twice per run.
     med = exact_quantiles(
-        ev, ["event_type"], "value", {"med": 0.5}
+        ev, ["event_type"], "value", {"med": 0.5}, high_cardinality_keys=False
     ).select("event_type", "med")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
     mad = exact_quantiles(
-        dev, ["event_type"], "adev", {"mad": 0.5}
+        dev, ["event_type"], "adev", {"mad": 0.5}, high_cardinality_keys=False
     ).select("event_type", "mad")
     is_out = (F.col("adev") > F.lit(ROBUST_K) * F.col("mad")).cast("int")
     return (
