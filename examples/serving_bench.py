@@ -117,10 +117,11 @@ def run_pickle_path(ds: EventDataset) -> dict:
     batch = []
     for row in df.toLocalIterator():  # per-row pickle transfer
         d = row.asDict()
-        arr = decode_ndarray(
-            d["spacepoint_t"], d["spacepoint_t_shape"]
-        )
-        batch.append(arr)
+        ev = {
+            c: decode_ndarray(d[c], d[f"{c}_shape"])
+            for c in ds.tensor_cols
+        }
+        batch.append(ev["spacepoint_t"])
         if len(batch) == BATCH:
             if t_first is None:
                 t_first = time.perf_counter() - t0
@@ -149,6 +150,10 @@ def main() -> None:
         ds = EventDataset(
             spark, path, columns=["spacepoint_t", "truetriplet_t"]
         )
+        # warm-up: JVM scan + Python-worker startup, so neither measured
+        # path pays the one-time session costs
+        ds.df.limit(64).mapInArrow(lambda it: it, ds.df.schema).count()
+        _ = len(ds)
         results = {}
         for name, fn in (
             ("arrow_epoch", run_arrow_path),

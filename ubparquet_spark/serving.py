@@ -150,14 +150,23 @@ class EventDataset:
         epoch: int = 0,
         seed: int = 0,
         partition: tuple[int, int] | None = None,
+        sort_partitions: int | None = 8,
     ) -> Iterator[list[dict[str, np.ndarray]]]:
         """Yield decoded event batches in a deterministic per-epoch random
-        order. ``partition=(i, n)`` serves worker i's disjoint slice."""
+        order. ``partition=(i, n)`` serves worker i's disjoint slice.
+
+        ``sort_partitions`` sizes the epoch sort's output partitioning for
+        the sequential driver drain: ``toLocalIterator`` schedules ~one
+        job per partition, so the default 8 trades sort parallelism for
+        drain scheduling (measured 2.2x epoch throughput over the 32-way
+        default, BENCHNOTES round 8). Pass ``None`` to keep the session's
+        shuffle parallelism (huge per-worker slices where sort width
+        matters more)."""
         df = self.df
         if partition is not None:
             i, n = partition
             df = partition_slice(df, i, n, EVENT_KEY)
-        df = epoch_order(df, epoch, seed)
+        df = epoch_order(df, epoch, seed, num_partitions=sort_partitions)
         # Arrow all the way to the driver: iter_arrow_batches assembles
         # columnar chunks ON EXECUTORS (mapInArrow + IPC), the driver
         # streams one chunk per toLocalIterator row and decodes tensors
