@@ -527,6 +527,72 @@ def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):
     assert li.n_nan == 0 and li.n_posinf == 0
 
 
+def test_ref_integrity_on_orphan_corpus(spark, tmp_path_factory):
+    """q_ref_integrity is the referential-contract gate (round 8): an
+    orphan FK row silently vanishes from every inner join downstream,
+    so the gate must count orphans and NULL FKs exactly — and
+    hash-match its oracle — on a corpus with both injected."""
+    import hashlib
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_orphans"))
+    build = duckdb.connect()
+    specs = {
+        # orphan every 13th lineitem (point its order FK far out of range)
+        # and NULL every 17th
+        "lineitem": (
+            "SELECT CASE WHEN l_orderkey % 17 = 0 THEN NULL"
+            " WHEN l_orderkey % 13 = 0 THEN l_orderkey + 900000000"
+            " ELSE l_orderkey END AS l_orderkey,"
+            " l_partkey, l_suppkey, l_linenumber, l_quantity,"
+            " l_extendedprice, l_discount, l_tax, l_returnflag,"
+            " l_linestatus, l_shipdate FROM src"
+        ),
+        "orders": (
+            "SELECT o_orderkey,"
+            " CASE WHEN o_orderkey % 19 = 0 THEN o_custkey + 900000000"
+            " ELSE o_custkey END AS o_custkey,"
+            " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+            " FROM src"
+        ),
+        "customer": "SELECT * FROM src",
+        "supplier": "SELECT * FROM src",
+        "nation": "SELECT * FROM src",
+        "region": "SELECT * FROM src",
+    }
+    for t, sql in specs.items():
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
+        )
+        build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    con = duckdb.connect()
+    for t in specs:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+
+    pdf = entry.queries()["q_ref_integrity"](spark, dst).toPandas()
+    odf = con.sql(entry.oracle_sql()["q_ref_integrity"]).df()
+
+    def vhash(p):
+        p = p[sorted(p.columns)].sort_values(
+            by=sorted(p.columns), ignore_index=True
+        )
+        return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()[:12]
+
+    assert vhash(pdf) == vhash(odf)
+    by_e = {r.fk_column: r for _, r in pdf.iterrows()}
+    li = by_e["lineitem.l_orderkey"]
+    assert li.n_orphan_rows > 0 and li.n_null_fk > 0
+    assert li.n_orphan_keys <= li.n_orphan_rows
+    assert by_e["orders.o_custkey"].n_orphan_rows > 0
+    # untouched edges stay clean
+    assert by_e["nation.n_regionkey"].n_orphan_rows == 0
+    assert by_e["nation.n_regionkey"].n_null_fk == 0
+
+
 def test_key_integrity_on_duplicate_row_corpus(spark, tmp_path_factory):
     """q_key_integrity is the uniqueness-contract gate (round-7
     duplicate-row probe: re-delivered duplicate PK rows make

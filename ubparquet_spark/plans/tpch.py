@@ -484,6 +484,88 @@ def q_key_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Referential-integrity audit (round 8): the fourth data-contract gate
+# (value axis: q_value_sanity; key axis: q_key_integrity; skew axis:
+# q_key_skew_profile). Joins assume their FK edges resolve; an orphan
+# FK row silently VANISHES from every inner join downstream (q3/q5/q7
+# would under-count revenue with no error anywhere). This gate counts,
+# per declared FK edge: child rows, NULL FKs (join-dropped by
+# definition), orphans (non-NULL FK with no parent), and distinct
+# orphan keys. Scale shape: one left-anti-style aggregation per edge —
+# the parent side ships only its DISTINCT key column (dimension-sized
+# for cust/supp edges), and the child groups per FK key BEFORE the
+# join, so the join carries distinct keys, not rows.
+# ---------------------------------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for child, fk, parent, pk in _FK_EDGES:
+        c = (
+            load_table(spark, sf_dir, child)
+            .groupBy(F.col(fk).alias("_k"))
+            .agg(F.count(F.lit(1)).alias("_m"))
+        )
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("_k")
+        ).distinct()
+        joined = c.join(p.withColumn("_hit", F.lit(1)), "_k", "left")
+        agg = joined.agg(
+            F.sum("_m").alias("n_rows"),
+            F.sum(F.when(F.col("_k").isNull(), F.col("_m")).otherwise(0)).alias(
+                "n_null_fk"
+            ),
+            F.sum(
+                F.when(
+                    F.col("_k").isNotNull() & F.col("_hit").isNull(), F.col("_m")
+                ).otherwise(0)
+            ).alias("n_orphan_rows"),
+            F.sum(
+                F.when(
+                    F.col("_k").isNotNull() & F.col("_hit").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_orphan_keys"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(f"{child}.{fk}").alias("fk_column"),
+                F.lit(f"{parent}.{pk}").alias("parent_key"),
+                "*",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+Q_REF_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{child}.{fk}' AS fk_column, '{parent}.{pk}' AS parent_key,
+  CAST(SUM(_m) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN _k IS NULL THEN _m ELSE 0 END) AS BIGINT) AS n_null_fk,
+  CAST(SUM(CASE WHEN _k IS NOT NULL AND _hit IS NULL THEN _m ELSE 0 END)
+       AS BIGINT) AS n_orphan_rows,
+  CAST(SUM(CASE WHEN _k IS NOT NULL AND _hit IS NULL THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_orphan_keys
+FROM (
+  SELECT c._k, c._m, p._hit
+  FROM (SELECT {fk} AS _k, COUNT(*) AS _m FROM {child} GROUP BY {fk}) c
+  LEFT JOIN (SELECT DISTINCT {pk} AS _pk, 1 AS _hit FROM {parent}) p
+  ON c._k = p._pk
+)"""
+    for child, fk, parent, pk in _FK_EDGES
+)
+
+
+# ---------------------------------------------------------------------------
 # Key canonicalization (round 8): the remediation step AFTER
 # q_key_integrity flags a table. The synthetic lake's lineitem composite
 # key (l_orderkey, l_linenumber) is itself non-unique (11,785 duplicated
@@ -3549,6 +3631,7 @@ QUERIES: dict[str, tuple] = {
     "q_value_sanity": (q_value_sanity, Q_VALUE_SANITY_SQL),
     "q_key_integrity": (q_key_integrity, Q_KEY_INTEGRITY_SQL),
     "q_canonicalize_keys": (q_canonicalize_keys, Q_CANONICALIZE_SQL),
+    "q_ref_integrity": (q_ref_integrity, Q_REF_INTEGRITY_SQL),
     "q_top_orders_per_customer": (q_top_orders_per_customer, Q_TOPK_SQL),
     "q_cumulative_revenue": (q_cumulative_revenue, Q_CUMSUM_SQL),
 }
