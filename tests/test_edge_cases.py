@@ -470,6 +470,78 @@ def test_null_payload_corpus_full_oracle_parity(spark, tmp_path_factory):
     assert not failures, failures
 
 
+# Extreme-key-skew corpus (round 8, ninth sweep): sweeps 1-8 poison the
+# VALUES of keys and payloads; this one poisons their DISTRIBUTION —
+# the dominant failure mode of a 100 TB shuffle. One customer owns 90%
+# of orders, one part/supplier pair 90% of lineitems, one user 90% of
+# events (90% of those the same event_type), HALF of all events share
+# ONE literal timestamp (maximal order ties through every
+# row_number/sessionize/as-of path), half the documents are one
+# byte-identical text (a mega duplicate cluster through every
+# minhash/shingle/cluster plan — one LSH band bucket holds n/2 docs),
+# 90% of docs one lang+source, and 2/3 of embeddings are one constant
+# vector under one hot label (a degenerate ANN/k-means cell). The
+# divergence engines this hunts: nondeterministic tie-breaks under mass
+# ties (engine-dependent sort stability), per-key state that assumed
+# roughly-uniform group sizes, and candidate-pair generators whose
+# bucket sizes go quadratic on a hot bucket. Parity is the same FULL
+# gate as the other sweeps: every registered query runs AND every
+# oracled query hash-matches DuckDB on this corpus.
+_SKEW_SQL = dict(
+    _DEGEN_SQL,
+    orders=(
+        "SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 10 > 0 THEN 0 ELSE o_custkey END"
+        " AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        " FROM src"
+    ),
+    lineitem=(
+        "SELECT l_orderkey,"
+        " CASE WHEN l_orderkey % 10 > 0 THEN 0 ELSE l_partkey END"
+        " AS l_partkey,"
+        " CASE WHEN l_orderkey % 10 > 0 THEN 0 ELSE l_suppkey END"
+        " AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate FROM src"
+    ),
+    events=(
+        "SELECT event_id,"
+        " CASE WHEN event_id % 2 = 0 THEN TIMESTAMP '2024-01-15 12:00:00'"
+        " ELSE ts END AS ts,"
+        " CASE WHEN event_id % 10 > 0 THEN 0 ELSE user_id END AS user_id,"
+        " CASE WHEN event_id % 10 > 0 THEN 'click' ELSE event_type END"
+        " AS event_type,"
+        " value, props FROM src"
+    ),
+    documents=(
+        "SELECT doc_id, text, lang, source,"
+        " CAST(length(text) AS BIGINT) AS n_chars FROM ("
+        "SELECT doc_id,"
+        " CASE WHEN doc_id % 2 = 0"
+        " THEN 'the quick brown fox jumps over the lazy dog'"
+        " ELSE text END AS text,"
+        " CASE WHEN doc_id % 10 > 0 THEN 'en' ELSE lang END AS lang,"
+        " CASE WHEN doc_id % 10 > 0 THEN 'src0' ELSE source END AS source"
+        " FROM src)"
+    ),
+    embeddings=(
+        "SELECT vec_id,"
+        " CASE WHEN vec_id % 3 > 0"
+        " THEN list_transform(embedding, x -> CAST(0.25 AS FLOAT))"
+        " ELSE embedding END AS embedding,"
+        " CASE WHEN vec_id % 10 > 0 THEN 0 ELSE label END AS label"
+        " FROM src"
+    ),
+)
+
+
+def test_skew_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_skew"))
+    failures = _oracle_parity_sweep(spark, dst, _SKEW_SQL)
+    assert not failures, failures
+
+
 def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):
     """q_value_sanity is the documented gate for the finite-money
     contract (the exact-cents convention fails LOUDLY on NaN/Inf in

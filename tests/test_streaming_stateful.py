@@ -145,6 +145,90 @@ def test_running_twap_edge_semantics(spark, tmp_path):
     assert abs(final["twap"] - (2.0 * 10 + 4.0 * 10) / 20) < 1e-9
 
 
+def test_twap_mass_ties_batch_stream_oracle_agree(spark, tmp_path):
+    """Round-8 alignment pinned: a SEGMENT is a positive-duration LOCF
+    interval, in all three engines. An event type whose every
+    observation shares one timestamp (the ninth sweep's skew corpus
+    does this to whole types) emits NOTHING — not a zero-span row, not
+    an ANSI divide-by-zero; interleaved ties carry the highest
+    event_id's value forward without counting a segment. Batch q_twap,
+    streaming running_twap, and the DuckDB oracle must agree exactly on
+    such data."""
+    import datetime
+
+    import duckdb
+
+    from ubparquet_spark.plans.events import Q_TWAP_SQL, q_twap
+    from ubparquet_spark.streaming.stateful import running_twap
+
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    s = lambda sec: t0 + datetime.timedelta(seconds=sec)
+    rows = [
+        # 'alltied': three values, one instant -> zero observable span
+        (1, s(0), 1, "alltied", 1.0, "{}"),
+        (2, s(0), 1, "alltied", 2.0, "{}"),
+        (3, s(0), 1, "alltied", 3.0, "{}"),
+        # 'mix': ties at t0 and t10; the tie carries the HIGHEST
+        # event_id's value (3.00 then 7.00) into each real segment
+        (11, s(0), 1, "mix", 1.0, "{}"),
+        (12, s(0), 1, "mix", 3.0, "{}"),
+        (13, s(10), 1, "mix", 5.0, "{}"),
+        (14, s(10), 1, "mix", 7.0, "{}"),
+        (15, s(30), 1, "mix", 9.0, "{}"),
+    ]
+    src = str(tmp_path / "twap_ties")
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(
+        f"{src}/events.parquet"
+    )
+
+    expect = {"mix": (2, 30.0, round((300 * 10 + 700 * 20) / 30 / 100, 6))}
+
+    batch = {
+        r["event_type"]: (
+            r["n_segments"], r["span_s"], round(r["twap"], 6)
+        )
+        for r in q_twap(spark, src).collect()
+    }
+    assert batch == expect
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS"
+        f" SELECT * FROM '{src}/events.parquet/*.parquet'"
+    )
+    oracle = {
+        et: (n, sp, round(tw, 6))
+        for et, n, sp, tw in con.sql(Q_TWAP_SQL).fetchall()
+    }
+    assert oracle == expect
+
+    stream = spark.readStream.schema(ddl).parquet(f"{src}/events.parquet")
+    (
+        running_twap(stream)
+        .writeStream.format("memory")
+        .queryName("twap_ties")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "twap_ties_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    hist = spark.table("twap_ties").toPandas()
+    assert "alltied" not in set(hist["event_type"])
+    finals = hist.groupby("event_type").tail(1)
+    stream_got = {
+        r["event_type"]: (
+            int(r["n_segments"]), r["span_s"], round(r["twap"], 6)
+        )
+        for _, r in finals.iterrows()
+    }
+    assert stream_got == expect
+
+
 def test_running_transitions_matches_batch(spark, sf_dir, tmp_path):
     """Summing the per-batch transition increments over the drained
     stream reproduces the batch q_event_transitions counts exactly,

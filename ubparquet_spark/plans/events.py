@@ -1456,14 +1456,29 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "us",
         F.expr(f"us DIV {DAY_US}"),
         "next_us",
-    ).filter(F.col("next_us").isNotNull())
+    ).filter(F.col("next_us").isNotNull() & (F.col("next_us") > F.col("us")))
+    # next_us > us: a SEGMENT is a positive-duration LOCF interval.  Tied
+    # timestamps (the ninth sweep's skew corpus collapses entire event
+    # types onto one literal ts) produce zero-duration lead pairs; the
+    # streaming twin (_update_twap) already treats a tie as "carry the
+    # highest event_id's value forward, no segment" — with the lead
+    # ordered on (us, event_id) the surviving positive-duration pair
+    # carries exactly that value, so batch ≡ stream ≡ oracle on ties.
     dur = F.col("next_us") - F.col("us")
     dec = F.col("vc").cast("decimal(38,0)") * dur.cast("decimal(38,0)")
+    # Every segment now has dur >= 1 us, so the span divisor cannot be
+    # zero; try_divide stays as the explicit statement that a zero span
+    # means "undefined, NULL" in both engines (DuckDB's DOUBLE division
+    # already yields NULL on a zero divisor), not an ANSI throw.
     return seg.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_segments"),
         (F.sum(dur) / 1000000.0).alias("span_s"),
         roundn(
-            F.sum(dec).cast("double") / F.sum(dur).cast("double") / 100.0, 6
+            F.try_divide(
+                F.sum(dec).cast("double"), F.sum(dur).cast("double")
+            )
+            / 100.0,
+            6,
         ).alias("twap"),
     )
 
@@ -1484,8 +1499,8 @@ SELECT event_type,
        SUM(next_us - us) / 1000000.0 AS span_s,
        {sql_roundn(
            "CAST(SUM(CAST(vc AS HUGEINT) * (next_us - us)) AS DOUBLE)"
-           " / CAST(SUM(next_us - us) AS DOUBLE) / 100.0", 6)} AS twap
-FROM seg WHERE next_us IS NOT NULL
+           " / CAST(NULLIF(SUM(next_us - us), 0) AS DOUBLE) / 100.0", 6)} AS twap
+FROM seg WHERE next_us IS NOT NULL AND next_us > us
 GROUP BY event_type
 """
 
