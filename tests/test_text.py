@@ -444,3 +444,62 @@ def test_mixture_weights_properties(spark, sf_dir):
         # rounding grain can reach ~5e-7 * BUDGET / n_tokens
         tol = 1e-3 + 5e-7 * MIXTURE_TOKEN_BUDGET / r.n_tokens
         assert abs(r.epochs - r.weight * MIXTURE_TOKEN_BUDGET / r.n_tokens) < tol
+
+
+def test_pii_redaction_on_poisoned_corpus(spark, tmp_path):
+    """q_pii_redaction on a corpus with KNOWN injected PII: counts match
+    the construction exactly (the clean sf corpora contain no PII, so the
+    registered oracle check alone would only pin the all-zeros path), the
+    serial email->ipv4->phone redaction never double-counts an overlap,
+    and the DuckDB oracle hash-matches on the poisoned data."""
+    import hashlib
+
+    import duckdb
+
+    from ubparquet_spark.plans.text import (
+        Q_PII_REDACTION_SQL,
+        q_pii_redaction,
+    )
+
+    sf = str(tmp_path / "sf_pii")
+    (tmp_path / "sf_pii").mkdir()
+    duckdb.sql(
+        f"""
+        COPY (
+          SELECT doc_id,
+            CASE doc_id % 4
+              WHEN 0 THEN text || ' contact bob.smith+x@ex-ample.co.uk now'
+              WHEN 1 THEN text || ' hosts 10.0.0.1 and 192.168.100.200 up'
+              WHEN 2 THEN text || ' call 555-123-4567 or +1 555.999.0000x'
+              ELSE text END AS text,
+            lang, source, n_chars
+          FROM '/root/testdata/sf0.001/documents.parquet'
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    got = q_pii_redaction(spark, sf).toPandas()
+    # 500 docs -> 125 per doc_id%4 class: one email each in class 0, two
+    # IPv4 each in class 1, ONE phone each in class 2 ('+1 555.999.0000x'
+    # must NOT match: the trailing x breaks the \b after a 4-digit group,
+    # and '555.999.0000' is not an IPv4 — only three dotted octets).
+    assert int(got["n_emails"].sum()) == 125
+    assert int(got["n_ipv4"].sum()) == 250
+    assert int(got["n_phones"].sum()) == 125
+    assert int(got["docs_flagged"].sum()) == 375
+    assert int(got["n_docs"].sum()) == 500
+    # redaction shrinks: every injected match is longer than its token
+    assert int(got["chars_redacted"].sum()) > 0
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    ora = con.sql(Q_PII_REDACTION_SQL).df()
+
+    def vhash(p):
+        p = p[sorted(p.columns)].sort_values(
+            by=sorted(p.columns), ignore_index=True
+        )
+        return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()
+
+    assert vhash(got) == vhash(ora)

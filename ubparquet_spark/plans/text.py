@@ -4428,7 +4428,88 @@ WHERE sa.source < sb.source
 """
 
 
+# ---------------------------------------------------------------------------
+# PII detection + redaction audit — the compliance pass every training-data
+# pipeline runs before release (emails, phone numbers, IPv4 addresses).
+# Patterns are restricted to the syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, \b word
+# boundaries — no lookarounds, no backreferences. Redaction is SERIAL
+# (email -> ipv4 -> phone) and each stage's match count is taken on that
+# stage's INPUT string, so overlapping matches resolve identically in both
+# engines regardless of pattern precedence. Everything is a narrow per-row
+# projection into one partial-aggregatable groupBy(source) — at 100 TB this
+# is a single scan + one tiny shuffle, and the regexes run JVM-side
+# (no Python in the hot path).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = F.col("text")
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    d = docs.select(
+        "source",
+        F.regexp_count(t0, F.lit(PII_EMAIL)).alias("e"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).alias("i"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).alias("p"),
+        (F.length(t0) - F.length(t3)).alias("delta"),
+    )
+    # NULL text: counts and delta are NULL -> SUM skips them and the
+    # `> 0` flag is false in both engines; the doc still counts in n_docs.
+    flagged = F.when(
+        (F.col("e") + F.col("i") + F.col("p")) > 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(flagged).alias("docs_flagged"),
+        F.coalesce(F.sum("e"), F.lit(0)).alias("n_emails"),
+        F.coalesce(F.sum("i"), F.lit(0)).alias("n_ipv4"),
+        F.coalesce(F.sum("p"), F.lit(0)).alias("n_phones"),
+        F.coalesce(F.sum("delta"), F.lit(0)).alias("chars_redacted"),
+    )
+
+
+Q_PII_REDACTION_SQL = f"""
+WITH perdoc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS e,
+         len(regexp_extract_all(
+           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+           '{PII_IPV4}')) AS i,
+         len(regexp_extract_all(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+           '{PII_PHONE}')) AS p,
+         length(text) - length(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+               '{PII_IPV4}', '<IP>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g')) AS delta
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_flagged,
+       CAST(COALESCE(SUM(e), 0) AS BIGINT) AS n_emails,
+       CAST(COALESCE(SUM(i), 0) AS BIGINT) AS n_ipv4,
+       CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_phones,
+       CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS chars_redacted
+FROM perdoc
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_pii_redaction": (q_pii_redaction, Q_PII_REDACTION_SQL),
     "q_source_overlap": (q_source_overlap, Q_SOURCE_OVERLAP_SQL),
     "q_chi2_lang_source": (q_chi2_lang_source, Q_CHI2_SQL),
     "q_heaps_fit": (q_heaps_fit, Q_HEAPS_SQL),
