@@ -2511,7 +2511,70 @@ HAVING COUNT(*) > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental summary-table maintenance, driver-checked: the per-type
+# corpus statistics computed THROUGH the mergeable-state path
+# (operators/incremental.py) — two disjoint deltas split at mid-month
+# (NULL timestamps ride with the first delta so the split is exhaustive),
+# each reduced to a state table, states merged, metrics finalized. The
+# oracle is the full recompute as one plain GROUP BY: the driver hash
+# thereby pins the state ALGEBRA (delta-fold == recompute) every round,
+# not just in unit tests. Exact fields only — counts and decimal sums
+# are order-independent so the fold is bit-identical; the HLL distinct
+# states have no SQL twin and stay pytest-verified (bounded error +
+# union-equals-single-shot exactness in test_incremental_agg.py).
+# At 100 TB this is the plan shape that replaces a nightly full rescan:
+# each delta costs one scan of ITSELF, the merge costs state rows (#keys).
+# ---------------------------------------------------------------------------
+
+INCR_SPLIT = "2024-01-15"
+
+
+def q_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.incremental import (
+        agg_state,
+        finalize_state,
+        merge_states,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", cents("value").alias("vc")
+    )
+    old = ev.filter(F.col("ts").isNull() | (F.col("ts") < INCR_SPLIT))
+    new = ev.filter(F.col("ts") >= INCR_SPLIT)
+    spec = dict(sums=["vc"], mins=["ts"], maxs=["ts"])
+    merged = merge_states(
+        [agg_state(old, ["event_type"], **spec),
+         agg_state(new, ["event_type"], **spec)],
+        ["event_type"],
+    )
+    fin = finalize_state(merged)
+    # exact-cents convention: the decimal state sum is an integer count of
+    # cents, so casting to double and dividing by 100 is bit-identical to
+    # the oracle's BIGINT-cents sum (both < 2^53 of the scaled unit)
+    return fin.select(
+        "event_type",
+        "n_rows",
+        (F.col("sum_vc").cast("double") / 100.0).alias("sum_value"),
+        "min_ts",
+        "max_ts",
+    )
+
+
+Q_INCREMENTAL_STATS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_value,
+       MIN(ts) AS min_ts,
+       MAX(ts) AS max_ts
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_incremental_stats": (q_incremental_stats, Q_INCREMENTAL_STATS_SQL),
     "q_key_skew_profile": (q_key_skew_profile, Q_KEY_SKEW_SQL),
     "q_mannwhitney_u": (q_mannwhitney_u, Q_MANNWHITNEY_SQL),
     "q_autocorr_daily": (q_autocorr_daily, Q_AUTOCORR_SQL),
