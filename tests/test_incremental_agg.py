@@ -1,11 +1,14 @@
 """Mergeable-state incremental aggregation: fold of deltas == recompute.
 
 The contract under test is the state ALGEBRA: daily fold-left, one-shot
-multi-way merge, and full recompute must agree — exactly for
-count/sum/min/max (decimal sums are order-independent), and exactly for
-the HLL estimates too (DataSketches HLL union is register-wise max, so
-the union of part-sketches IS the sketch of the union; asserted, not
-assumed)."""
+multi-way merge, and full recompute must agree — EXACTLY for
+count/sum/min/max (decimal sums are order-independent). The HLL
+distinct states carry the sketch's guarantee, not bit-equality: exact
+in low-cardinality coupon mode (pinned on a controlled table), within
+the configured error vs the EXACT distinct at any cardinality (pinned
+at whatever sf this suite runs — merged vs single-shot estimates may
+legitimately differ past the coupon→HLL transition, measured at
+sf0.1)."""
 
 from __future__ import annotations
 
@@ -24,12 +27,14 @@ KEYS = ["event_type"]
 SPEC = dict(sums=["value"], mins=["ts"], maxs=["ts"], distincts=["user_id"])
 
 
-def _rows(df):
+def _rows(df, *, exact_only=False):
     out = {}
     for r in df.collect():
         d = r.asDict()
         out[tuple(d[k] for k in KEYS)] = {
-            k: v for k, v in d.items() if k not in KEYS
+            k: v
+            for k, v in d.items()
+            if k not in KEYS and not (exact_only and k.startswith("distinct_"))
         }
     return out
 
@@ -51,9 +56,23 @@ def test_merge_of_daily_states_equals_recompute(spark, daily):
     ev, deltas = daily
     assert len(deltas) > 5
     states = [agg_state(d, KEYS, **SPEC) for d in deltas]
-    merged = _rows(finalize_state(merge_states(states, KEYS)))
-    direct = _rows(finalize_state(agg_state(ev, KEYS, **SPEC)))
-    assert merged == direct  # exact AND sketch fields, bit-for-bit
+    fin_m = finalize_state(merge_states(states, KEYS))
+    merged = _rows(fin_m, exact_only=True)
+    direct = _rows(finalize_state(agg_state(ev, KEYS, **SPEC)), exact_only=True)
+    assert merged == direct  # count/sum/min/max bit-for-bit
+    # the MERGED sketch estimate must sit within the sketch error of the
+    # exact distinct (lgK=12 ~ 1.6% rsd; allow 3 sigma + integer slack)
+    exact = {
+        tuple([r["event_type"]]): r["x"]
+        for r in ev.filter(F.col("user_id").isNotNull())
+        .groupBy(*KEYS)
+        .agg(F.countDistinct("user_id").alias("x"))
+        .collect()
+    }
+    for k, v in _rows(fin_m).items():
+        assert abs(v["distinct_user_id"] - exact[k]) <= max(
+            3, 0.05 * exact[k]
+        ), (k, v["distinct_user_id"], exact[k])
 
 
 def test_fold_left_equals_multiway_merge(spark, daily):
@@ -63,9 +82,17 @@ def test_fold_left_equals_multiway_merge(spark, daily):
         state = maintain_state(state, d, KEYS, **SPEC)
         # keep the lineage bounded like a real daily job would
         state = spark.createDataFrame(state.collect(), state.schema)
-    fold = _rows(finalize_state(state))
-    direct = _rows(finalize_state(agg_state(ev, KEYS, **SPEC)))
+    fold = _rows(finalize_state(state), exact_only=True)
+    direct = _rows(
+        finalize_state(agg_state(ev, KEYS, **SPEC)), exact_only=True
+    )
     assert fold == direct
+    # fold-left and one-shot multi-way merge reach the SAME final sketch
+    # state (same register-wise max over the same part sketches), so
+    # their estimates must agree bit-for-bit even past coupon mode
+    states = [agg_state(d, KEYS, **SPEC) for d in deltas]
+    multiway = _rows(finalize_state(merge_states(states, KEYS)))
+    assert _rows(finalize_state(state)) == multiway
 
 
 def test_state_is_tiny_and_merge_never_rescans_facts(spark, daily):
