@@ -195,25 +195,18 @@ _EXTREME_SQL = dict(
 )
 
 
-def _oracle_parity_sweep(spark, dst: str, table_sql: dict) -> list[str]:
-    """Build the corpus via DuckDB, then require every registered query
-    to run AND every oracled query to hash-match DuckDB on it."""
+def _oracle_parity_check(spark, dst: str, duck_paths: dict) -> list[str]:
+    """Require every registered query to run against ``dst`` AND every
+    oracled query to hash-match DuckDB reading ``duck_paths[table]``."""
     import hashlib
 
     import duckdb
 
     import __spark_entry__ as entry
 
-    src = "/root/testdata/sf0.001"
-    build = duckdb.connect()
-    for t, sql in table_sql.items():
-        build.sql(
-            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
-        )
-        build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
     con = duckdb.connect()
-    for t in table_sql:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'")
+    for t, p in duck_paths.items():
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     def vhash(p):
         p = p[sorted(p.columns)].sort_values(
@@ -234,6 +227,23 @@ def _oracle_parity_sweep(spark, dst: str, table_sql: dict) -> list[str]:
         if vhash(pdf) != vhash(con.sql(oracles[name]).df()):
             failures.append(f"{name}: hash mismatch ({len(pdf)} rows)")
     return failures
+
+
+def _oracle_parity_sweep(spark, dst: str, table_sql: dict) -> list[str]:
+    """Build the corpus via DuckDB, then require every registered query
+    to run AND every oracled query to hash-match DuckDB on it."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    build = duckdb.connect()
+    for t, sql in table_sql.items():
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{src}/{t}.parquet'"
+        )
+        build.sql(f"COPY ({sql}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    return _oracle_parity_check(
+        spark, dst, {t: f"{dst}/{t}.parquet" for t in table_sql}
+    )
 
 
 def test_degenerate_corpus_full_oracle_parity(spark, tmp_path_factory):
@@ -539,6 +549,51 @@ _SKEW_SQL = dict(
 def test_skew_corpus_full_oracle_parity(spark, tmp_path_factory):
     dst = str(tmp_path_factory.mktemp("sf_skew"))
     failures = _oracle_parity_sweep(spark, dst, _SKEW_SQL)
+    assert not failures, failures
+
+
+def test_fragmented_layout_full_oracle_parity(spark, tmp_path_factory):
+    """Tenth sweep — the FILE-LAYOUT axis. At 100 TB every table is
+    thousands of part files with wildly uneven sizes, stragglers, and
+    the occasional zero-row file from a failed/empty task. Rebuild the
+    sf0.001 corpus with every table as a DIRECTORY of parquet shards:
+    one file holding ~half the rows, one ~quarter, five tiny slivers
+    (reverse-ordered rows so no file is locally sorted), plus one
+    schema-only EMPTY file. Data content is byte-identical to sf0.001,
+    so this hunts layout sensitivity only: implicit file-order
+    assumptions, empty-file scan handling, and partition-count-dependent
+    results. Full-registry oracle parity, same gate as sweeps 1-9."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_fragmented"))
+    tables = list(_DEGEN_SQL)
+    build = duckdb.connect()
+    # uneven row buckets by rowid: [0,5)->shard0, [5,7)->1, singles 2..6
+    cuts = [(0, 5), (5, 7), (7, 8), (8, 9), (9, 10)]
+    for t in tables:
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT *,"
+            f" row_number() OVER () AS _rid FROM '{src}/{t}.parquet'"
+        )
+        d = f"{dst}/{t}.parquet"
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        for i, (lo, hi) in enumerate(cuts):
+            build.sql(
+                f"COPY (SELECT * EXCLUDE (_rid) FROM src"
+                f" WHERE _rid % 10 >= {lo} AND _rid % 10 < {hi}"
+                f" ORDER BY _rid DESC)"
+                f" TO '{d}/part-{i:02d}.parquet' (FORMAT PARQUET)"
+            )
+        build.sql(
+            f"COPY (SELECT * EXCLUDE (_rid) FROM src LIMIT 0)"
+            f" TO '{d}/part-empty.parquet' (FORMAT PARQUET)"
+        )
+    failures = _oracle_parity_check(
+        spark, dst, {t: f"{dst}/{t}.parquet/*.parquet" for t in tables}
+    )
     assert not failures, failures
 
 
