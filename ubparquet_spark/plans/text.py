@@ -2134,6 +2134,90 @@ WHERE rank <= {BPE_VOCAB_TOP}
 
 
 # ---------------------------------------------------------------------------
+# Corpus ENCODE under the learned BPE merges — the step after training
+# that every tokenizer pipeline runs at full corpus scale. Spark-first
+# shape: encoding a corpus with ITS OWN trained vocab needs no per-row
+# merge loop at all — the trainer already holds the word table with every
+# distinct word's final symbol sequence, so encode = explode docs to
+# words -> join the (broadcastable, vocab-sized) word table -> per-doc
+# aggregate. Zero UDFs, one narrow join + one groupBy; at 100 TB the
+# word table is the bounded artifact (distinct words, Heaps-law sublinear)
+# while the fact side streams. Emits the budget numbers that matter:
+# post-merge token count, word count, chars-per-token compression.
+# NULL-text policy (sweep 8): NULL in, NULL metrics out, in both engines.
+# ---------------------------------------------------------------------------
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, words = _bpe_train(spark, sf_dir)
+    wt = words.select(
+        "tok",
+        F.size(F.expr(f"split(syms, '{_BPE_SEP}')")).cast("long").alias(
+            "n_sub"
+        ),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), t -> t != '')")).alias(
+            "tok"
+        ),
+    )
+    per = (
+        dw.join(F.broadcast(wt), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").alias("nb"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    chars = F.expr("length(replace(text, ' ', ''))").cast("double")
+    null_text = F.col("text").isNull()
+    return (
+        docs.select("doc_id", "text")
+        .join(per, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.when(null_text, F.lit(None).cast("long"))
+            .otherwise(F.coalesce("nb", F.lit(0)))
+            .alias("n_bpe_tokens"),
+            F.when(null_text, F.lit(None).cast("long"))
+            .otherwise(F.coalesce("nw", F.lit(0)))
+            .alias("n_words"),
+            roundn(
+                F.try_divide(chars, F.col("nb").cast("double")), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+Q_BPE_ENCODE_SQL = f"""
+WITH {_bpe_ctes()},
+enc AS (
+  SELECT tok, CAST(len(string_split(syms, '{_BPE_SEP}')) AS BIGINT) AS n_sub
+  FROM s{BPE_MERGE_ROUNDS}
+), dw AS (
+  SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                    t -> t != '')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, CAST(SUM(n_sub) AS BIGINT) AS nb, COUNT(*) AS nw
+  FROM dw JOIN enc USING (tok)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(per.nb, 0) END AS n_bpe_tokens,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(per.nw, 0) END AS n_words,
+       {sql_roundn(
+           "CAST(length(replace(d.text, ' ', '')) AS DOUBLE)"
+           " / CAST(NULLIF(per.nb, 0) AS DOUBLE)", 6)} AS chars_per_token
+FROM documents d
+LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Linear quality classifier inference (the fastText / CCNet quality-model
 # shape): hashing-trick featurization — token -> md5 -> bucket in [0, D) —
 # and a dot product against a broadcast weight vector, per document. The
@@ -4552,6 +4636,7 @@ QUERIES: dict[str, tuple] = {
     "q_incremental_dedup": (q_incremental_dedup, Q_INCREMENTAL_DEDUP_SQL),
     "q_bpe_merges": (q_bpe_merges, Q_BPE_MERGES_SQL),
     "q_bpe_vocab": (q_bpe_vocab, Q_BPE_VOCAB_SQL),
+    "q_bpe_encode": (q_bpe_encode, Q_BPE_ENCODE_SQL),
     "q_linear_quality": (q_linear_quality, Q_LINEAR_QUALITY_SQL),
     "q_bigram_pmi": (q_bigram_pmi, Q_BIGRAM_PMI_SQL),
     "q_contamination_bloom": (q_contamination_bloom, Q_CONTAMINATION_BLOOM_SQL),
