@@ -77,6 +77,7 @@ _CHECK_FIRST = [
     "q_pii_redaction",
     "q_incremental_stats",
     "q_bpe_encode",
+    "q_bootstrap_ci",
     # -- oldest r05 cohort fills the window to exactly 50
     "q_ann_ivf",
     "q_ann_lsh",
@@ -88,7 +89,6 @@ _CHECK_FIRST = [
     "q_brand_pagerank",
     "q_centroid_drift",
     "q_char_entropy",
-    "q_chi2_lang_source",
 ]
 
 

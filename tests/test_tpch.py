@@ -64,3 +64,38 @@ def test_sketch_stats_is_a_live_bounds_check(spark, sf_dir):
         "rsd=0.01 HLL estimates were all EXACT at sf0.01 — the liveness "
         "canary needs a different impossible bound"
     )
+
+
+def test_bootstrap_ci_statistics(spark, sf_dir):
+    """Poisson-bootstrap sanity beyond oracle parity: the replica
+    machinery is deterministic (md5-seeded — same CI every run), the
+    interval is ordered around the point estimate, and its width is the
+    right order of magnitude (a 95% bootstrap CI half-width should be
+    within a small factor of 2*sigma/sqrt(n))."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.io import load_table
+    from ubparquet_spark.plans.tpch import q_bootstrap_ci
+
+    r1 = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    r2 = q_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r1 == r2  # deterministic replicas, no RNG state anywhere
+
+    assert r1["ci_lo"] < r1["ci_median"] < r1["ci_hi"]
+    assert r1["ci_lo"] < r1["point_mean"] < r1["ci_hi"]
+
+    stats = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.stddev_samp("o_totalprice").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    se = stats["sd"] / math.sqrt(stats["n"])
+    half = (r1["ci_hi"] - r1["ci_lo"]) / 2
+    # 1.96*se is the CLT half-width; B=32 replicas put generous slack on
+    # the percentile estimate but the magnitude must be right
+    assert 0.5 * 1.96 * se < half < 2.5 * 1.96 * se, (half, 1.96 * se)

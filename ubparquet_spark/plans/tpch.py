@@ -3565,7 +3565,146 @@ FROM sums
 """
 
 
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval for the mean order value — the
+# distributed bootstrap (Chamandy et al.'s Poisson trick, standard at
+# planet scale): instead of resampling n rows B times (B full shuffles),
+# every row carries B independent Poisson(1) replica weights derived
+# DETERMINISTICALLY from md5(orderkey, replica), and each replica's
+# weighted mean comes out of ONE partial-aggregatable pass with 2B sum
+# expressions — no row blowup, no shuffle beyond the single global
+# aggregate, bit-identical across engines because the weighted sums are
+# exact integer cents. The inverse-CDF thresholds are shared literals
+# (Poisson(1) CDF, capped at 7 — P(>7) ~ 1e-5, identical truncation both
+# sides); u is 52 exact bits of the md5. The replica means then yield the
+# percentile CI over a B-row bounded artifact. At 100 TB: B more hash+sum
+# expressions per row, still one scan, one exchange.
+# ---------------------------------------------------------------------------
+
+BOOT_B = 32
+#: Poisson(1) CDF thresholds for k = 0..6 (k=7 catches the tail)
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+)
+
+
+def _boot_w(u_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {u_expr} < {p} THEN {k}" for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape notes (measured at sf0.1, BENCHNOTES round 8): the hash
+    # fan-out is n x B md5 evaluations — the one genuinely
+    # CPU-proportional stage. Three measured traps shaped this plan:
+    # (1) a 2B-wide single-pass aggregate re-inlines the hash tree into
+    # every aggregate expression (CollapseProject) — 6-9 s of driver
+    # planning per fresh plan; (2) u must be its OWN projected column,
+    # or the CASE re-evaluates the md5 once per threshold branch;
+    # (3) the narrow projection is repartitioned BEFORE the explode:
+    # a small-sf orders table is one parquet split, and without the
+    # exchange the whole n x B hash fan-out runs in a single task
+    # (measured 5.5 s -> 1.3 s at sf0.1). At lake scale the source has
+    # natural splits and the 16-byte-row exchange is noise; partial
+    # aggregation reduces each partition to B rows before the final
+    # B-group shuffle either way.
+    u = (
+        "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+        " / 4503599627370496.0D"
+    )
+    pre = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", cents("o_totalprice").alias("vc"))
+        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        .select(
+            "o_orderkey",
+            "vc",
+            F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")).alias("b"),
+        )
+        .select("vc", "b", F.expr(u).alias("u"))
+        .select("vc", "b", F.expr(_boot_w("u")).alias("w"))
+    )
+    rep = pre.groupBy("b").agg(
+        F.sum(F.expr("w * vc")).alias("sv"),
+        F.sum("w").alias("sn"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s0"),
+    )
+    # a replica whose every weight drew 0 (probability e^-n) has an
+    # undefined mean: NULL in both engines, skipped by percentile() and
+    # quantile_cont() alike
+    m = F.try_divide(
+        F.col("sv").cast("double"), F.col("sn").cast("double") * 100.0
+    )
+    # percentile() interpolates exactly like DuckDB quantile_cont; its
+    # input is the B-row replica artifact. Empty input: rep is empty and
+    # the keyed groupBy emits nothing, matching the oracle.
+    return (
+        rep.select(
+            "n", "s0", m.alias("m")
+        )
+        .groupBy("n")
+        .agg(
+            roundn(
+                F.max("s0").cast("double") / (F.col("n") * 100.0), 6
+            ).alias("point_mean"),
+            F.lit(BOOT_B).cast("long").alias("n_replicas"),
+            roundn(F.expr("percentile(m, 0.025D)"), 6).alias("ci_lo"),
+            roundn(F.expr("percentile(m, 0.5D)"), 6).alias("ci_median"),
+            roundn(F.expr("percentile(m, 0.975D)"), 6).alias("ci_hi"),
+        )
+        .withColumnRenamed("n", "n_rows")
+    )
+
+
+_BOOT_U_DUCK_COL = (
+    "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||"
+    " CAST(b AS VARCHAR)), 1, 13) AS BIGINT) / 4503599627370496.0"
+)
+
+Q_BOOTSTRAP_CI_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+  FROM orders
+), weighted AS (
+  SELECT vc, b, {_boot_w("u")} AS w
+  FROM (
+    SELECT vc, b, {_BOOT_U_DUCK_COL} AS u
+    FROM base, range(0, {BOOT_B}) r(b)
+  )
+), rep AS (
+  SELECT b,
+         CAST(SUM(w * vc) AS DOUBLE)
+           / (CAST(NULLIF(SUM(w), 0) AS DOUBLE) * 100.0) AS m
+  FROM weighted
+  GROUP BY b
+), pt AS (
+  SELECT COUNT(*) AS n_rows,
+         {sql_roundn(
+             "CAST(SUM(vc) AS DOUBLE) / (COUNT(*) * 100.0)", 6)} AS point_mean
+  FROM base
+)
+SELECT pt.n_rows, pt.point_mean,
+       CAST({BOOT_B} AS BIGINT) AS n_replicas,
+       {sql_roundn("quantile_cont(rep.m, 0.025)", 6)} AS ci_lo,
+       {sql_roundn("quantile_cont(rep.m, 0.5)", 6)} AS ci_median,
+       {sql_roundn("quantile_cont(rep.m, 0.975)", 6)} AS ci_hi
+FROM rep, pt
+GROUP BY pt.n_rows, pt.point_mean
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_bootstrap_ci": (q_bootstrap_ci, Q_BOOTSTRAP_CI_SQL),
     "q_spearman_qty_price": (q_spearman_qty_price, Q_SPEARMAN_SQL),
     "q_benford_prices": (q_benford_prices, Q_BENFORD_SQL),
     "q_gini_revenue": (q_gini_revenue, Q_GINI_SQL),
