@@ -58,6 +58,14 @@ SHUFFLE_BUDGETS = {
     # segment shuffle (keep decision rides the same exchange) + doc rollup
     "q_paragraph_dedup": 2,
     "q_paragraph_dedup_text": 2,
+    # round-8 additions. PII: one scan + one source rollup
+    "q_pii_redaction": 1,
+    # two deltas each partial-agg to state rows + the merge agg reuse
+    "q_incremental_stats": 2,
+    # word-table groupBy + per-doc rollup (the vocab join is broadcast)
+    "q_bpe_encode": 2,
+    # parallelizing repartition + replica groupBy(b) + the B-row final agg
+    "q_bootstrap_ci": 3,
     # bloom survivors join bench + doc rollup (the filter itself is literal)
     "q_contamination_bloom": 2,
     # bigram counts + unigram/total agg branches feeding broadcasts +
