@@ -449,9 +449,11 @@ def test_mixture_weights_properties(spark, sf_dir):
 def test_pii_redaction_on_poisoned_corpus(spark, tmp_path):
     """q_pii_redaction on a corpus with KNOWN injected PII: counts match
     the construction exactly (the clean sf corpora contain no PII, so the
-    registered oracle check alone would only pin the all-zeros path), the
-    serial email->ipv4->phone redaction never double-counts an overlap,
-    and the DuckDB oracle hash-matches on the poisoned data."""
+    registered oracle check alone would only pin the all-zeros path).
+    The audit runs functions.pii semantics — per-pattern counts on the
+    ORIGINAL text, chars_redacted from the chained scrub — and the
+    DuckDB oracle (generated from the same PII_PATTERNS) hash-matches
+    on the poisoned data."""
     import hashlib
 
     import duckdb
@@ -480,11 +482,13 @@ def test_pii_redaction_on_poisoned_corpus(spark, tmp_path):
     got = q_pii_redaction(spark, sf).toPandas()
     # 500 docs -> 125 per doc_id%4 class: one email each in class 0, two
     # IPv4 each in class 1, ONE phone each in class 2 ('+1 555.999.0000x'
-    # must NOT match: the trailing x breaks the \b after a 4-digit group,
-    # and '555.999.0000' is not an IPv4 — only three dotted octets).
-    assert int(got["n_emails"].sum()) == 125
+    # must NOT match: the trailing x breaks the \b after the 4-digit
+    # group). '555-123-4567' must NOT also fire the SSN or card patterns.
+    assert int(got["n_email"].sum()) == 125
     assert int(got["n_ipv4"].sum()) == 250
-    assert int(got["n_phones"].sum()) == 125
+    assert int(got["n_phone"].sum()) == 125
+    assert int(got["n_ssn"].sum()) == 0
+    assert int(got["n_card"].sum()) == 0
     assert int(got["docs_flagged"].sum()) == 375
     assert int(got["n_docs"].sum()) == 500
     # redaction shrinks: every injected match is longer than its token

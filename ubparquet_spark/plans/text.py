@@ -4513,83 +4513,83 @@ WHERE sa.source < sb.source
 
 
 # ---------------------------------------------------------------------------
-# PII detection + redaction audit — the compliance pass every training-data
-# pipeline runs before release (emails, phone numbers, IPv4 addresses).
-# Patterns are restricted to the syntax Java regex (Spark) and RE2 (DuckDB)
-# interpret identically: character classes, bounded repetition, \b word
-# boundaries — no lookarounds, no backreferences. Redaction is SERIAL
-# (email -> ipv4 -> phone) and each stage's match count is taken on that
-# stage's INPUT string, so overlapping matches resolve identically in both
-# engines regardless of pattern precedence. Everything is a narrow per-row
-# projection into one partial-aggregatable groupBy(source) — at 100 TB this
-# is a single scan + one tiny shuffle, and the regexes run JVM-side
-# (no Python in the hot path).
+# PII detection + redaction audit — the driver-checked corpus audit OVER
+# functions.pii (the transform library a pipeline actually applies):
+# same PII_PATTERNS (email/SSN/card/phone/IPv4, Java-regex∩RE2-safe by
+# that module's charter), same semantics — counts independent per
+# pattern on the ORIGINAL text (pii_counts), redaction the chained
+# in-order scrub (scrub_text), chars_redacted from the final scrubbed
+# value. One set of PII semantics in the repo, pinned against DuckDB by
+# this query and against crafted fixtures by tests/test_pii.py.
+# Everything is a narrow per-row projection into one
+# partial-aggregatable groupBy(source) — at 100 TB this is a single
+# scan + one tiny shuffle, regexes JVM-side, no Python in the hot path.
 # ---------------------------------------------------------------------------
 
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-PII_PHONE = r"\+?[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
-
-
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.functions.pii import PII_PATTERNS, scrub_text
+
     docs = load_table(spark, sf_dir, "documents")
-    t0 = F.col("text")
-    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
-    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
-    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
-    d = docs.select(
-        "source",
-        F.regexp_count(t0, F.lit(PII_EMAIL)).alias("e"),
-        F.regexp_count(t1, F.lit(PII_IPV4)).alias("i"),
-        F.regexp_count(t2, F.lit(PII_PHONE)).alias("p"),
-        (F.length(t0) - F.length(t3)).alias("delta"),
-    )
+    d = scrub_text(docs, "text", out_col="scrubbed")
+    count_cols = [f"n_{name}" for name, _p, _r in PII_PATTERNS]
     # NULL text: counts and delta are NULL -> SUM skips them and the
     # `> 0` flag is false in both engines; the doc still counts in n_docs.
-    flagged = F.when(
-        (F.col("e") + F.col("i") + F.col("p")) > 0, F.lit(1)
-    ).otherwise(F.lit(0))
-    return d.groupBy("source").agg(
+    any_hit = None
+    for c in count_cols:
+        any_hit = F.col(c) if any_hit is None else any_hit + F.col(c)
+    flagged = F.when(any_hit > 0, F.lit(1)).otherwise(F.lit(0))
+    return d.select(
+        "source",
+        flagged.alias("flagged"),
+        (F.length("text") - F.length("scrubbed")).alias("delta"),
+        *count_cols,
+    ).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(flagged).alias("docs_flagged"),
-        F.coalesce(F.sum("e"), F.lit(0)).alias("n_emails"),
-        F.coalesce(F.sum("i"), F.lit(0)).alias("n_ipv4"),
-        F.coalesce(F.sum("p"), F.lit(0)).alias("n_phones"),
+        F.sum("flagged").alias("docs_flagged"),
+        *[
+            F.coalesce(F.sum(c), F.lit(0)).alias(c)
+            for c in count_cols
+        ],
         F.coalesce(F.sum("delta"), F.lit(0)).alias("chars_redacted"),
     )
 
 
-Q_PII_REDACTION_SQL = f"""
+def _pii_sql() -> str:
+    """DuckDB twin generated FROM functions.pii.PII_PATTERNS, so the
+    oracle cannot drift from the library's patterns or chain order."""
+    from ubparquet_spark.functions.pii import PII_PATTERNS
+
+    counts = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _repl in PII_PATTERNS
+    )
+    chain = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+    names = [f"n_{name}" for name, _p, _r in PII_PATTERNS]
+    any_hit = " + ".join(names)
+    count_sums = ",\n       ".join(
+        f"CAST(COALESCE(SUM({n}), 0) AS BIGINT) AS {n}" for n in names
+    )
+    return f"""
 WITH perdoc AS (
   SELECT source,
-         len(regexp_extract_all(text, '{PII_EMAIL}')) AS e,
-         len(regexp_extract_all(
-           regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-           '{PII_IPV4}')) AS i,
-         len(regexp_extract_all(
-           regexp_replace(
-             regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-             '{PII_IPV4}', '<IP>', 'g'),
-           '{PII_PHONE}')) AS p,
-         length(text) - length(
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
-               '{PII_IPV4}', '<IP>', 'g'),
-             '{PII_PHONE}', '<PHONE>', 'g')) AS delta
+         {counts},
+         length(text) - length({chain}) AS delta
   FROM documents
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       CAST(SUM(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(SUM(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS docs_flagged,
-       CAST(COALESCE(SUM(e), 0) AS BIGINT) AS n_emails,
-       CAST(COALESCE(SUM(i), 0) AS BIGINT) AS n_ipv4,
-       CAST(COALESCE(SUM(p), 0) AS BIGINT) AS n_phones,
+       {count_sums},
        CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS chars_redacted
 FROM perdoc
 GROUP BY source
 """
+
+
+Q_PII_REDACTION_SQL = _pii_sql()
 
 
 QUERIES: dict[str, tuple] = {
