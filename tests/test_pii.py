@@ -86,3 +86,33 @@ def test_out_col_preserves_original(docs):
 def test_no_python_udf_in_plan(docs):
     plan = pii.scrub_text(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_patterns_sql_safe():
+    """The generated DuckDB oracle embeds patterns in single-quoted
+    literals and relies on the Java∩RE2 dialect convention; pin both so
+    a future pattern can't silently break the oracle (ADVICE r8)."""
+    import re
+
+    import duckdb
+
+    from ubparquet_spark.plans.text import _sq
+
+    # escaping helper actually escapes
+    assert _sq("O'Brien's") == "O''Brien''s"
+
+    con = duckdb.connect()
+    for name, pat, repl in pii.PII_PATTERNS:
+        # quote-free today (so _sq is a no-op safety net, not load-bearing)
+        assert "'" not in pat and "'" not in repl, name
+        # constructs RE2 lacks must not appear (Java would accept them and
+        # the DuckDB twin would silently diverge or error)
+        for bad in ("(?=", "(?!", "(?<", "\\1", "(?>", "*+", "++", "?+"):
+            assert bad not in pat, (name, bad)
+        # compiles under Python re (Java-syntax sanity proxy) ...
+        re.compile(pat)
+        # ... and under DuckDB's RE2, via the same embedding _pii_sql uses
+        con.execute(
+            f"SELECT regexp_matches('probe 555-867-5309', '{_sq(pat)}')"
+        ).fetchall()
+    con.close()

@@ -46,12 +46,13 @@ from pyspark.sql import functions as F
 def _shuffle_partitions(df: DataFrame) -> int:
     """Shuffle-partition count with a fallback for non-numeric confs
     (``spark.sql.shuffle.partitions`` may be set to ``auto`` under some
-    resource managers)."""
+    resource managers) and a >=1 clamp (``repartition(0)`` is an error)."""
     raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     try:
-        return int(raw)
+        n = int(raw)
     except (TypeError, ValueError):
-        return df.sparkSession.sparkContext.defaultParallelism
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return max(1, n)
 
 
 def use_plain_keyed_window(

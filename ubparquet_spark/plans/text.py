@@ -4554,18 +4554,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal.
+    Patterns are currently quote-free (pinned by test_pii_patterns_
+    sql_safe), but a future name-with-apostrophe pattern must not
+    silently corrupt the generated oracle."""
+    return s.replace("'", "''")
+
+
 def _pii_sql() -> str:
     """DuckDB twin generated FROM functions.pii.PII_PATTERNS, so the
     oracle cannot drift from the library's patterns or chain order."""
     from ubparquet_spark.functions.pii import PII_PATTERNS
 
     counts = ",\n         ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        f"len(regexp_extract_all(text, '{_sq(pat)}')) AS n_{name}"
         for name, pat, _repl in PII_PATTERNS
     )
     chain = "text"
     for _name, pat, repl in PII_PATTERNS:
-        chain = f"regexp_replace({chain}, '{pat}', '{repl}', 'g')"
+        chain = (
+            f"regexp_replace({chain}, '{_sq(pat)}', '{_sq(repl)}', 'g')"
+        )
     names = [f"n_{name}" for name, _p, _r in PII_PATTERNS]
     any_hit = " + ".join(names)
     count_sums = ",\n       ".join(

@@ -3616,15 +3616,18 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # natural splits and the 16-byte-row exchange is noise; partial
     # aggregation reduces each partition to B rows before the final
     # B-group shuffle either way.
+    from ubparquet_spark.operators.ranks import _shuffle_partitions
+
     u = (
         "CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), ':',"
         " CAST(b AS STRING))), 1, 13), 16, 10) AS BIGINT)"
         " / 4503599627370496.0D"
     )
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("vc")
+    )
     pre = (
-        load_table(spark, sf_dir, "orders")
-        .select("o_orderkey", cents("o_totalprice").alias("vc"))
-        .repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+        base.repartition(_shuffle_partitions(base))
         .select(
             "o_orderkey",
             "vc",
@@ -3633,11 +3636,14 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vc", "b", F.expr(u).alias("u"))
         .select("vc", "b", F.expr(_boot_w("u")).alias("w"))
     )
+    # decimal(38,0) sums: the oracle's SUM(BIGINT) promotes to HUGEINT;
+    # with ANSI off a BIGINT sum would wrap silently once 7*max_cents*n
+    # passes 2^63 (well below lake scale). Same convention as q_twap.
     rep = pre.groupBy("b").agg(
-        F.sum(F.expr("w * vc")).alias("sv"),
+        F.sum((F.col("w") * F.col("vc")).cast("decimal(38,0)")).alias("sv"),
         F.sum("w").alias("sn"),
         F.count(F.lit(1)).alias("n"),
-        F.sum("vc").alias("s0"),
+        F.sum(F.col("vc").cast("decimal(38,0)")).alias("s0"),
     )
     # a replica whose every weight drew 0 (probability e^-n) has an
     # undefined mean: NULL in both engines, skipped by percentile() and
