@@ -36,59 +36,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 5; the r05 remainder rotates in round 9.  All stay covered
 # every session by the sf0.01 DuckDB-oracle pytest gate.
 _CHECK_FIRST = [
-    # -- stalest driver rows (newest row is CORRECTNESS_r04)
-    "q_bm25_topk",
-    "q_bpe_merges",
-    "q_bpe_vocab",
-    "q_contamination_bloom",
-    "q_cumulative_revenue",
-    "q_customers_without_orders",
-    "q_dedup_audit",
-    "q_distinct_segments",
-    "q_event_pairs_10min",
-    "q_events_dow",
-    "q_events_funnel",
-    "q_events_gap_fill",
-    "q_late_orders_semi",
-    "q_latest_event_per_user",
-    "q_mod_sample",
-    "q_neighbor_degree",
-    "q_order_gaps",
-    "q_order_qty_profile",
-    "q_pivot_user_events",
-    "q_point_lookup",
-    "q_price_stats",
-    "q_priority_remap",
-    "q_regex_source_buckets",
-    "q_rolling_7day_revenue",
-    "q_sanity_bounds",
-    "q_semantic_dedup",
-    "q_semantic_dedup_smallk",
-    "q_set_ops_customers",
-    "q_small_quantity_revenue",
-    "q_spatial_pairs",
-    "q_stratified_sample",
-    "q_string_funcs",
-    "q_top_orders_per_customer",
-    "q_unpivot_metrics",
-    # -- round-8 registrations (never driver-checked) land here
-    "q_canonicalize_keys",
-    "q_ref_integrity",
-    "q_pii_redaction",
-    "q_incremental_stats",
-    "q_bpe_encode",
-    "q_bootstrap_ci",
-    # -- oldest r05 cohort fills the window to exactly 50
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_assoc_rules",
-    "q_attribution_window",
-    "q_autocorr_daily",
-    "q_benford_prices",
-    "q_bigram_logprob",
-    "q_brand_pagerank",
-    "q_centroid_drift",
-    "q_char_entropy",
+    # -- round-9 window: the 40 queries whose newest driver row is
+    #    CORRECTNESS_r05 (the stalest cohort after the r08 rotation)
+    "q_chi2_lang_source",
+    "q_cohort_ltv",
+    "q_concurrent_sessions",
+    "q_consistent_sample",
+    "q_copurchase_pairs",
+    "q_cusum_changepoint",
+    "q_dsir_weights",
+    "q_editdist_pairs",
+    "q_embedding_dim_audit",
+    "q_embedding_outliers",
+    "q_event_transitions",
+    "q_gini_revenue",
+    "q_hard_negatives",
+    "q_heaps_fit",
+    "q_hybrid_rrf",
+    "q_interarrival_stats",
+    "q_ks_test",
+    "q_leakage_safe_split",
+    "q_mannwhitney_u",
+    "q_matryoshka_recall",
+    "q_minhash_jaccard_est",
+    "q_mixture_weights",
+    "q_normalized_dedup",
+    "q_price_deciles",
+    "q_profile_lineitem",
+    "q_quality_calibration",
+    "q_robust_outliers_mad",
+    "q_setsim_prefix_join",
+    "q_sketch_stats",
+    "q_snapshot_diff",
+    "q_source_kl_divergence",
+    "q_source_overlap",
+    "q_spearman_qty_price",
+    "q_survival_km",
+    "q_time_to_convert",
+    "q_twap",
+    "q_user_state_history",
+    "q_winsorized_prices",
+    "q_yoy_growth",
+    "q_zipf_fit",
+    # -- round-9 registrations (never driver-checked) displace the
+    #    oldest-r06 fills below as they land
+    # -- oldest r06 cohort (alphabetical) fills the window to exactly 50
+    "q12_service_levels",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_ann_ivf_multiprobe",
+    "q_ann_recall",
 ]
 
 

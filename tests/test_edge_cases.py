@@ -206,7 +206,10 @@ def _oracle_parity_check(spark, dst: str, duck_paths: dict) -> list[str]:
 
     con = duckdb.connect()
     for t, p in duck_paths.items():
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        # values containing "(" are verbatim table expressions (e.g.
+        # read_parquet(..., union_by_name=true)); plain values are paths
+        src = p if "(" in p else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 
     def vhash(p):
         p = p[sorted(p.columns)].sort_values(
@@ -595,6 +598,149 @@ def test_fragmented_layout_full_oracle_parity(spark, tmp_path_factory):
         spark, dst, {t: f"{dst}/{t}.parquet/*.parquet" for t in tables}
     )
     assert not failures, failures
+
+
+def test_schema_drift_full_oracle_parity(spark, tmp_path_factory):
+    """Eleventh sweep — the SCHEMA-DRIFT axis (S7, the reference's own
+    load-bearing read option: ``mergeSchema=True`` at
+    ``larmatch2d/larmatch_dataset.py:93``). At 100 TB a table's part
+    files were written by different pipeline versions: columns appear
+    and disappear, and column order is whatever each writer emitted.
+    Rebuild sf0.001 with every table as a directory of 3 shards:
+    shard0 = REVERSED column order, shard1 = a payload column DROPPED
+    entirely (documents.n_chars, embeddings.embedding,
+    events.{value,props} — the columns whose NULL semantics the
+    eighth sweep pinned; mergeSchema materializes them as NULLs),
+    shard2 = original layout. Spark reads with the engine's documented
+    S7 conf (``spark.sql.parquet.mergeSchema``), DuckDB with
+    ``union_by_name`` — full-registry oracle parity, same gate as
+    sweeps 1-10. Width drift is deliberately NOT here: Spark's merge
+    rejects it loudly (no numeric promotion) — that semantic is pinned
+    by test_width_drift_loud_failure_and_repair below."""
+    import os
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_schemadrift"))
+    tables = list(_DEGEN_SQL)
+    drop_cols = {
+        "documents": {"n_chars"},
+        "embeddings": {"embedding"},
+        "events": {"value", "props"},
+    }
+    build = duckdb.connect()
+    for t in tables:
+        cols = [
+            r[0]
+            for r in build.sql(
+                f"DESCRIBE SELECT * FROM '{src}/{t}.parquet'"
+            ).fetchall()
+        ]
+        build.sql(
+            f"CREATE OR REPLACE VIEW src AS SELECT *,"
+            f" row_number() OVER () AS _rid FROM '{src}/{t}.parquet'"
+        )
+        d = f"{dst}/{t}.parquet"
+        os.makedirs(d, exist_ok=True)
+        shards = [
+            ", ".join(reversed(cols)),
+            ", ".join(c for c in cols if c not in drop_cols.get(t, set())),
+            ", ".join(cols),
+        ]
+        for i, proj in enumerate(shards):
+            build.sql(
+                f"COPY (SELECT {proj} FROM src WHERE _rid % 3 = {i})"
+                f" TO '{d}/part-{i:02d}.parquet' (FORMAT PARQUET)"
+            )
+    spark.conf.set("spark.sql.parquet.mergeSchema", "true")
+    try:
+        failures = _oracle_parity_check(
+            spark,
+            dst,
+            {
+                t: f"read_parquet('{dst}/{t}.parquet/*.parquet',"
+                f" union_by_name=true)"
+                for t in tables
+            },
+        )
+    finally:
+        spark.conf.unset("spark.sql.parquet.mergeSchema")
+    assert not failures, failures
+
+
+def test_width_drift_loud_failure_and_repair(spark, tmp_path_factory):
+    """Numeric WIDTH drift (int32-vs-int64, float-vs-double across part
+    files — the writer-upgrade drift) is the schema-drift case the two
+    engines genuinely disagree on: DuckDB's union_by_name silently
+    widens, Spark's StructType.merge has no numeric promotion and
+    throws. Pin BOTH halves of the engine's contract: (1) the stock S7
+    read fails LOUDLY (never silently drops or corrupts a shard), and
+    (2) the explicit repair path — io.read_parquet_widened, footer-
+    grouped scans unioned under the widest common type — reproduces
+    DuckDB's widening bit-for-bit on full table content."""
+    import hashlib
+    import os
+
+    import duckdb
+    import pytest
+
+    from ubparquet_spark import io as uio
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_widthdrift"))
+    d = f"{dst}/events.parquet"
+    os.makedirs(d)
+    build = duckdb.connect()
+    build.sql(
+        f"CREATE VIEW src AS SELECT *, row_number() OVER () AS _rid"
+        f" FROM '{src}/events.parquet'"
+    )
+    build.sql(
+        f"COPY (SELECT event_id, ts, CAST(user_id AS INTEGER) AS user_id,"
+        f" event_type, CAST(value AS FLOAT) AS value, props FROM src"
+        f" WHERE _rid % 2 = 0 AND user_id < 2147483647)"
+        f" TO '{d}/part-00.parquet' (FORMAT PARQUET)"
+    )
+    build.sql(
+        f"COPY (SELECT event_id, ts, user_id, event_type, value, props"
+        f" FROM src WHERE _rid % 2 = 1)"
+        f" TO '{d}/part-01.parquet' (FORMAT PARQUET)"
+    )
+    # (1) stock mergeSchema: loud failure, exact error class
+    with pytest.raises(Exception, match="Failed to merge incompatible"):
+        spark.read.option("mergeSchema", "true").parquet(d).schema
+    # (2) repair path: widest-common-type union == DuckDB union_by_name
+    got = uio.read_parquet_widened(spark, d)
+    dt = dict(got.dtypes)
+    assert dt["user_id"] == "bigint" and dt["value"] == "double"
+
+    def vhash(p):
+        p = p[sorted(p.columns)].sort_values(
+            by=sorted(p.columns), ignore_index=True
+        )
+        return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()
+
+    oracle = build.sql(
+        f"SELECT * FROM read_parquet('{d}/*.parquet', union_by_name=true)"
+    ).df()
+    assert vhash(got.toPandas()) == vhash(oracle)
+
+
+def test_widen_lattice():
+    """The promotion lattice itself: same-family widening, cross-family
+    numeric promotion to double, loud error on unrepairable drift."""
+    import pytest
+
+    from ubparquet_spark.io import _widen
+
+    assert _widen("int", "bigint") == "bigint"
+    assert _widen("tinyint", "smallint") == "smallint"
+    assert _widen("float", "double") == "double"
+    assert _widen("bigint", "float") == "double"
+    assert _widen("string", "string") == "string"
+    with pytest.raises(ValueError, match="cannot widen"):
+        _widen("string", "bigint")
 
 
 def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):

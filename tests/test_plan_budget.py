@@ -66,6 +66,12 @@ SHUFFLE_BUDGETS = {
     "q_bpe_encode": 2,
     # parallelizing repartition + replica groupBy(b) + the B-row final agg
     "q_bootstrap_ci": 3,
+    # five FK edges × (child key groupBy + parent distinct + the 1-row
+    # final collapse) — every exchange carries distinct keys or one row,
+    # never child fact rows twice
+    "q_ref_integrity": 15,
+    # ONE keyed exchange: the canonical-row window rides it
+    "q_canonicalize_keys": 1,
     # bloom survivors join bench + doc rollup (the filter itself is literal)
     "q_contamination_bloom": 2,
     # bigram counts + unigram/total agg branches feeding broadcasts +
@@ -112,6 +118,24 @@ SHUFFLE_BUDGETS = {
     # window tasks are day-bounded — the old budget-1 plan was cheaper on
     # paper but sorted each type's whole history in ONE task.
     "q_twap": 4,
+    # round-9 window rotation: budgets recorded mechanically (current
+    # plan's count at sf0.01) for every _CHECK_FIRST member that lacked
+    # one — the registration invariant below keeps this closed. May be
+    # lowered, never raised without written justification.
+    "q_leakage_safe_split": 2,
+    "q_minhash_jaccard_est": 3,
+    "q_sketch_stats": 3,
+    "q_snapshot_diff": 2,
+    "q12_service_levels": 1,
+    "q17_small_qty_revenue": 2,
+    "q20_excess_suppliers": 7,
+    "q21_waiting_suppliers": 3,
+    "q22_dormant_customers": 2,
+    "q4_order_priority": 1,
+    "q8_market_share": 3,
+    "q9_product_profit": 1,
+    "q_ann_ivf_multiprobe": 2,
+    "q_ann_recall": 2,
     # round-6: gap distribution cumsum rewired onto blocked_cumsum —
     # no single-task window over the unbounded gap_s domain (settled at
     # 4 once totals moved onto the offset window)
@@ -256,6 +280,19 @@ SHUFFLE_BUDGETS = {
     # and the 1-row Pearson collapse remain
     "q_spearman_qty_price": 9,
 }
+
+
+def test_check_first_members_have_budgets():
+    """Registration invariant (VERDICT r8 #3): every query in the
+    driver's correctness window carries a shuffle budget, so a new
+    registration (which always enters the window) can't ship without
+    its plan pinned against silent Exchange regressions."""
+    import __spark_entry__ as entry
+
+    missing = sorted(set(entry._CHECK_FIRST) - set(SHUFFLE_BUDGETS))
+    assert not missing, (
+        f"_CHECK_FIRST members without a SHUFFLE_BUDGETS entry: {missing}"
+    )
 
 
 def _shuffle_count(df) -> int:

@@ -143,6 +143,118 @@ def read_manifest(
     return read_parquet(spark, *paths, merge_schema=merge_schema)
 
 
+#: numeric width lattice for read_parquet_widened — wider index wins;
+#: int↔float conflicts promote to double (what DuckDB union_by_name does)
+_INT_ORDER = ("tinyint", "smallint", "int", "bigint")
+_FLOAT_ORDER = ("float", "double")
+
+
+def _widen(a: str, b: str) -> str:
+    """Widest common Spark SQL type of two simple types, or raise."""
+    if a == b:
+        return a
+    if a in _INT_ORDER and b in _INT_ORDER:
+        return _INT_ORDER[max(_INT_ORDER.index(a), _INT_ORDER.index(b))]
+    if a in _FLOAT_ORDER and b in _FLOAT_ORDER:
+        return _FLOAT_ORDER[max(_FLOAT_ORDER.index(a), _FLOAT_ORDER.index(b))]
+    numeric = set(_INT_ORDER) | set(_FLOAT_ORDER)
+    if a in numeric and b in numeric:
+        return "double"
+    raise ValueError(
+        f"cannot widen parquet schema drift between {a!r} and {b!r} — "
+        "only numeric width drift is repairable; rewrite the offending "
+        "files explicitly"
+    )
+
+
+def read_parquet_widened(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-drift repair scan: read a directory whose part files
+    disagree on numeric COLUMN WIDTHS (int32 vs int64, float vs double —
+    the classic writer-upgrade drift), which Spark's own ``mergeSchema``
+    rejects loudly (``Failed to merge incompatible data types``,
+    StructType.merge has no numeric promotion).
+
+    Groups part files by their parquet footer schema (a driver-side
+    metadata pass — one ~KB footer read per file, the same information
+    ``mergeSchema`` reads; shard the listing if a table has millions of
+    files), computes the widest common type per column name via the same
+    promotion lattice DuckDB's ``union_by_name`` applies, then scans each
+    homogeneous file group ONCE and unions by name with explicit casts —
+    missing columns come back as typed NULLs. Each group scan is an
+    ordinary distributed parquet read with pushdown/pruning intact; the
+    union is plan-level (no shuffle).
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet part files under {path!r}")
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        s = pq.ParquetFile(f).schema_arrow
+        # spark-side type names via a zero-row arrow->spark conversion
+        # would cost a JVM roundtrip per file; map the arrow types here
+        sig = tuple((name, str(s.field(name).type)) for name in s.names)
+        groups.setdefault(sig, []).append(f)
+
+    _ARROW_TO_SQL = {
+        "int8": "tinyint", "int16": "smallint", "int32": "int",
+        "int64": "bigint", "float": "float", "double": "double",
+        "string": "string", "large_string": "string", "bool": "boolean",
+        "date32[day]": "date",
+    }
+
+    def sql_type(arrow: str) -> str:
+        if arrow in _ARROW_TO_SQL:
+            return _ARROW_TO_SQL[arrow]
+        if arrow.startswith("timestamp"):
+            return "timestamp_ntz"
+        if arrow.startswith("list<item: float>"):
+            return "array<float>"
+        if arrow.startswith("list<item: double>"):
+            return "array<double>"
+        if arrow.startswith("decimal"):
+            return arrow  # decimal(p,s) spells identically
+        raise ValueError(f"unmapped arrow type in drift repair: {arrow}")
+
+    # canonical column order = first appearance across sorted files
+    order: list[str] = []
+    target: dict[str, str] = {}
+    for sig in groups:
+        for name, arrow in sig:
+            t = sql_type(arrow)
+            if name not in target:
+                order.append(name)
+                target[name] = t
+            else:
+                target[name] = _widen(target[name], t)
+
+    parts = []
+    for sig, fs in groups.items():
+        have = {name for name, _ in sig}
+        df = spark.read.parquet(*fs)
+        parts.append(
+            df.select(
+                *[
+                    (
+                        F.col(c).cast(target[c])
+                        if c in have
+                        else F.lit(None).cast(target[c])
+                    ).alias(c)
+                    for c in order
+                ]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

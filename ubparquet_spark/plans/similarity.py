@@ -1308,11 +1308,20 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # round-8 NULL-payload policy: semantic dedup covers vectors that
-    # EXIST — NULL embeddings excluded at the scan in BOTH engines
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    # EXIST — NULL embeddings excluded at the scan in BOTH engines.
+    # round-9: the filtered narrow projection is localCheckpoint'ed ONCE —
+    # the k ∝ n sizing count, the Lloyd rounds, and the full assignment
+    # pass are all multi-pass consumers of the same working set, and the
+    # checkpoint turns 4-5 parquet scans + filter re-evals into one
+    # (executor-local storage: n × ~(8 + 4d) bytes, spilled past memory —
+    # the standard iterative-ML working-set pattern, same as the repo's
+    # quantile/mixture checkpoints)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint()
     )
-    # at 100 TB this count comes ~free from parquet scan statistics
     n = emb.count()
     k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
     train = emb.filter(F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0)
@@ -1633,9 +1642,14 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # round-8 NULL-payload policy: NULL embeddings excluded at the scan
-    # in BOTH engines (see q_semantic_dedup)
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
+    # in BOTH engines; round-9 checkpoint-once working set (see
+    # q_semantic_dedup — this plan re-reads emb even more times: count,
+    # 2 Lloyd rounds, level-2 seeding, sub-update, final 2-level assign)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint()
     )
     n = emb.count()
     k1, k2, k_eff = _two_level_ks(n)
