@@ -154,6 +154,18 @@ def main() -> None:
         # path pays the one-time session costs
         ds.df.limit(64).mapInArrow(lambda it: it, ds.df.schema).count()
         _ = len(ds)
+        # materialize the epoch-0 sort once so BOTH paths read a warm
+        # shuffle (round 9: the r8 first-batch gap was measurement-order
+        # bias — arrow ran first and paid the one-time epoch sort, then
+        # pickle re-read the already-materialized shuffle files)
+        from ubparquet_spark.operators.sampling import epoch_order
+
+        next(iter(epoch_order(ds.df, 0, 3).toLocalIterator()))
+        next(
+            iter(
+                epoch_order(ds.df, 0, 3, num_partitions=8).toLocalIterator()
+            )
+        )
         results = {}
         for name, fn in (
             ("arrow_epoch", run_arrow_path),

@@ -89,7 +89,9 @@ def array_subsample(
     )
 
 
-def iter_arrow_batches(df: DataFrame, batch_rows: int = 1024) -> Iterator["object"]:
+def iter_arrow_batches(
+    df: DataFrame, batch_rows: int = 1024, first_rows: int | None = None
+) -> Iterator["object"]:
     """U3 serving edge: iterate pyarrow RecordBatch objects (replaces the
     per-row ``.rdd.collect()`` pickle path the reference flags as slow,
     ``larmatch_dataset.py:188-192``).
@@ -110,10 +112,18 @@ def iter_arrow_batches(df: DataFrame, batch_rows: int = 1024) -> Iterator["objec
     The final chunk of each PARTITION may be shorter than ``batch_rows``
     (executor tasks can't see across partition boundaries); callers that
     need exact batch sizes re-slice downstream (``serving.epoch_batches``
-    does)."""
+    does).
+
+    ``first_rows`` is the warm-start ramp (round 9, VERDICT r8 #6): each
+    partition's FIRST chunk is cut at ``first_rows`` instead of
+    ``batch_rows``, so the driver's first yield waits on a training-batch-
+    sized chunk rather than the full steady-state chunk — the measured
+    first-batch-latency lever (big chunks amortize IPC overhead at steady
+    state but multiply time-to-first-data). Later chunks are unchanged."""
     import pyarrow as pa
 
     batch_rows = int(batch_rows)
+    first_rows = int(first_rows) if first_rows else batch_rows
 
     def _ipc(batch: "pa.RecordBatch") -> bytes:
         sink = pa.BufferOutputStream()
@@ -129,18 +139,20 @@ def iter_arrow_batches(df: DataFrame, batch_rows: int = 1024) -> Iterator["objec
     def chunker(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         pending: list[pa.RecordBatch] = []
         n = 0
+        target = first_rows
         for b in batches:
             if b.num_rows == 0:
                 continue
             pending.append(b)
             n += b.num_rows
-            while n >= batch_rows:
+            while n >= target:
                 tbl = pa.Table.from_batches(pending)
-                head = tbl.slice(0, batch_rows).combine_chunks()
+                head = tbl.slice(0, target).combine_chunks()
                 yield _wrap(_ipc(head.to_batches()[0]))
-                rest = tbl.slice(batch_rows)
+                rest = tbl.slice(target)
                 pending = rest.to_batches()
                 n = rest.num_rows
+                target = batch_rows
         if n:
             tail = pa.Table.from_batches(pending).combine_chunks()
             yield _wrap(_ipc(tail.to_batches()[0]))

@@ -3349,20 +3349,40 @@ Q_MINHASH_JACCARD_SQL = _minhash_jaccard_sql()
 # a few hundred KB regardless of corpus size). The fold adds each
 # bigram's (ln p_t − ln p_r) as one parenthesized term so both engines
 # accumulate the identical double chain in document order.
+#
+# Width (round-9 measured experiment, BENCHNOTES): en/off-target mean-logw
+# separation at sf0.1 was 0.104 nats at 256 buckets (cross-language hash
+# collisions wash the signal out as the corpus grows), 0.202 at 512,
+# 0.295 at 1024, 0.392 at 4096 — only 4096 restores the >0.3-nat margin,
+# and it tracks the published 10k-bucket scale. Cost is width-invariant:
+# the model row is 2×4096 entries (~64 KB broadcast), the token-grain
+# shuffle is unchanged, wall flat within noise.
 # ---------------------------------------------------------------------------
 
-DSIR_BUCKETS = 256
-_DSIR_BUCKET = (
-    "pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 2), ' ')),"
-    f" 1, 15), 16, 10) AS BIGINT), {DSIR_BUCKETS})"
-)
-_DSIR_BUCKET_DUCK = (
-    "CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 1), ' ')),"
-    f" 1, 15) AS BIGINT) % {DSIR_BUCKETS}"
-)
+DSIR_BUCKETS = 4096
 
 
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_bucket(width: int) -> str:
+    return (
+        "pmod(CAST(conv(substring(md5(array_join(slice(toks, i, 2), ' ')),"
+        f" 1, 15), 16, 10) AS BIGINT), {width})"
+    )
+
+
+def _dsir_bucket_duck(width: int) -> str:
+    return (
+        "CAST('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 1),"
+        f" ' ')), 1, 15) AS BIGINT) % {width}"
+    )
+
+
+_DSIR_BUCKET = _dsir_bucket(DSIR_BUCKETS)
+_DSIR_BUCKET_DUCK = _dsir_bucket_duck(DSIR_BUCKETS)
+
+
+def _dsir_weights(
+    spark: SparkSession, sf_dir: str, width: int
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
@@ -3373,7 +3393,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would re-tokenize per lambda) shared by the model build and scoring
     buckets_expr = F.expr(
         "if(size(toks) >= 2,"
-        f" transform(sequence(1, size(toks) - 1), i -> {_DSIR_BUCKET}),"
+        f" transform(sequence(1, size(toks) - 1), i -> {_dsir_bucket(width)}),"
         " array())"
     )
     with_b = base.select("doc_id", "_is_t", buckets_expr.alias("bs"))
@@ -3394,15 +3414,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     logw = F.expr(
         "aggregate(bs, CAST(0.0 AS DOUBLE), (acc, b) -> acc +"
         " (ln(CAST(coalesce(element_at(mt, b), 0) + 1 AS DOUBLE)"
-        f"    / CAST(tt + {DSIR_BUCKETS} AS DOUBLE))"
+        f"    / CAST(tt + {width} AS DOUBLE))"
         "  - ln(CAST(coalesce(element_at(mr, b), 0) + 1 AS DOUBLE)"
-        f"    / CAST(tr + {DSIR_BUCKETS} AS DOUBLE))))"
+        f"    / CAST(tr + {width} AS DOUBLE))))"
     )
     return with_b.crossJoin(F.broadcast(model)).select(
         "doc_id",
         F.size("bs").cast("long").alias("n_bigrams"),
         roundn(logw, 4).alias("logw"),
     )
+
+
+
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights(spark, sf_dir, DSIR_BUCKETS)
 
 
 Q_DSIR_SQL = f"""

@@ -173,9 +173,15 @@ class EventDataset:
         # vectorized — no per-row asDict/pickle anywhere on the path.
         # Order is the epoch_order sort: the chunker is narrow and
         # partitions arrive in order.
+        # warm-start ramp: the first chunk is ONE training batch, so the
+        # GPU sees data as soon as batch_size rows exist driver-side;
+        # steady-state chunks stay large to amortize IPC (measured in
+        # examples/serving_bench.py, BENCHNOTES round 9)
         batch: list[dict[str, np.ndarray]] = []
         arrow_rows = max(256, batch_size * 8)
-        for ab in iter_arrow_batches(df, batch_rows=arrow_rows):
+        for ab in iter_arrow_batches(
+            df, batch_rows=arrow_rows, first_rows=batch_size
+        ):
             batch.extend(_decode_arrow_batch(ab, self.tensor_cols))
             while len(batch) >= batch_size:
                 yield batch[:batch_size]
