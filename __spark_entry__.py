@@ -78,19 +78,18 @@ _CHECK_FIRST = [
     "q_winsorized_prices",
     "q_yoy_growth",
     "q_zipf_fit",
-    # -- round-9 registrations (never driver-checked) displace the
-    #    oldest-r06 fills below as they land
+    # -- round-9 registrations (never driver-checked)
+    "q_ewma_daily",
+    "q_psi_drift",
+    "q_partition_completeness",
+    "q_triangle_count",
+    "q_price_elasticity",
+    "q_simhash_neardup",
     # -- oldest r06 cohort (alphabetical) fills the window to exactly 50
     "q12_service_levels",
     "q17_small_qty_revenue",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_ann_ivf_multiprobe",
-    "q_ann_recall",
 ]
 
 

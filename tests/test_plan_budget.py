@@ -136,6 +136,25 @@ SHUFFLE_BUDGETS = {
     "q9_product_profit": 1,
     "q_ann_ivf_multiprobe": 2,
     "q_ann_recall": 2,
+    # round-9 registrations: recorded at registration
+    # daily (type, day) cents rollup + the per-type collect for the
+    # bounded-artifact EWMA fold
+    "q_ewma_daily": 2,
+    # 1-row split point + early bounds + (type, bin) counts + the
+    # 10-bin-artifact type collapse (+ AQE reuse slack)
+    "q_psi_drift": 5,
+    # ONE (type, day) rollup; the trailing window rides a second keyed
+    # exchange over the day-grain artifact
+    "q_partition_completeness": 2,
+    # distinct (order, brand) + pair counts; the triangle joins run over
+    # the checkpointed ≤C(|brands|,2)-row edge artifact (its own scan
+    # branches + three 1-row collapses)
+    "q_triangle_count": 8,
+    # single brand-keyed partial-aggregatable shuffle (part broadcast)
+    "q_price_elasticity": 1,
+    # (band, key) exchange shared by the cap window and the self-join
+    # (identical subtrees) + the pair distinct
+    "q_simhash_neardup": 3,
     # round-6: gap distribution cumsum rewired onto blocked_cumsum —
     # no single-task window over the unbounded gap_s domain (settled at
     # 4 once totals moved onto the offset window)

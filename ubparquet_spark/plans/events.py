@@ -2573,7 +2573,303 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# EWMA smoothing over the daily revenue series (round 9): the classic
+# monitoring smoother, exact across engines. Daily revenue is an exact
+# integer-cents aggregate (one partial-aggregatable shuffle); the EWMA
+# recursion ewma_i = α·x_i + (1−α)·ewma_{i−1} is inherently sequential,
+# so it runs per event_type over the BOUNDED day-grain artifact (≤366
+# rows/type/year — never the fact table): Spark folds the sorted
+# (day, cents) array with the accumulator ROUNDED to 6 decimals at every
+# step, and the oracle replays the identical rounded recursion as a
+# recursive CTE — intermediate rounding is what makes a sequential
+# double recursion bit-identical across engines (the q_survival_km
+# ln-fold technique). α = 0.25 is exactly representable in binary.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-ts policy: same day-series exclusion as q_autocorr_daily;
+    # an all-NULL-value day contributes rev = 0 in both engines.
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.coalesce(F.sum("vc"), F.lit(0)).alias("rc"))
+    )
+    a, b = EWMA_ALPHA, 1.0 - EWMA_ALPHA
+    per_type = daily.groupBy("event_type").agg(
+        F.expr("array_sort(collect_list(struct(day, rc)))").alias("ds")
+    )
+    ew = F.expr(
+        "aggregate(ds, CAST(array() AS ARRAY<DOUBLE>), (acc, s) ->"
+        " array_append(acc, floor((CASE WHEN size(acc) = 0"
+        " THEN s.rc / 100.0D"
+        f" ELSE {a}D * (s.rc / 100.0D) + {b}D * element_at(acc, -1)"
+        " END) * 1000000.0D + 0.5D) / 1000000.0D))"
+    )
+    return (
+        per_type.select("event_type", "ds", ew.alias("ew"))
+        .select(
+            "event_type",
+            F.posexplode("ds").alias("i", "s"),
+            F.col("ew"),
+        )
+        .select(
+            "event_type",
+            F.col("s.day").alias("day"),
+            (F.col("s.rc") / 100.0).alias("rev"),
+            F.expr("element_at(ew, i + 1)").alias("ewma"),
+        )
+    )
+
+
+Q_EWMA_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0) AS rc
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), idx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM daily
+), ew AS (
+  SELECT event_type, day, rc, i,
+         FLOOR((rc / 100.0) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+  FROM idx WHERE i = 1
+  UNION ALL
+  SELECT d.event_type, d.day, d.rc, d.i,
+         FLOOR(({EWMA_ALPHA} * (d.rc / 100.0)
+                + {1.0 - EWMA_ALPHA} * e.ewma) * 1000000.0 + 0.5)
+           / 1000000.0
+  FROM ew e JOIN idx d ON d.event_type = e.event_type AND d.i = e.i + 1
+)
+SELECT event_type, day, rc / 100.0 AS rev, ewma FROM ew
+"""
+
+
+# ---------------------------------------------------------------------------
+# PSI distribution drift (round 9): the Population Stability Index between
+# the first and second half of the event log, per event_type — the
+# standard "did my feature distribution move" monitor for serving/training
+# skew. Split point is exact integer epoch-micros midpoint; bins are 10
+# equal-width buckets over the EARLY half's exact integer-cents [min, max]
+# per type (the reference window owns the binning, as in production PSI);
+# both counts come from ONE (type, bin) shuffle over a single scan pass.
+# p/q are Laplace-smoothed exact rationals; the Σ(p−q)·ln(p/q) over the
+# 10-bin artifact runs as an ORDERED fold in both engines (bit-stable).
+# Types with no early rows put all mass in bin 0 (drift by construction).
+# ---------------------------------------------------------------------------
+
+PSI_BINS = 10
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " to_timestamp_ntz('1970-01-01 00:00:00'), ts)"
+        ).alias("us"),
+        cents("value").alias("vc"),
+    )
+    split = ev.agg(
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(split)).select(
+        "event_type", "vc", (F.col("us") < F.col("mid")).alias("early")
+    )
+    bounds = (
+        tagged.filter("early")
+        .groupBy("event_type")
+        .agg(F.min("vc").alias("mn"), F.max("vc").alias("mx"))
+    )
+    binned = tagged.join(F.broadcast(bounds), "event_type", "left").select(
+        "event_type",
+        "early",
+        F.expr(
+            "CASE WHEN mn IS NULL OR mx = mn THEN 0 ELSE"
+            f" least({PSI_BINS - 1}, greatest(0,"
+            " CAST(floor((vc - mn) /"
+            f" ((mx - mn) / {float(PSI_BINS)}D)) AS INT))) END"
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("ne"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("nl"),
+    )
+    per_type = counts.groupBy("event_type").agg(
+        F.expr("map_from_entries(collect_list(struct(bin, ne)))").alias("me"),
+        F.expr("map_from_entries(collect_list(struct(bin, nl)))").alias("ml"),
+        F.sum("ne").alias("te"),
+        F.sum("nl").alias("tl"),
+    )
+    p = (
+        f"((coalesce(element_at(me, b), 0L) + 1)"
+        f" / CAST(te + {PSI_BINS} AS DOUBLE))"
+    )
+    q = (
+        f"((coalesce(element_at(ml, b), 0L) + 1)"
+        f" / CAST(tl + {PSI_BINS} AS DOUBLE))"
+    )
+    psi = F.expr(
+        f"aggregate(sequence(0, {PSI_BINS - 1}), CAST(0.0 AS DOUBLE),"
+        f" (acc, b) -> acc + ({p} - {q}) * ln({p} / {q}))"
+    )
+    return per_type.select(
+        "event_type",
+        F.col("te").alias("n_early"),
+        F.col("tl").alias("n_late"),
+        roundn(psi, 6).alias("psi"),
+    )
+
+
+def _psi_sql() -> str:
+    p = (
+        "((COALESCE(me[b][1], 0) + 1)"
+        f" / CAST(te + {PSI_BINS} AS DOUBLE))"
+    )
+    q = (
+        "((COALESCE(ml[b][1], 0) + 1)"
+        f" / CAST(tl + {PSI_BINS} AS DOUBLE))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), split AS (
+  SELECT CAST((MIN(us) + MAX(us)) / 2 AS BIGINT) AS mid FROM ev
+), tagged AS (
+  SELECT event_type, vc, us < mid AS early FROM ev CROSS JOIN split
+), bounds AS (
+  SELECT event_type, MIN(vc) AS mn, MAX(vc) AS mx
+  FROM tagged WHERE early GROUP BY event_type
+), binned AS (
+  SELECT t.event_type, t.early,
+         CASE WHEN b.mn IS NULL OR b.mx = b.mn THEN 0 ELSE
+           LEAST({PSI_BINS - 1}, GREATEST(0,
+             CAST(FLOOR((t.vc - b.mn)
+               / ((b.mx - b.mn) / {float(PSI_BINS)})) AS INT))) END AS bin
+  FROM tagged t LEFT JOIN bounds b ON t.event_type = b.event_type
+), counts AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) AS ne,
+         SUM(CASE WHEN early THEN 0 ELSE 1 END) AS nl
+  FROM binned GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         MAP(list(bin), list(ne)) AS me,
+         MAP(list(bin), list(nl)) AS ml,
+         SUM(ne) AS te, SUM(nl) AS tl
+  FROM counts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(te AS BIGINT) AS n_early,
+       CAST(tl AS BIGINT) AS n_late,
+       {sql_roundn(
+           "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+           f" list_transform(range(0, {PSI_BINS}),"
+           f" b -> ({p} - {q}) * ln({p} / {q}))),"
+           " (acc, x) -> acc + x)", 6)} AS psi
+FROM per_type
+"""
+
+
+Q_PSI_SQL = _psi_sql()
+
+
+# ---------------------------------------------------------------------------
+# Partition completeness gate (round 9) — the fifth data contract, on the
+# FRESHNESS axis: for every (event_type, day) partition, actual row count
+# vs the trailing mean of its last ≤7 OBSERVED days; a day delivering
+# under half (pipeline dropped a shard upstream) or over double (double
+# delivery) its trailing baseline is flagged BEFORE downstream consumers
+# train on it. One (type, day) shuffle; the lag window runs over the
+# bounded day-grain artifact keyed by type. The flags compare exact
+# integers (2·n·cnt vs Σ) — no double thresholds to diverge on.
+# ---------------------------------------------------------------------------
+
+def q_partition_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trailed = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("sn"),
+        F.count("n_events").over(w).alias("cn"),
+    )
+    return trailed.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("cn").alias("n_prior_days"),
+        roundn(F.try_divide(F.col("sn").cast("double"), F.col("cn")), 6).alias(
+            "expected"
+        ),
+        roundn(
+            F.try_divide(
+                F.col("n_events") * F.col("cn"), F.col("sn").cast("double")
+            ),
+            6,
+        ).alias("ratio"),
+        (
+            (F.col("cn") > 0)
+            & (F.lit(2) * F.col("n_events") * F.col("cn") < F.col("sn"))
+        ).alias("under_delivered"),
+        (
+            (F.col("cn") > 0)
+            & (F.col("n_events") * F.col("cn") > F.lit(2) * F.col("sn"))
+        ).alias("over_delivered"),
+    )
+
+
+Q_PARTITION_COMPLETENESS_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), trailed AS (
+  SELECT event_type, day, n_events,
+         SUM(n_events) OVER w AS sn,
+         COUNT(n_events) OVER w AS cn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, n_events,
+       cn AS n_prior_days,
+       FLOOR((CAST(sn AS DOUBLE) / NULLIF(cn, 0)) * 1000000 + 0.5)
+         / 1000000 AS expected,
+       FLOOR((n_events * cn / NULLIF(CAST(sn AS DOUBLE), 0)) * 1000000
+             + 0.5) / 1000000 AS ratio,
+       cn > 0 AND 2 * n_events * cn < sn AS under_delivered,
+       cn > 0 AND n_events * cn > 2 * sn AS over_delivered
+FROM trailed
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "q_ewma_daily": (q_ewma_daily, Q_EWMA_SQL),
+    "q_psi_drift": (q_psi_drift, Q_PSI_SQL),
+    "q_partition_completeness": (
+        q_partition_completeness,
+        Q_PARTITION_COMPLETENESS_SQL,
+    ),
     "q_incremental_stats": (q_incremental_stats, Q_INCREMENTAL_STATS_SQL),
     "q_key_skew_profile": (q_key_skew_profile, Q_KEY_SKEW_SQL),
     "q_mannwhitney_u": (q_mannwhitney_u, Q_MANNWHITNEY_SQL),

@@ -4629,7 +4629,129 @@ GROUP BY source
 Q_PII_REDACTION_SQL = _pii_sql()
 
 
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (round 9): completes the SimHash dedup path
+# (q_simhash emits signatures; this finds the near-dup PAIRS). A 60-bit
+# signature per doc (one md5 per token, computed ONCE into a hash array;
+# the per-bit majorities come from a single fold with a 60-lane zip — not
+# 60 re-hashes), banded Charikar-style into 4 × 15-bit keys: any pair
+# within Hamming distance ≤ SIMHASH_HAM (3) differs in ≤3 of the 4 bands,
+# so at least one band matches EXACTLY (pigeonhole — the candidate set is
+# provably complete). One equi-join on (band, key) — never all-pairs —
+# with a bucket cap computed as a window over the join's own exchange:
+# over-full buckets are byte-identical-duplicate territory (the exact
+# dedup op's job) and are skipped deterministically in BOTH engines, so a
+# mass-duplicate corpus bounds work instead of going quadratic.
+# Verification is bit_count(xor) on the two 60-bit signatures.
+# ---------------------------------------------------------------------------
+
+SIMHASH_ND_BITS = 60
+SIMHASH_ND_BANDS = 4
+SIMHASH_ND_BAND_BITS = SIMHASH_ND_BITS // SIMHASH_ND_BANDS  # 15
+SIMHASH_HAM = 3
+SIMHASH_ND_CAP = 200
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # NULL-text policy: near-dup covers documents that HAVE text
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    hs = (
+        "transform(split(text, ' '),"
+        " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+    )
+    cnts = (
+        f"aggregate({hs}, array_repeat(0L, {SIMHASH_ND_BITS}),"
+        f" (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_ND_BITS - 1}),"
+        " (c, b) -> c + CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1"
+        " END))"
+    )
+    sim = (
+        f"aggregate(zip_with({cnts}, sequence(0, {SIMHASH_ND_BITS - 1}),"
+        " (c, b) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), b)"
+        " ELSE CAST(0 AS BIGINT) END),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    )
+    sigs = docs.select("doc_id", F.expr(sim).alias("sim"))
+    mask = (1 << SIMHASH_ND_BAND_BITS) - 1
+    banded = sigs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_ND_BANDS - 1}),"
+                f" k -> named_struct('k', k, 'key',"
+                f" shiftright(sim, k * {SIMHASH_ND_BAND_BITS})"
+                f" & {mask}))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim", F.col("b.k").alias("k"), F.col("b.key").alias("key"))
+    w = Window.partitionBy("k", "key")
+    capped = banded.withColumn("n_in", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_in") <= SIMHASH_ND_CAP
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    ham = F.expr("bit_count(a.sim ^ b.sim)")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= SIMHASH_HAM)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    hs = (
+        "list_transform(string_split(text, ' '),"
+        " t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT))"
+    )
+    # per-bit majority: the oracle recomputes each bit's sum with its own
+    # list pass (oracle clarity over oracle speed; integer sums, so the
+    # result is identical to the engine's single-fold 60-lane form)
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b})"
+        f" & 1 = 1 THEN 1 ELSE -1 END)) > 0"
+        f" THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_ND_BITS)
+    )
+    mask = (1 << SIMHASH_ND_BAND_BITS) - 1
+    return f"""
+WITH sigs AS (
+  SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sim
+  FROM (SELECT doc_id, {hs} AS hs FROM documents WHERE text IS NOT NULL)
+), banded AS (
+  SELECT doc_id, sim, k,
+         (sim >> (k * {SIMHASH_ND_BAND_BITS})) & {mask} AS key
+  FROM sigs, (SELECT UNNEST(range(0, {SIMHASH_ND_BANDS})) AS k)
+), capped AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY k, key) AS n_in FROM banded
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM (SELECT * FROM capped WHERE n_in <= {SIMHASH_ND_CAP}) a
+JOIN (SELECT * FROM capped WHERE n_in <= {SIMHASH_ND_CAP}) b
+  ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_HAM}
+"""
+
+
+Q_SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "q_simhash_neardup": (q_simhash_neardup, Q_SIMHASH_NEARDUP_SQL),
     "q_pii_redaction": (q_pii_redaction, Q_PII_REDACTION_SQL),
     "q_source_overlap": (q_source_overlap, Q_SOURCE_OVERLAP_SQL),
     "q_chi2_lang_source": (q_chi2_lang_source, Q_CHI2_SQL),

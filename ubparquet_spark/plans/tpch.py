@@ -3709,7 +3709,192 @@ GROUP BY pt.n_rows, pt.point_mean
 """
 
 
+# ---------------------------------------------------------------------------
+# Triangle counting (round 9): the classic distributed graph primitive on
+# the brand co-purchase graph. Edges are brand pairs co-occurring in
+# ≥ TRIANGLE_MIN_CO distinct orders; triangles are counted by the ordered
+# two-path join (a<b<c — each triangle exactly once, the standard
+# shuffle-join formulation of Suri & Vassilvitskii's MR-triangles). Scale
+# shape: the fact table is touched ONCE (the shared distinct (order,
+# brand) aggregation); the pair-count shuffle carries per-order brand
+# pairs; everything after the edge list is bounded by the brand
+# vocabulary (≤ C(|brands|, 2) rows), so the two triangle joins are
+# broadcast-sized artifacts, not corpus joins.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_MIN_CO = 2
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("u"), F.col("b.p_brand").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= TRIANGLE_MIN_CO)
+        .select("u", "v")
+        .localCheckpoint()  # ≤ C(|brands|,2) rows; truncates the corpus plan
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    nodes = edges.select(F.col("u").alias("n")).unionAll(
+        edges.select(F.col("v").alias("n"))
+    ).distinct()
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(
+            F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        )
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+Q_TRIANGLE_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRIANGLE_MIN_CO}
+), nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+  )
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM edges) AS n_edges,
+       n_triangles
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity per brand (round 9): OLS of ln(quantity) on
+# ln(unit price) over lineitem — the grouped-regression shape every
+# pricing/econometrics pipeline runs. Per-row ln values are quantized to
+# exact 1e-12 integers (the q_zipf_fit technique), all five sums
+# accumulate in decimal(38,0), and the closed-form slope/intercept/R² is
+# ONE double computation per brand — a single partial-aggregatable
+# shuffle keyed by brand, bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_ELAST_SCALE = 10**12
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_extendedprice") > 0)
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.expr(
+            "CAST(floor(ln(l_extendedprice / l_quantity)"
+            f" * {_ELAST_SCALE} + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(floor(ln(l_quantity) * {_ELAST_SCALE} + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    sums = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    s = float(_ELAST_SCALE)
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double") / s
+    sy = F.col("sy").cast("double") / s
+    sxy = F.col("sxy").cast("double") / (s * s)
+    sxx = F.col("sxx").cast("double") / (s * s)
+    syy = F.col("syy").cast("double") / (s * s)
+    cov, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    return sums.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").alias("n_rows"),
+        # try_divide: a single-price brand has zero x-variance -> NULL
+        roundn(F.try_divide(cov, varx), 6).alias("elasticity"),
+        roundn(F.try_divide(sy - F.try_divide(cov, varx) * sx, n), 6).alias(
+            "intercept"
+        ),
+        roundn(F.try_divide(cov * cov, varx * vary), 6).alias("r2"),
+    )
+
+
+def _elasticity_sql() -> str:
+    s = float(_ELAST_SCALE)
+    return f"""
+WITH pts AS (
+  SELECT p_brand,
+         CAST(FLOOR(ln(l_extendedprice / l_quantity)
+              * {_ELAST_SCALE} + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(ln(l_quantity) * {_ELAST_SCALE} + 0.5) AS BIGINT) AS y
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_quantity >= 1 AND l_extendedprice > 0
+), sums AS (
+  SELECT p_brand, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         -- HUGEINT before the product: ln·1e12 terms are ~1e13 each, so
+         -- x*y ~1e26 overflows INT64 at the ROW level, before SUM widens
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pts GROUP BY p_brand
+), d AS (
+  SELECT p_brand, n,
+         CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / {s} AS sxd,
+         CAST(sy AS DOUBLE) / {s} AS syd,
+         CAST(sxy AS DOUBLE) / {s * s} AS sxyd,
+         CAST(sxx AS DOUBLE) / {s * s} AS sxxd,
+         CAST(syy AS DOUBLE) / {s * s} AS syyd
+  FROM sums
+)
+SELECT p_brand AS brand, n AS n_rows,
+       {sql_roundn(
+           "(nd * sxyd - sxd * syd) / NULLIF(nd * sxxd - sxd * sxd, 0)",
+           6)} AS elasticity,
+       {sql_roundn(
+           "(syd - ((nd * sxyd - sxd * syd)"
+           " / NULLIF(nd * sxxd - sxd * sxd, 0)) * sxd) / nd", 6)}
+         AS intercept,
+       {sql_roundn(
+           "((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))"
+           " / NULLIF((nd * sxxd - sxd * sxd)"
+           " * (nd * syyd - syd * syd), 0)", 6)} AS r2
+FROM d
+"""
+
+
+Q_ELASTICITY_SQL = _elasticity_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "q_triangle_count": (q_triangle_count, Q_TRIANGLE_SQL),
+    "q_price_elasticity": (q_price_elasticity, Q_ELASTICITY_SQL),
     "q_bootstrap_ci": (q_bootstrap_ci, Q_BOOTSTRAP_CI_SQL),
     "q_spearman_qty_price": (q_spearman_qty_price, Q_SPEARMAN_SQL),
     "q_benford_prices": (q_benford_prices, Q_BENFORD_SQL),
