@@ -570,3 +570,105 @@ def test_adversarial_order_transitions_and_history(spark, tmp_path):
         for r in final.itertuples()
     }
     assert got == batch and len(batch) == 4
+
+
+def test_running_ewma_daily_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming daily EWMA (round 9): the closed-day rows emitted by the
+    drained stream must be BIT-equal to the batch q_ewma_daily rows for
+    every day except each type's still-open final day — both sides round
+    the recursion to 6 decimals at every step, so the sequential double
+    chain is identical across the batch fold, the recursive-CTE oracle,
+    and the per-batch stateful scan (including across the micro-batch
+    boundary, where the EWMA carry lives in state)."""
+    from ubparquet_spark.plans.events import q_ewma_daily
+    from ubparquet_spark.streaming.stateful import running_ewma_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ewma_src")
+    cut = "2024-01-15"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    (
+        running_ewma_daily(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["rev"], r["ewma"])
+        for r in spark.table("ewma_test").collect()
+    }
+    batch = q_ewma_daily(spark, sf_dir).collect()
+    # drop each type's final (still-open) day from the batch expectation
+    last_day = {}
+    for r in batch:
+        if r["event_type"] not in last_day or r["day"] > last_day[r["event_type"]]:
+            last_day[r["event_type"]] = r["day"]
+    expected = {
+        (r["event_type"], r["day"]): (r["rev"], r["ewma"])
+        for r in batch
+        if r["day"] != last_day[r["event_type"]]
+    }
+    assert got == expected  # bit-equal, including the EWMA doubles
+
+
+def test_running_ewma_edge_semantics(spark, tmp_path):
+    """A single-day key emits nothing (the day never closes); a row from
+    an already-closed day is counted late and skipped (no retro-edit of
+    an emitted EWMA); an all-NULL-value day still exists with rev 0."""
+    from ubparquet_spark.streaming.stateful import running_ewma_daily
+
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    from datetime import datetime
+
+    t = datetime.fromisoformat
+    batch1 = [
+        (1, t("2024-01-01 10:00:00"), 1, "solo", 10.0, "{}"),
+        (2, t("2024-01-01 10:00:00"), 1, "multi", 4.0, "{}"),
+        (3, t("2024-01-02 10:00:00"), 1, "multi", None, "{}"),  # null-value day
+    ]
+    batch2 = [
+        (4, t("2024-01-03 10:00:00"), 1, "multi", 8.0, "{}"),
+        (5, t("2024-01-01 23:00:00"), 1, "multi", 100.0, "{}"),  # late: closed
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch1, ddl).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, ddl).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    stream = spark.readStream.schema(ddl).option("maxFilesPerTrigger", 1).parquet(
+        src
+    )
+    (
+        running_ewma_daily(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_edge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    rows = {
+        (r["event_type"], str(r["day"])): (r["rev"], r["ewma"])
+        for r in spark.table("ewma_edge").collect()
+    }
+    # solo never closes a day -> no output; multi closes Jan 1 (rev 4.0,
+    # seed ewma 4.0) and Jan 2 (all-NULL day -> rev 0.0,
+    # ewma = 0.25*0 + 0.75*4 = 3.0); Jan 3 stays open; the late Jan 1 row
+    # is skipped, NOT added to any day
+    assert rows == {
+        ("multi", "2024-01-01 00:00:00"): (4.0, 4.0),
+        ("multi", "2024-01-02 00:00:00"): (0.0, 3.0),
+    }

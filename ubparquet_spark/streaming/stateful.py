@@ -430,3 +430,104 @@ def running_state_history(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming daily EWMA: the stateful twin of plans/events.q_ewma_daily
+# (round 9). State per event_type is the OPEN day's (day, cents-so-far)
+# plus the rounded EWMA over CLOSED days; a day closes when a row from a
+# later day arrives, and closing emits exactly the (day, rev, ewma) row
+# the batch plan produces — the same floor(x·1e6+0.5)/1e6 rounding at
+# every recursion step, so stream and batch are BIT-equal on closed days
+# (asserted in tests/test_streaming_stateful.py). Same in-order contract
+# as running_twap: a row from an already-closed day is counted late and
+# skipped rather than retro-editing an emitted EWMA. The still-open final
+# day is intentionally unemitted (its daily sum isn't final until a later
+# day proves it complete — emit-on-close is the watermarkless analogue of
+# a day watermark).
+# ---------------------------------------------------------------------------
+
+EWMA_STATE_SCHEMA = (
+    "open_day_us long, open_rc long, have_ewma boolean, ewma double,"
+    " n_late long"
+)
+EWMA_OUTPUT_SCHEMA = (
+    "event_type string, day timestamp_ntz, rev double, ewma double"
+)
+_EWMA_ALPHA = 0.25  # keep in lockstep with plans/events.EWMA_ALPHA
+
+
+def _update_ewma(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        open_day, open_rc, have_ewma, ewma, n_late = state.get
+        have_open = True
+    else:
+        open_day, open_rc, have_ewma, ewma, n_late = 0, 0, False, 0.0, 0
+        have_open = False
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["day_us"], ignore_index=True)
+    day_us = rows["day_us"].to_numpy()
+    vc = rows["vc"].to_numpy()
+    out_day, out_rev, out_ewma = [], [], []
+
+    def close(day: int, rc: int) -> None:
+        nonlocal have_ewma, ewma
+        x = rc / 100.0
+        nxt = x if not have_ewma else _EWMA_ALPHA * x + (1 - _EWMA_ALPHA) * ewma
+        ewma = np.floor(nxt * 1000000.0 + 0.5) / 1000000.0
+        have_ewma = True
+        out_day.append(day)
+        out_rev.append(x)
+        out_ewma.append(ewma)
+
+    for j in range(len(rows)):
+        d, v = int(day_us[j]), int(vc[j])
+        if not have_open:
+            open_day, open_rc, have_open = d, v, True
+            continue
+        if d < open_day:
+            n_late += 1
+            continue
+        if d == open_day:
+            open_rc += v
+            continue
+        close(open_day, open_rc)
+        open_day, open_rc = d, v
+    state.update((open_day, open_rc, have_ewma, float(ewma), n_late))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(out_day),
+            "day": pd.to_datetime(pd.Series(out_day, dtype="int64"), unit="us"),
+            "rev": out_rev,
+            "ewma": out_ewma,
+        }
+    )
+
+
+def running_ewma_daily(stream: DataFrame) -> DataFrame:
+    """Per-event-type daily-revenue EWMA, emitted as days close."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, to_timestamp_ntz('1970-01-01"
+            " 00:00:00'), date_trunc('DAY', ts))"
+        ).alias("day_us"),
+        # batch parity: a NULL value contributes 0 to its day (the day
+        # still EXISTS — q_ewma_daily coalesces an all-NULL day to rev 0)
+        F.coalesce(
+            F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"), F.lit(0)
+        ).alias("vc"),
+    ).filter(F.col("day_us").isNotNull())
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
