@@ -3410,12 +3410,30 @@ def _dsir_weights(
             F.sum("nr").alias("tr"),
             F.sum("nt").alias("tt"),
         )
+        # DENSE count arrays, indexed by bucket id: Spark maps are
+        # array-backed, so element_at(map, k) is a LINEAR scan — at the
+        # round-9 width (4096) the per-bigram lookup went O(width) and
+        # scoring slowed 2.2× (measured). The one-time densify below is
+        # O(width²) on ONE row; scoring then indexes in O(1). The oracle
+        # keeps its MAP form — values are identical.
+        .select(
+            F.expr(
+                f"transform(sequence(0, {width - 1}),"
+                " b -> coalesce(element_at(mr, b), 0L))"
+            ).alias("ar"),
+            F.expr(
+                f"transform(sequence(0, {width - 1}),"
+                " b -> coalesce(element_at(mt, b), 0L))"
+            ).alias("at"),
+            "tr",
+            "tt",
+        )
     )
     logw = F.expr(
         "aggregate(bs, CAST(0.0 AS DOUBLE), (acc, b) -> acc +"
-        " (ln(CAST(coalesce(element_at(mt, b), 0) + 1 AS DOUBLE)"
+        " (ln(CAST(element_at(at, CAST(b + 1 AS INT)) + 1 AS DOUBLE)"
         f"    / CAST(tt + {width} AS DOUBLE))"
-        "  - ln(CAST(coalesce(element_at(mr, b), 0) + 1 AS DOUBLE)"
+        "  - ln(CAST(element_at(ar, CAST(b + 1 AS INT)) + 1 AS DOUBLE)"
         f"    / CAST(tr + {width} AS DOUBLE))))"
     )
     return with_b.crossJoin(F.broadcast(model)).select(
