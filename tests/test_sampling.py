@@ -89,3 +89,23 @@ def test_iter_arrow_batches_streams_without_full_materialize(spark):
     with pytest.raises(Exception):
         for _ in it:
             pass
+
+def test_iter_arrow_batches_rejects_invalid_ramp(spark):
+    """Explicit first_rows=0 (or any <1 value, or batch_rows<1) must fail
+    loudly, not silently coerce to batch_rows — an invalid ramp size is a
+    caller bug, and the old truthiness check masked it."""
+    import pytest
+
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="first_rows"):
+        next(sampling.iter_arrow_batches(df, batch_rows=4, first_rows=0))
+    with pytest.raises(ValueError, match="first_rows"):
+        next(sampling.iter_arrow_batches(df, batch_rows=4, first_rows=-3))
+    with pytest.raises(ValueError, match="batch_rows"):
+        next(sampling.iter_arrow_batches(df, batch_rows=0))
+    # first_rows=None keeps the no-ramp default
+    total = sum(
+        b.num_rows
+        for b in sampling.iter_arrow_batches(df, batch_rows=4, first_rows=None)
+    )
+    assert total == 10

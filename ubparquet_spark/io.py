@@ -14,6 +14,7 @@ pushdown to Parquet row groups automatically.
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,9 +151,15 @@ _FLOAT_ORDER = ("float", "double")
 
 
 def _widen(a: str, b: str) -> str:
-    """Widest common Spark SQL type of two simple types, or raise."""
+    """Widest common Spark SQL type of two simple types — or of two
+    ``array<primitive>`` types, widened element-wise (the reference's own
+    data model is array<primitive> + ``_shape`` columns,
+    ``root2parquet.py:72-85``, read under ``mergeSchema``, so element-width
+    drift is the MOST likely drift for its native tables) — or raise."""
     if a == b:
         return a
+    if a.startswith("array<") and b.startswith("array<"):
+        return f"array<{_widen(a[6:-1], b[6:-1])}>"
     if a in _INT_ORDER and b in _INT_ORDER:
         return _INT_ORDER[max(_INT_ORDER.index(a), _INT_ORDER.index(b))]
     if a in _FLOAT_ORDER and b in _FLOAT_ORDER:
@@ -212,11 +219,21 @@ def read_parquet_widened(spark: SparkSession, path: str) -> DataFrame:
         if arrow in _ARROW_TO_SQL:
             return _ARROW_TO_SQL[arrow]
         if arrow.startswith("timestamp"):
+            # tz-aware shards must NOT silently merge as timestamp_ntz:
+            # the cast shifts values by the session timezone, which is
+            # corruption, not repair — keep the loud-failure contract.
+            if "tz=" in arrow:
+                raise ValueError(
+                    f"unmapped arrow type in drift repair: {arrow} "
+                    "(tz-aware timestamps are not repairable as "
+                    "timestamp_ntz; align shard timezones explicitly)"
+                )
             return "timestamp_ntz"
-        if arrow.startswith("list<item: float>"):
-            return "array<float>"
-        if arrow.startswith("list<item: double>"):
-            return "array<double>"
+        # list field name varies by writer (pyarrow "item", parquet-spec
+        # writers like DuckDB "element") — match either
+        m = re.fullmatch(r"(?:large_)?list<\w+: (.+)>", arrow)
+        if m:
+            return f"array<{sql_type(m.group(1))}>"
         if arrow.startswith("decimal"):
             return arrow  # decimal(p,s) spells identically
         raise ValueError(f"unmapped arrow type in drift repair: {arrow}")

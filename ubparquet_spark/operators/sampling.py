@@ -123,7 +123,14 @@ def iter_arrow_batches(
     import pyarrow as pa
 
     batch_rows = int(batch_rows)
-    first_rows = int(first_rows) if first_rows else batch_rows
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows must be >= 1, got {batch_rows}")
+    if first_rows is None:
+        first_rows = batch_rows
+    else:
+        first_rows = int(first_rows)
+        if first_rows < 1:
+            raise ValueError(f"first_rows must be >= 1, got {first_rows}")
 
     def _ipc(batch: "pa.RecordBatch") -> bytes:
         sink = pa.BufferOutputStream()

@@ -2680,8 +2680,12 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("us"),
         cents("value").alias("vc"),
     )
+    # Integer floor division in BOTH engines: double-divide-then-cast
+    # truncates in Spark but DuckDB's CAST(... AS BIGINT) rounds half
+    # away from zero, so an odd min+max would put the two mids 1 µs
+    # apart and split any row at that exact microsecond differently.
     split = ev.agg(
-        ((F.min("us") + F.max("us")) / F.lit(2)).cast("long").alias("mid")
+        F.expr("(min(us) + max(us)) div 2").alias("mid")
     )
     tagged = ev.crossJoin(F.broadcast(split)).select(
         "event_type", "vc", (F.col("us") < F.col("mid")).alias("early")
@@ -2746,7 +2750,7 @@ WITH ev AS (
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ), split AS (
-  SELECT CAST((MIN(us) + MAX(us)) / 2 AS BIGINT) AS mid FROM ev
+  SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev
 ), tagged AS (
   SELECT event_type, vc, us < mid AS early FROM ev CROSS JOIN split
 ), bounds AS (
