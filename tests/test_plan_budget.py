@@ -174,6 +174,9 @@ SHUFFLE_BUDGETS = {
     # keeps its old budget under the _smallk name.
     "q_semantic_dedup": 10,
     "q_semantic_dedup_smallk": 10,
+    # same pipeline + ONE id-keyed quality join (doc table co-sized, AQE
+    # broadcasts at small sf; at 100 TB both sides are id-bucketed)
+    "q_semantic_dedup_quality": 12,
     # LOWERED 6 -> 4 (round-6): rank + running total fused into ONE
     # blocked_cumsum pass whose checkpoint truncates the lazy plan
     "q_vocab_coverage": 4,
@@ -290,6 +293,53 @@ SHUFFLE_BUDGETS = {
     # one (type, day) corpus groupBy; lag + Pearson sums over the
     # bounded daily artifact
     "q_autocorr_daily": 4,
+    # vocab token groupBy + 1-row map agg + ranked() (range exchange +
+    # offset windows) + final (lang, bucket) rollup
+    "q_doc_perplexity": 9,
+    # train-set distinct + doc rollup measure 2 (AQE broadcasts the
+    # gkey join at test sf); 4 leaves room for the co-partitioned
+    # shuffle-join both-sides exchanges once the train set outgrows a
+    # broadcast at real scale
+    "q_ngram_novelty": 4,
+    # one (lang, pred) confusion shuffle (checkpointed), then marginal
+    # rollups + 1-row reductions over the tiny artifact
+    "q_lang_kappa": 5,
+    # round-10 rotation fills: measured current counts for the r06-stale
+    # cohort entering the driver window (the _CHECK_FIRST invariant).
+    # Zero-shuffle rows are pure per-row map plans; 1 is the canonical
+    # scan -> partial -> final agg shape.
+    "q_bpe_token_stats": 0,
+    "q_chunk_overlap": 0,
+    "q_crossdoc_spans": 3,
+    "q_customer_pareto": 3,
+    "q_doc_fingerprint": 0,
+    "q_doc_prefix_dedup": 1,
+    "q_doc_quality": 0,
+    "q_doc_repetition": 0,
+    "q_doc_rolling_hash": 0,
+    "q_doc_stats": 1,
+    "q_embedding_neardup": 3,
+    "q_embedding_norms": 1,
+    "q_events_json": 1,
+    "q_events_outliers": 1,
+    "q_events_retention": 4,
+    "q_events_sliding": 1,
+    # coarse+fine quantizer training, probe ranking, brute-force twin,
+    # and the recall join — the harness measures the INDEX, so it pays
+    # both pipelines' exchanges
+    "q_ivf_recall": 9,
+    "q_kmeans_clusters": 1,
+    "q_knn_batch": 1,
+    "q_label_centroids": 1,
+    "q_lang_id": 1,
+    "q_lexical_diversity": 0,
+    "q_mixture_sample": 1,
+    "q_pack_sequences": 4,
+    "q_pq_topk": 0,
+    "q_price_histogram": 1,
+    # tf (doc,token) rollup + df branch + totals + argmax join
+    "q_tfidf_top_term": 5,
+    "q_unigram_logprob": 2,
     # round-6 (settled at 4): the "before" counts ride blocked_cumsum
     # (bounded _pid window + offset branch) — the q_ks_test shape
     "q_mannwhitney_u": 4,

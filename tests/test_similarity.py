@@ -179,3 +179,118 @@ def test_hard_negatives_semantics(spark, sf_dir):
         per.setdefault(r.anchor_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= HN_K
                for v in per.values())
+
+def test_semdedup_quality_keep_policy(spark):
+    """Quality-aware keep (round 10): within every connected ε-component
+    the max-quality member is kept; ties break to lowest vec_id; NULL
+    quality sorts lowest; the cell cap still guards degenerate cells."""
+    import math
+
+    from ubparquet_spark.plans.similarity import semdedup_keep
+
+    dim = 64
+    norm = math.sqrt(dim)
+    ones = [1.0] * dim
+    rows = [
+        # cell 0: 3 identical members — HIGHEST quality (id 2) wins,
+        # not the lowest id
+        (0, 0, ones, norm, 0.10),
+        (1, 0, ones, norm, 0.50),
+        (2, 0, ones, norm, 0.90),
+        # cell 1: quality tie — lowest id (10) wins
+        (10, 1, ones, norm, 0.40),
+        (11, 1, ones, norm, 0.40),
+        # cell 2: NULL quality loses to any scored member
+        (20, 2, ones, norm, None),
+        (21, 2, ones, norm, 0.05),
+        # cell 3: all-NULL quality — lowest id wins
+        (30, 3, ones, norm, None),
+        (31, 3, ones, norm, None),
+    ]
+    assigned = spark.createDataFrame(
+        rows,
+        "vec_id long, cell int, dvec array<double>, norm double,"
+        " quality double",
+    )
+    out = {
+        r.vec_id: r.keep
+        for r in semdedup_keep(
+            assigned, cap=4, threshold=0.35, quality_col="quality"
+        ).collect()
+    }
+    assert len(out) == 9
+    assert (out[0], out[1], out[2]) == (0, 0, 1)
+    assert (out[10], out[11]) == (1, 0)
+    assert (out[20], out[21]) == (0, 1)
+    assert (out[30], out[31]) == (1, 0)
+    # over-cap cell: everyone keeps
+    big = spark.createDataFrame(
+        [(40 + i, 9, ones, norm, float(i)) for i in range(6)],
+        "vec_id long, cell int, dvec array<double>, norm double,"
+        " quality double",
+    )
+    out2 = {
+        r.vec_id: r.keep
+        for r in semdedup_keep(
+            big, cap=4, threshold=0.35, quality_col="quality"
+        ).collect()
+    }
+    assert all(out2[40 + i] == 1 for i in range(6))
+
+
+def test_semdedup_quality_component_max_is_kept(spark, sf_dir):
+    """Property (VERDICT r09 #6 done-criterion): on the real corpus, for
+    every connected component of the within-cell ε-graph, the member with
+    the maximum quality (tie-break lowest vec_id) has keep = 1."""
+    import numpy as np
+
+    from ubparquet_spark.plans.similarity import (
+        SEMDEDUP_CELL_CAP,
+        SEMDEDUP_THRESHOLD,
+        q_semantic_dedup_quality,
+    )
+
+    pdf = q_semantic_dedup_quality(spark, sf_dir).toPandas()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype="float64")
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    qual = dict(zip(pdf.vec_id, pdf.quality))
+    kept = dict(zip(pdf.vec_id, pdf.keep))
+
+    def cos(a, b):
+        d = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+        return np.floor(d * 1e6 + 0.5) / 1e6
+
+    checked_components = 0
+    for cell, grp in pdf.groupby("cell"):
+        ids = sorted(grp.vec_id)
+        if len(ids) > SEMDEDUP_CELL_CAP:
+            continue  # capped cell: keep=1 for all, policy not in play
+        # union-find over the ε-graph
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                if cos(emb[a], emb[b]) >= SEMDEDUP_THRESHOLD:
+                    parent[find(a)] = find(b)
+        comps = {}
+        for i in ids:
+            comps.setdefault(find(i), []).append(i)
+        for members in comps.values():
+            best = min(
+                members,
+                key=lambda i: (-(qual[i] if qual[i] == qual[i] else -1.0), i),
+            )
+            assert kept[best] == 1, (cell, members, best)
+            checked_components += 1
+    assert checked_components > 0

@@ -1357,16 +1357,26 @@ def semdedup_keep(
     *,
     cap: int = SEMDEDUP_CELL_CAP,
     threshold: float = SEMDEDUP_THRESHOLD,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """(vec_id, cell, keep) from an assigned frame carrying precomputed
     ``dvec`` (double vector) and ``norm`` columns.
 
-    Within-cell keep-lowest-id dedup with a realized-cell-size guard: the
-    cell count is a window over the SAME cell shuffle the self-join needs
-    (exchange reuse), and ``b.n_in_cell <= cap`` gates pair generation —
+    Within-cell dedup with a realized-cell-size guard: the cell count is a
+    window over the SAME cell shuffle the self-join needs (exchange
+    reuse), and ``b.n_in_cell <= cap`` gates pair generation —
     ``a.cell == b.cell`` means the guard covers both sides.  Members of
     over-full cells fall through the LEFT join with no match and keep = 1,
     so a degenerate quantizer cell bounds work instead of going quadratic.
+
+    Keep policy (round 10, VERDICT r09 #6): by default the representative
+    of an ε-ball is the LOWEST-id member (id-deterministic, the original
+    SemDeDup-style rule).  With ``quality_col`` set, a member is dropped
+    when a ≥threshold neighbour has strictly HIGHER quality (tie-break
+    lowest vec_id) — the FineWeb-style quality-aware selection: within
+    every connected ε-component the top-quality member is a local maximum
+    of the priority order, so it is always kept.  NULL quality sorts
+    lowest (a scoreless member never displaces a scored one).
     """
     from pyspark.sql import Window
 
@@ -1377,16 +1387,26 @@ def semdedup_keep(
         " + ".join(f"(a.dvec[{i}] * b.dvec[{i}])" for i in range(_SEMDEDUP_DIMS))
     )
     cos = roundn(pair_dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    if quality_col is None:
+        beats = F.col("a.vec_id") < F.col("b.vec_id")
+    else:
+        aq = F.coalesce(F.col(f"a.{quality_col}"), F.lit(-1.0))
+        bq = F.coalesce(F.col(f"b.{quality_col}"), F.lit(-1.0))
+        beats = (aq > bq) | ((aq == bq) & (F.col("a.vec_id") < F.col("b.vec_id")))
+    group_cols = [F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell")]
+    if quality_col is not None:
+        group_cols.append(F.col(f"b.{quality_col}").alias(quality_col))
     return (
         b.join(
             a,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & beats
             & (F.col("b.n_in_cell") <= F.lit(int(cap)))
             & (cos >= F.lit(threshold)),
             "left",
         )
-        .groupBy(F.col("b.vec_id").alias("vec_id"), F.col("b.cell").alias("cell"))
+        .groupBy(*group_cols)
         .agg(
             F.max(
                 F.when(F.col("a.vec_id").isNull(), F.lit(1)).otherwise(F.lit(0))
@@ -1500,6 +1520,128 @@ Q_SEMANTIC_DEDUP_SQL = _semdedup_scaled_sql()
 # backward-compat aliases for the pre-round-4 names
 q_semantic_dedup_scaled = q_semantic_dedup
 Q_SEMANTIC_DEDUP_SCALED_SQL = Q_SEMANTIC_DEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware SemDeDup (round 10, VERDICT r09 #6): same scale-true k ∝ n
+# pipeline, but the ε-ball representative is selected by QUALITY, not by
+# lowest id — the FineWeb-style policy (keep the best member of a near-dup
+# group; SemDeDup §3 keeps by similarity-to-centroid, production pipelines
+# keep by quality signal).  The score is the shared ``quality_cols()``
+# heuristic from plans/text.py — the SAME formula as q_doc_quality and
+# q_weighted_sample, joined from the documents table on vec_id = doc_id
+# (the shared synthetic corpus aligns the two ids; a vector without a doc
+# gets NULL quality, which sorts LOWEST — a scoreless member never
+# displaces a scored one; ties break to the lowest vec_id, so the policy
+# stays fully deterministic).
+#
+# Scale shape: identical to q_semantic_dedup plus ONE id-keyed join of two
+# co-sized tables (shuffle-join on the key both tables are naturally
+# bucketed by at 100 TB; AQE broadcasts the dim at small sf).  The pair
+# stage is unchanged — banded by cell, capped by realized cell size.
+#
+# Property (tested in test_similarity.py): within every connected
+# ε-component of a cell, the max-quality member is a maximum of the
+# priority order, so it is ALWAYS kept.
+# ---------------------------------------------------------------------------
+
+
+def q_semantic_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_blas,
+    )
+    from ubparquet_spark.plans.text import quality_cols
+
+    docs_q = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        quality_cols()["quality"].alias("quality"),
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .join(docs_q, "vec_id", "left")
+        .localCheckpoint()
+    )
+    n = emb.count()
+    k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
+    train = emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0
+    )
+    init = train.orderBy("vec_id").limit(k).collect()
+    cents = [[float(v) for v in r.embedding] for r in init]
+    if not cents:
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, quality double, keep int"
+        )
+    assign = assign_clusters if len(cents) <= 128 else assign_clusters_blas
+    for _ in range(SEMDEDUP_ROUNDS):
+        cents = _rounded_update(assign(train, cents), cents)
+    assigned = (
+        assign(emb, cents)
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cell"),
+            "quality",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
+        )
+        .withColumn(
+            "norm",
+            F.expr(
+                "sqrt(aggregate(zip_with(dvec, dvec, (x, y) -> x * y),"
+                " CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+            ),
+        )
+    )
+    return semdedup_keep(assigned, quality_col="quality")
+
+
+def _semdedup_quality_sql() -> str:
+    """Oracle: the Q_SEMANTIC_DEDUP_SQL CTE chain with the quality join and
+    the quality-priority drop condition."""
+    from ubparquet_spark.plans.text import STOPWORDS, _sql_quality
+
+    base = _semdedup_scaled_sql()
+    # splice: reuse everything up to (and including) the `sized` CTE, then
+    # swap in the quality-joined frame + priority rule
+    head, _sep, _tail = base.partition(",\ndrops AS (")
+    assert _sep, "Q_SEMANTIC_DEDUP_SQL shape changed; update the splice"
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    aq = "COALESCE(a.quality, -1.0)"
+    bq = "COALESCE(b.quality, -1.0)"
+    return f"""{head},
+qual AS (
+  SELECT doc_id AS vec_id, {_sql_quality("n_stop", "n_tokens")} AS quality
+  FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ({stop_list}))) AS n_stop
+    FROM documents
+  )
+),
+sizedq AS (
+  SELECT s.*, q.quality
+  FROM sized s LEFT JOIN qual q ON s.vec_id = q.vec_id
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM sizedq a JOIN sizedq b
+    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+   AND ({aq} > {bq} OR ({aq} = {bq} AND a.vec_id < b.vec_id))
+   AND b.n_in_cell <= {SEMDEDUP_CELL_CAP}
+  WHERE FLOOR(({_sql_dot("a.dvec", "b.dvec")}
+               / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT s.vec_id, s.cell, s.quality,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM sizedq s LEFT JOIN drops d ON s.vec_id = d.vec_id
+"""
+
+
+Q_SEMANTIC_DEDUP_QUALITY_SQL = _semdedup_quality_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2356,6 +2498,11 @@ QUERIES: dict[str, tuple] = {
     "q_semantic_dedup_2level": (
         q_semantic_dedup_2level,
         Q_SEMANTIC_DEDUP_2LEVEL_SQL,
+    ),
+    # quality-aware representative selection (round 10, VERDICT r09 #6)
+    "q_semantic_dedup_quality": (
+        q_semantic_dedup_quality,
+        Q_SEMANTIC_DEDUP_QUALITY_SQL,
     ),
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

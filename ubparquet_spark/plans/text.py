@@ -4768,7 +4768,322 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_HAM}
 Q_SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 
+# ---------------------------------------------------------------------------
+# CCNet perplexity BUCKETING (round 10): the operation CCNet (Wenzek et
+# al. 2020 §4.3) actually ships — split each language's corpus into
+# head / middle / tail TERCILES by LM score and report the per-bucket
+# document counts, token mass, and score boundaries (training recipes
+# then sample buckets at different rates).  The score is the corpus
+# unigram avg log-prob (the q_unigram_logprob score, quantized to an
+# exact 1e-4 integer so every downstream comparison and sum is integer
+# arithmetic — order-independent and bit-identical cross-engine);
+# q_bigram_logprob remains the richer scorer, this query is the
+# BUCKETING op.  Docs with NULL text carry no LM evidence and are
+# excluded in both engines.
+#
+# Scale shape: scoring is one token-grain shuffle (vocab) + a zero-
+# shuffle broadcast fold; terciles ride operators/ranks.ranked —
+# a range exchange + n_tasks-row offset windows, NEVER a single-task
+# per-language window sort (the q_rfm_segments lesson: a handful of
+# langs × corpus/5 rows each would serialize the sort at 100 TB);
+# ntile_col() computes the bucket from the exact rank arithmetically.
+# ---------------------------------------------------------------------------
+
+PPL_TERCILES = 3
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.ranks import ntile_col, ranked
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("token", "cnt"))
+            ).alias("vocab"),
+            F.sum("cnt").alias("total"),
+        )
+    )
+    logprob_sum = F.expr(
+        "aggregate(toks, CAST(0.0 AS DOUBLE),"
+        " (acc, t) -> acc + ln(CAST(element_at(vocab, t) AS DOUBLE)"
+        " / CAST(total AS DOUBLE)))"
+    )
+    n_tokens = F.size(F.col("toks"))
+    scored = (
+        docs.withColumn("toks", F.split("text", " "))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang",
+            n_tokens.cast("long").alias("n_tokens"),
+            # exact 1e-4 integer quantization of avg logprob: all later
+            # sums/compares are integer — order-independent cross-engine
+            F.floor(logprob_sum / n_tokens * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("lp4"),
+        )
+        .filter(F.col("lp4").isNotNull())
+    )
+    # rank DESC by score (head = best): ranked() sorts ascending, so
+    # order on the negated integer; doc_id tie-break keeps it total
+    r = ranked(
+        scored.withColumn("_neg", -F.col("lp4")),
+        ["lang"],
+        ["_neg", "doc_id"],
+        rank_col="_r",
+        n_col="_n",
+    )
+    bucketed = r.select(
+        "lang",
+        "n_tokens",
+        "lp4",
+        ntile_col("_r", "_n", PPL_TERCILES).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        roundn(
+            F.sum("lp4").cast("double") / (F.count(F.lit(1)) * F.lit(10000.0))
+        ).alias("mean_logprob"),
+        (F.max("lp4").cast("double") / 10000.0).alias("best_logprob"),
+        (F.min("lp4").cast("double") / 10000.0).alias("worst_logprob"),
+    )
+
+
+Q_DOC_PERPLEXITY_SQL = f"""
+WITH uni AS (
+  SELECT token, COUNT(*) AS cnt
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY token
+), v AS (
+  SELECT MAP(list(token), list(cnt)) AS vocab, SUM(cnt) AS total FROM uni
+), scored AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(FLOOR(list_reduce(
+                list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(string_split(text, ' '),
+                    t -> ln(CAST(vocab[t][1] AS DOUBLE) / CAST(total AS DOUBLE)))),
+                (acc, x) -> acc + x)
+              / len(string_split(text, ' ')) * 10000 + 0.5) AS BIGINT) AS lp4
+  FROM documents CROSS JOIN v
+), nn AS (
+  SELECT * FROM scored WHERE lp4 IS NOT NULL
+), bucketed AS (
+  SELECT lang, n_tokens, lp4,
+         CAST(NTILE({PPL_TERCILES}) OVER (
+           PARTITION BY lang ORDER BY lp4 DESC, doc_id) AS INTEGER) AS bucket
+  FROM nn
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       {sql_roundn("CAST(SUM(lp4) AS DOUBLE) / (COUNT(*) * 10000.0)")}
+         AS mean_logprob,
+       CAST(MAX(lp4) AS DOUBLE) / 10000.0 AS best_logprob,
+       CAST(MIN(lp4) AS DOUBLE) / 10000.0 AS worst_logprob
+FROM bucketed
+GROUP BY lang, bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty audit (round 10): what fraction of each HELD-OUT
+# document's bigrams never appear in the TRAIN split — the memorization /
+# generalization signal (a near-zero novelty holdout is leaked or
+# templated; a ~1.0 novelty doc is out-of-distribution).  The split is
+# the engine's standard deterministic salted-md5 gate (hash_unit, the
+# q_consistent_sample / leakage-split rule) on doc_id: < 0.8 train,
+# rest held out.
+#
+# Scale shape: bigrams are md5-keyed (fixed-width keys, no unbounded
+# string concat through the shuffle); TRAIN distinct bigrams is one
+# key-grain shuffle; held-out (doc, bigram) pairs LEFT JOIN that set on
+# the key — co-partitioned equi-join, never a broadcast of an unbounded
+# vocab — then one doc-grain rollup.  Everything partial-aggregatable.
+# ---------------------------------------------------------------------------
+
+NOVELTY_SALT = "novelty-v1"
+_NOVELTY_MOD = 1000
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.plans.tpch import hash_unit
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = hash_unit(F.col("doc_id"), NOVELTY_SALT, _NOVELTY_MOD)
+    # size >= 2 guard: sequence(1, n<=0) yields [1, 0] (step -1) — a
+    # single-token doc must produce [] like DuckDB's range()
+    base = docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id",
+        (u < 0.8).alias("is_train"),
+        F.expr(
+            "if(size(toks) >= 2,"
+            " transform(sequence(1, size(toks) - 1),"
+            " i -> md5(concat(toks[i - 1], ' ', toks[i]))),"
+            " array())"
+        ).alias("gkeys"),
+    )
+    train_set = (
+        base.filter("is_train")
+        .select(F.explode("gkeys").alias("gkey"))
+        .distinct()
+        .withColumn("seen", F.lit(1))
+    )
+    held = base.filter(~F.col("is_train")).select(
+        "doc_id", F.explode(F.array_distinct("gkeys")).alias("gkey")
+    )
+    return (
+        held.join(train_set, "gkey", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_novel",
+            roundn(
+                F.col("n_novel").cast("double") / F.col("n_bigrams")
+            ).alias("novelty"),
+        )
+    )
+
+
+def _ngram_novelty_sql() -> str:
+    from ubparquet_spark.plans.tpch import sql_hash_unit
+
+    u = sql_hash_unit("doc_id", NOVELTY_SALT, _NOVELTY_MOD)
+    return f"""
+WITH base AS (
+  SELECT doc_id, {u} < 0.8 AS is_train,
+         list_transform(
+           range(1, GREATEST(len(string_split(text, ' ')) - 1, 0) + 1),
+           i -> md5(string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i + 1])) AS gkeys
+  FROM documents
+), train_set AS (
+  SELECT DISTINCT UNNEST(gkeys) AS gkey FROM base WHERE is_train
+), held AS (
+  SELECT doc_id, UNNEST(list_distinct(gkeys)) AS gkey
+  FROM base WHERE NOT is_train
+)
+SELECT h.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN t.gkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       {sql_roundn(
+           "CAST(SUM(CASE WHEN t.gkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)"
+           " / COUNT(*)")} AS novelty
+FROM held h LEFT JOIN train_set t ON h.gkey = t.gkey
+GROUP BY h.doc_id
+"""
+
+
+Q_NGRAM_NOVELTY_SQL = _ngram_novelty_sql()
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa (round 10): chance-corrected agreement between the
+# lang-ID heuristic's prediction and the labeled lang — the statistic a
+# real pipeline reports when auditing an automatic labeler against a
+# gold set (q_lang_id gives the raw confusion matrix, q_chi2_lang_source
+# tests independence; kappa is the AGREEMENT summary).  All mass terms
+# are exact integer counts off ONE (lang, pred) shuffle; p_o, p_e and
+# kappa are single-row double arithmetic at the end (deterministic —
+# no cross-row double accumulation).  Docs whose label is NULL are
+# excluded (no gold to agree with); 'und' predictions count as a
+# (dis)agreement class like any other.
+# ---------------------------------------------------------------------------
+
+
+def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    scored = docs.withColumn("toks", F.split("text", " ")).select(
+        "lang", *_marker_counts_spark()
+    )
+    conf = (
+        scored.select("lang", _lang_pred_expr().alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()  # tiny (#langs² rows); consumed by 3 branches
+    )
+    n_total = conf.agg(F.sum("n").alias("n_total"))
+    diag = conf.filter(F.col("lang") == F.col("pred_lang")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_agree")
+    )
+    # chance agreement: sum over classes of row-marginal * col-marginal
+    rows = conf.groupBy("lang").agg(F.sum("n").alias("rn"))
+    cols = conf.groupBy("pred_lang").agg(F.sum("n").alias("cn"))
+    pe_num = (
+        rows.join(cols, rows.lang == cols.pred_lang, "inner")
+        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("pe_num"))
+    )
+    out = n_total.crossJoin(diag).crossJoin(pe_num)
+    po = F.col("n_agree").cast("double") / F.col("n_total")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_total").cast("double") * F.col("n_total")
+    )
+    return out.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        roundn(po, 6).alias("p_observed"),
+        roundn(pe, 6).alias("p_expected"),
+        roundn(F.try_divide(po - pe, F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+def _lang_kappa_sql() -> str:
+    counts = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x = '{tok}'))"
+        f" AS c_{lang}"
+        for tok, lang in LANG_MARKERS
+    )
+    case_sql = _lang_pred_sql_case()
+    po = "CAST(n_agree AS DOUBLE) / n_total"
+    pe = "CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * n_total)"
+    return f"""
+WITH scored AS (
+  SELECT lang, {counts}
+  FROM documents WHERE lang IS NOT NULL
+), conf AS (
+  SELECT lang, {case_sql} AS pred_lang, COUNT(*) AS n
+  FROM scored GROUP BY 1, 2
+), tot AS (
+  SELECT SUM(n) AS n_total FROM conf
+), diag AS (
+  SELECT COALESCE(SUM(n), 0) AS n_agree FROM conf WHERE lang = pred_lang
+), pe AS (
+  SELECT COALESCE(SUM(r.rn * c.cn), 0) AS pe_num
+  FROM (SELECT lang, SUM(n) AS rn FROM conf GROUP BY lang) r
+  JOIN (SELECT pred_lang, SUM(n) AS cn FROM conf GROUP BY pred_lang) c
+    ON r.lang = c.pred_lang
+)
+SELECT CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_agree AS BIGINT) AS n_agree,
+       {sql_roundn(po, 6)} AS p_observed,
+       {sql_roundn(pe, 6)} AS p_expected,
+       {sql_roundn(f"(({po}) - ({pe})) / (1.0 - ({pe}))", 6)} AS kappa
+FROM tot CROSS JOIN diag CROSS JOIN pe
+"""
+
+
+Q_LANG_KAPPA_SQL = _lang_kappa_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "q_doc_perplexity": (q_doc_perplexity, Q_DOC_PERPLEXITY_SQL),
+    "q_ngram_novelty": (q_ngram_novelty, Q_NGRAM_NOVELTY_SQL),
+    "q_lang_kappa": (q_lang_kappa, Q_LANG_KAPPA_SQL),
     "q_simhash_neardup": (q_simhash_neardup, Q_SIMHASH_NEARDUP_SQL),
     "q_pii_redaction": (q_pii_redaction, Q_PII_REDACTION_SQL),
     "q_source_overlap": (q_source_overlap, Q_SOURCE_OVERLAP_SQL),
