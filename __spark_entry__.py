@@ -20,76 +20,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver's correctness check records only the FIRST ~50 registry
-# entries (CORRECTNESS_r01..r06.json each stopped at exactly 50).  Order
+# The driver's correctness check records only the FIRST 50 registry
+# entries (CORRECTNESS_r01..r09.json each stopped at exactly 50).  Order
 # the registry so the queries that most need a fresh green row come first.
 #
-# ROUND-8 ROTATION (executes VERDICT r07 "Next round" #1):
-#   1. the full r04-stale cohort — all 34 registry queries whose newest
-#      driver row is CORRECTNESS_r04 (recomputed from the r01–r07
-#      artifacts at the start of this round);
-#   2. round-8 registrations (never driver-checked) — inserted as they
-#      land this round;
-#   3. oldest-r05 fills (alphabetical head of the r05 cohort) to bring
-#      the window to exactly 50.
-# After this round no registry query's newest driver row predates
-# round 5; the r05 remainder rotates in round 9.  All stay covered
-# every session by the sf0.01 DuckDB-oracle pytest gate.
+# TIERING POLICY (round-10 decision, VERDICT r09 "Next round" #8): the
+# 50-row window is a DRIVER cap, not a repo choice, so it cannot be
+# raised.  Two tiers instead:
+#   - driver-rotated tier: every registry query participates in the
+#     50-slot rotation; priority = never-driver-checked registrations
+#     first, then the stalest cohort.  Net-new registrations per round
+#     are capped at (50 - stalest-cohort size) so the rotation always
+#     clears the entire stalest cohort — the freshness bound therefore
+#     grows with the registry as ceil(registry / ~46)+1 rounds (≈5 at
+#     250 queries), documented in COVERAGE.md.
+#   - pytest backstop tier: ALL registry queries hash-compare against
+#     their DuckDB oracles at sf0.01 every session (tests/test_*.py
+#     oracle gates) and at sf0.1 at each round close — out-of-window
+#     queries are never unverified, only un-refreshed in the driver
+#     artifact.
+#
+# ROUND-10 ROTATION (executes VERDICT r09 "Next round" #1):
+#   1. the full r06-stale cohort — all 46 registry queries whose newest
+#      driver row is CORRECTNESS_r06;
+#   2. round-10 registrations (never driver-checked) — exactly 4, the
+#      per-round cap above.
+# After this round no registry query's newest driver row predates r07.
 _CHECK_FIRST = [
-    # -- round-9 window: the 40 queries whose newest driver row is
-    #    CORRECTNESS_r05 (the stalest cohort after the r08 rotation)
-    "q_chi2_lang_source",
-    "q_cohort_ltv",
-    "q_concurrent_sessions",
-    "q_consistent_sample",
-    "q_copurchase_pairs",
-    "q_cusum_changepoint",
-    "q_dsir_weights",
-    "q_editdist_pairs",
-    "q_embedding_dim_audit",
-    "q_embedding_outliers",
-    "q_event_transitions",
-    "q_gini_revenue",
-    "q_hard_negatives",
-    "q_heaps_fit",
-    "q_hybrid_rrf",
-    "q_interarrival_stats",
-    "q_ks_test",
-    "q_leakage_safe_split",
-    "q_mannwhitney_u",
-    "q_matryoshka_recall",
-    "q_minhash_jaccard_est",
-    "q_mixture_weights",
-    "q_normalized_dedup",
-    "q_price_deciles",
-    "q_profile_lineitem",
-    "q_quality_calibration",
-    "q_robust_outliers_mad",
-    "q_setsim_prefix_join",
-    "q_sketch_stats",
-    "q_snapshot_diff",
-    "q_source_kl_divergence",
-    "q_source_overlap",
-    "q_spearman_qty_price",
-    "q_survival_km",
-    "q_time_to_convert",
-    "q_twap",
-    "q_user_state_history",
-    "q_winsorized_prices",
-    "q_yoy_growth",
-    "q_zipf_fit",
-    # -- round-9 registrations (never driver-checked)
-    "q_ewma_daily",
-    "q_psi_drift",
-    "q_partition_completeness",
-    "q_triangle_count",
-    "q_price_elasticity",
-    "q_simhash_neardup",
-    # -- oldest r06 cohort (alphabetical) fills the window to exactly 50
-    "q12_service_levels",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
+    # -- the 46 queries whose newest driver row is CORRECTNESS_r06
+    "q22_dormant_customers",
+    "q4_order_priority",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_ann_ivf_multiprobe",
+    "q_ann_recall",
+    "q_bpe_token_stats",
+    "q_chunk_overlap",
+    "q_contamination",
+    "q_crossdoc_spans",
+    "q_customer_pareto",
+    "q_doc_exact_dedup",
+    "q_doc_fingerprint",
+    "q_doc_prefix_dedup",
+    "q_doc_quality",
+    "q_doc_repetition",
+    "q_doc_rolling_hash",
+    "q_doc_stats",
+    "q_domain_cap",
+    "q_embedding_neardup",
+    "q_embedding_norms",
+    "q_events_hourly",
+    "q_events_json",
+    "q_events_outliers",
+    "q_events_retention",
+    "q_events_sessionize",
+    "q_events_sliding",
+    "q_gopher_rules",
+    "q_ivf_recall",
+    "q_key_skew_profile",
+    "q_kmeans_clusters",
+    "q_knn_batch",
+    "q_knn_bruteforce",
+    "q_label_centroids",
+    "q_lang_id",
+    "q_lexical_diversity",
+    "q_minhash_lsh_buckets",
+    "q_mixture_sample",
+    "q_pack_sequences",
+    "q_pq_topk",
+    "q_price_histogram",
+    "q_simhash",
+    "q_tfidf_top_term",
+    "q_token_histogram",
+    "q_unigram_logprob",
+    "q_vocab_coverage",
+    # -- round-10 registrations (never driver-checked)
+    "q_semantic_dedup_quality",
+    "q_doc_perplexity",
+    "q_ngram_novelty",
+    "q_lang_kappa",
 ]
 
 
