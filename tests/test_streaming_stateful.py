@@ -672,3 +672,75 @@ def test_running_ewma_edge_semantics(spark, tmp_path):
         ("multi", "2024-01-01 00:00:00"): (4.0, 4.0),
         ("multi", "2024-01-02 00:00:00"): (0.0, 3.0),
     }
+
+def test_ewma_drain_flush_completes_batch_parity(spark, sf_dir, tmp_path):
+    """Round-10 (VERDICT r09 #5): a drained AvailableNow run + the
+    ewma_drain_flush composition must equal batch q_ewma_daily on the
+    COMPLETE day set — including each type's final (open) day — while
+    the stateful operator's emit-on-close default stays unchanged."""
+    from ubparquet_spark.plans.events import q_ewma_daily
+    from ubparquet_spark.streaming.stateful import (
+        ewma_drain_flush,
+        running_ewma_daily,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ewmaf_src")
+    cut = "2024-01-15"
+    ev.filter(F.col("ts") < cut).coalesce(1).write.parquet(src)
+    ev.filter(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    (
+        running_ewma_daily(stream)
+        .writeStream.format("memory")
+        .queryName("ewmaf_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ewmaf_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    closed = spark.table("ewmaf_test")
+    full = ewma_drain_flush(closed, spark.read.parquet(src))
+    got = {
+        (r["event_type"], r["day"]): (r["rev"], r["ewma"])
+        for r in full.collect()
+    }
+    expected = {
+        (r["event_type"], r["day"]): (r["rev"], r["ewma"])
+        for r in q_ewma_daily(spark, sf_dir).collect()
+    }
+    assert got == expected  # bit-equal on the FULL day set
+
+
+def test_ewma_drain_flush_single_day_type(spark, tmp_path):
+    """A type whose whole history is one (never-closed) day flushes with
+    ewma = rev — the batch first-day rule — even though the drained
+    stream emitted nothing for it."""
+    from datetime import datetime
+
+    from ubparquet_spark.streaming.stateful import (
+        EWMA_OUTPUT_SCHEMA,
+        ewma_drain_flush,
+    )
+
+    t = datetime.fromisoformat
+    ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string"
+    )
+    source = spark.createDataFrame(
+        [
+            (1, t("2024-01-01 10:00:00"), 1, "solo", 10.0, "{}"),
+            (2, t("2024-01-01 11:00:00"), 1, "solo", 2.5, "{}"),
+        ],
+        ddl,
+    )
+    closed = spark.createDataFrame([], EWMA_OUTPUT_SCHEMA)
+    rows = ewma_drain_flush(closed, source).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["event_type"] == "solo" and r["rev"] == 12.5 and r["ewma"] == 12.5
