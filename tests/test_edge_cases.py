@@ -296,6 +296,84 @@ def test_unicode_corpus_full_oracle_parity(spark, tmp_path_factory):
     assert not failures, failures
 
 
+# Deep-unicode corpus (round 10, TWELFTH sweep — VERDICT r09 #4): the
+# multibyte axes the round-6 unicode corpus did not reach — NFC vs NFD
+# variants of the SAME word inside one document (byte-distinct tokens
+# that render identically), astral-plane code points (surrogate pairs in
+# UTF-16 engines), ZWJ/ZWNJ joiners inside tokens, mixed-script tokens,
+# Arabic-Indic digits next to ASCII digits, UPPERCASE Cyrillic (the
+# lower() path on non-Latin), and Latin ligatures. Probed primitives
+# (round-10 probe): length/substr/md5/split/regex ASCII classes agree
+# across engines on all of these; DuckDB levenshtein counts BYTES, which
+# round 10 pinned engine-wide by moving q_editdist_pairs to byte grain.
+# Case-folding special cases that GENUINELY diverge between Java and
+# utf8proc (word-final Greek sigma, U+0130 İ, upper-ß) are deliberately
+# excluded here and pinned by test_casefold_known_divergences below.
+_UNICODE_DEEP_TEXT = (
+    "CASE doc_id % 8"
+    " WHEN 0 THEN 'café menu café prix café'"       # NFC vs NFD
+    " WHEN 1 THEN '中文 分词 数据 管道 中文'"
+    " WHEN 2 THEN '\U0001d11e music \U0001d11e\U0001d11e notes \U0001f3b6'"
+    " WHEN 3 THEN '\U0001F468‍\U0001F469‍\U0001F467 family ab‌cd join ab‍cd'"
+    " WHEN 4 THEN 'abc中文def λcalc αβγ test'"
+    " WHEN 5 THEN '٠١٢٣ مرحبا 123 بالعالم'"
+    " WHEN 6 THEN 'ПРИВЕТ МИР ﬁsh ǅungla'"
+    " ELSE text END"
+)
+
+_UNICODE_DEEP_SQL = dict(
+    _DEGEN_SQL,
+    orders="SELECT * FROM src",
+    lineitem="SELECT * FROM src",
+    events="SELECT * FROM src",
+    embeddings="SELECT * FROM src",
+    documents=(
+        f"SELECT doc_id, CAST({_UNICODE_DEEP_TEXT} AS VARCHAR) AS text,"
+        f" lang, source,"
+        f" CAST(length({_UNICODE_DEEP_TEXT}) AS BIGINT) AS n_chars"
+        " FROM src"
+    ),
+)
+
+
+def test_unicode_deep_corpus_full_oracle_parity(spark, tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_unideep"))
+    failures = _oracle_parity_sweep(spark, dst, _UNICODE_DEEP_SQL)
+    assert not failures, failures
+
+
+def test_casefold_known_divergences(spark):
+    """Documented engine divergence (round-10 probe): Java (Spark) and
+    utf8proc (DuckDB) disagree on three case-folding special cases —
+    word-final Greek capital sigma (Java emits the contextual final form
+    'ς'), U+0130 LATIN CAPITAL I WITH DOT (Java lowers to 'i' + combining
+    dot, utf8proc to plain 'i'), and upper('ß') (Java 'SS', utf8proc
+    'ẞ').  No registered query's semantics depend on these code points —
+    the deep-unicode corpus excludes them BY POLICY — and this test pins
+    the divergence loudly: if an engine upgrade converges any case, it
+    fails, telling us to widen the sweep corpus instead."""
+    import duckdb
+
+    rows = [("ΒΙΒΛΙΟΣ",), ("İstanbul",), ("ß",)]
+    sdf = spark.createDataFrame(rows, "s string")
+    got_spark = [
+        (r.lo, r.up)
+        for r in sdf.selectExpr(
+            "lower(s) AS lo", "upper(s) AS up"
+        ).collect()
+    ]
+    got_duck = duckdb.sql(
+        "SELECT lower(s), upper(s) FROM (VALUES ('ΒΙΒΛΙΟΣ'), ('İstanbul'),"
+        " ('ß')) t(s)"
+    ).fetchall()
+    # final sigma: contextual in Java, plain in utf8proc
+    assert got_spark[0][0] == "βιβλιος" and got_duck[0][0] == "βιβλιοσ"
+    # dotted capital I: combining dot retained in Java, dropped by utf8proc
+    assert got_spark[1][0] == "i̇stanbul" and got_duck[1][0] == "istanbul"
+    # sharp s uppercases to SS in Java, to U+1E9E in utf8proc
+    assert got_spark[2][1] == "SS" and got_duck[2][1] == "ẞ"
+
+
 # Zero-vector corpus (round 6, fourth sweep): every 5th embedding is
 # all-zero (padding rows in a real feature store). First run threw ANSI
 # DIVIDE_BY_ZERO in ELEVEN queries — every inline cosine divided by
@@ -739,8 +817,15 @@ def test_widen_lattice():
     assert _widen("float", "double") == "double"
     assert _widen("bigint", "float") == "double"
     assert _widen("string", "string") == "string"
+    assert _widen("array<float>", "array<double>") == "array<double>"
+    assert _widen("array<int>", "array<bigint>") == "array<bigint>"
+    assert _widen("array<int>", "array<float>") == "array<double>"
     with pytest.raises(ValueError, match="cannot widen"):
         _widen("string", "bigint")
+    with pytest.raises(ValueError, match="cannot widen"):
+        _widen("array<string>", "array<bigint>")
+    with pytest.raises(ValueError, match="cannot widen"):
+        _widen("array<int>", "int")
 
 
 def test_value_sanity_on_nan_inf_corpus(spark, tmp_path_factory):
@@ -921,3 +1006,113 @@ def test_key_integrity_on_duplicate_row_corpus(spark, tmp_path_factory):
     assert by_t["documents"].n_dup_keys > 0
     assert by_t["customer"].n_dup_keys == 0
     assert by_t["embeddings"].n_dup_keys == 0
+
+def test_array_element_width_drift_loud_failure_and_repair(spark, tmp_path_factory):
+    """ARRAY element-width drift (list<float> vs list<double>, list<int>
+    vs list<bigint>) — for the reference's native tables this is the MOST
+    likely drift: its data model is exactly array<primitive> + ``_shape``
+    columns (``root2parquet.py:72-85``) read under ``mergeSchema``
+    (``larmatch_dataset.py:93``). Pin the same two-sided contract as
+    scalar width drift: (1) the stock S7 read fails LOUDLY, and (2)
+    io.read_parquet_widened widens the ELEMENT type through the same
+    lattice and reproduces DuckDB union_by_name on full content — then a
+    codec reshape round-trips through the widened read."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from ubparquet_spark import codec
+    from ubparquet_spark import io as uio
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_arraydrift"))
+    d = f"{dst}/embeddings.parquet"
+    os.makedirs(d)
+    build = duckdb.connect()
+    build.sql(
+        f"CREATE VIEW src AS SELECT *, row_number() OVER () AS _rid"
+        f" FROM '{src}/embeddings.parquet'"
+    )
+    # shard0: original float32 elements, INTEGER[] shape column
+    build.sql(
+        f"COPY (SELECT vec_id, embedding,"
+        f" [CAST(len(embedding) AS INTEGER)] AS embedding_shape, label"
+        f" FROM src WHERE _rid % 2 = 0)"
+        f" TO '{d}/part-00.parquet' (FORMAT PARQUET)"
+    )
+    # shard1: writer-upgrade drift — float64 elements, BIGINT[] shape
+    build.sql(
+        f"COPY (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,"
+        f" [len(embedding)] AS embedding_shape, label"
+        f" FROM src WHERE _rid % 2 = 1)"
+        f" TO '{d}/part-01.parquet' (FORMAT PARQUET)"
+    )
+    # (1) stock mergeSchema: loud failure, never a silently-corrupt merge
+    with pytest.raises(Exception, match="Failed to merge incompatible"):
+        spark.read.option("mergeSchema", "true").parquet(d).schema
+    # (2) repair path widens the ELEMENT types
+    got = uio.read_parquet_widened(spark, d)
+    dt = dict(got.dtypes)
+    assert dt["embedding"] == "array<double>"
+    assert dt["embedding_shape"] == "array<bigint>"
+
+    def rows(pdf):
+        out = []
+        for r in pdf.itertuples(index=False):
+            out.append(
+                tuple(
+                    tuple(np.round(np.asarray(v, dtype="float64"), 9))
+                    if isinstance(v, (list, np.ndarray))
+                    else v
+                    for v in r
+                )
+            )
+        return sorted(out)
+
+    oracle = build.sql(
+        f"SELECT * FROM read_parquet('{d}/*.parquet', union_by_name=true)"
+    ).df()
+    gp = got.toPandas()
+    assert list(sorted(gp.columns)) == list(sorted(oracle.columns))
+    assert rows(gp[sorted(gp.columns)]) == rows(oracle[sorted(oracle.columns)])
+    # codec round-trip through the widened read: flat + _shape -> ndarray
+    row = got.orderBy("vec_id").limit(1).collect()[0]
+    arr = codec.decode_ndarray(row.embedding, row.embedding_shape)
+    assert arr.shape == (len(row.embedding),)
+    assert np.allclose(arr, np.asarray(row.embedding))
+
+
+def test_widened_read_rejects_tz_aware_timestamp_drift(spark, tmp_path_factory):
+    """A tz-aware shard must NOT silently merge as timestamp_ntz — the
+    cast shifts values by session timezone, which is corruption, not
+    repair. read_parquet_widened keeps its loud-failure contract."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from ubparquet_spark import io as uio
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_tzdrift"))
+    d = f"{dst}/events.parquet"
+    os.makedirs(d)
+    build = duckdb.connect()
+    build.sql("SET TimeZone='UTC'")
+    build.sql(
+        f"CREATE VIEW src AS SELECT *, row_number() OVER () AS _rid"
+        f" FROM '{src}/events.parquet'"
+    )
+    build.sql(
+        f"COPY (SELECT event_id, ts, user_id FROM src WHERE _rid % 2 = 0)"
+        f" TO '{d}/part-00.parquet' (FORMAT PARQUET)"
+    )
+    build.sql(
+        f"COPY (SELECT event_id, CAST(ts AS TIMESTAMPTZ) AS ts, user_id"
+        f" FROM src WHERE _rid % 2 = 1)"
+        f" TO '{d}/part-01.parquet' (FORMAT PARQUET)"
+    )
+    with pytest.raises(ValueError, match="tz-aware"):
+        uio.read_parquet_widened(spark, d)

@@ -3069,6 +3069,16 @@ FROM r GROUP BY decile
 # block key: the distinct-name side is NOT broadcast-safe at corpus scale.
 # Blocks with zero qualifying pairs still appear (left join + coalesce 0,
 # the q_neighbor_degree convention).
+#
+# Distance grain is BYTES, pinned round 10 (twelfth sweep): DuckDB's
+# levenshtein counts UTF-8 bytes while Spark's counts code points, so the
+# two silently diverge on ANY multibyte input. The engine contract is
+# byte-grain edit distance — Spark runs levenshtein over a byte-isomorphic
+# ISO-8859-1 reinterpretation of the UTF-8 bytes (decode(encode(s,
+# 'UTF-8'), 'ISO-8859-1'): one code point per original byte), and both
+# length bands use byte length (octet_length / strlen), which keeps the
+# band a necessary condition in the SAME units as the distance.  Identical
+# to the old behaviour on ASCII corpora.
 # ---------------------------------------------------------------------------
 
 _EDITDIST_K = 2
@@ -3079,7 +3089,13 @@ def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = part.select("p_name").distinct().select(
         "p_name",
         F.element_at(F.split("p_name", " "), -1).alias("noun"),
-        F.length("p_name").alias("len"),
+        F.octet_length("p_name").alias("len"),
+        # byte-isomorphic view: one ISO-8859-1 code point per UTF-8 byte,
+        # so Spark's code-point levenshtein computes the BYTE distance
+        # DuckDB's levenshtein natively returns
+        F.expr("decode(encode(p_name, 'UTF-8'), 'ISO-8859-1')").alias(
+            "bname"
+        ),
     )
     a, b = names.alias("a"), names.alias("b")
     pairs = (
@@ -3089,7 +3105,7 @@ def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.p_name") < F.col("b.p_name"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= _EDITDIST_K)
             & (
-                F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+                F.levenshtein(F.col("a.bname"), F.col("b.bname"))
                 <= _EDITDIST_K
             ),
         )
@@ -3113,7 +3129,7 @@ def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_EDITDIST_PAIRS_SQL = f"""
 WITH parsed AS (
   SELECT p_name, string_split(p_name, ' ')[-1] AS noun,
-         length(p_name) AS len
+         strlen(p_name) AS len
   FROM (SELECT DISTINCT p_name FROM part)
 ), blocks AS (
   SELECT noun, COUNT(*) AS n_names FROM parsed GROUP BY noun
