@@ -29,11 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # raised.  Two tiers instead:
 #   - driver-rotated tier: every registry query participates in the
 #     50-slot rotation; priority = never-driver-checked registrations
-#     first, then the stalest cohort.  Net-new registrations per round
-#     are capped at (50 - stalest-cohort size) so the rotation always
-#     clears the entire stalest cohort — the freshness bound therefore
-#     grows with the registry as ceil(registry / ~46)+1 rounds (≈5 at
-#     250 queries), documented in COVERAGE.md.
+#     first, then the stalest cohort (oldest round first, alphabetical
+#     within a round; a partially-rotated cohort's remainder leads the
+#     next window).  Net-new registrations are capped at 6/round, which
+#     bounds the steady-state worst-case driver-row age at
+#     ceil(N / 44) + 1 rounds (≈6 at 250 queries) — see COVERAGE.md.
 #   - pytest backstop tier: ALL registry queries hash-compare against
 #     their DuckDB oracles at sf0.01 every session (tests/test_*.py
 #     oracle gates) and at sf0.1 at each round close — out-of-window

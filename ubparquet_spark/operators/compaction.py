@@ -1,0 +1,146 @@
+"""Small-file compaction planning — the table-maintenance operator a
+100 TB lake needs continuously.
+
+Streaming sinks, per-partition writers, and incremental CDC merges leave
+tables as thousands of undersized part files; every downstream scan then
+pays one task + one footer read + one open per file, and the NameNode /
+object-store listing itself becomes a bottleneck.  The standard remedy
+(Delta OPTIMIZE, Iceberg rewrite_data_files) is: group small files into
+~target-size output groups, rewrite each group as one file, leave
+already-big files alone.
+
+``plan_compaction`` is the PLANNER: given a file manifest (path, bytes —
+exactly what a ``LIST`` / ``input_file_name()`` pass produces), it assigns
+every under-target file to an output group such that
+
+- groups are filled size-DESCENDING first-fit-style (a deterministic
+  greedy cumulative-sum bin assignment: files sorted by (bytes DESC,
+  path), group = floor(running_bytes_before / target)), so every group
+  except possibly the last per partition-bucket is >= ~target/2 full and
+  no group exceeds target + one file;
+- files already >= ``target_bytes`` are passed through untouched
+  (``group = NULL``, ``action = 'keep'``) — rewriting a big file is pure
+  write amplification;
+- planning is per ``partition_cols`` bucket when given (files from
+  different hive partitions must not merge — their rows belong to
+  different directories).
+
+The planner is a DataFrame program (one ranked pass over the manifest —
+the manifest is file-grain, MILLIONS of rows at 100 TB, not billions, but
+still far too big for the driver), so it composes with any executor:
+``compact_parquet_dir`` applies a plan to a local directory by reading
+each group and rewriting it as one file (the local[32] twin of the
+cluster rewrite job; at scale you'd submit one job per group batch).
+
+Determinism: ties in size break on path, so the same manifest always
+yields the same plan — safe to re-run after a partial failure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def plan_compaction(
+    manifest: DataFrame,
+    target_bytes: int,
+    *,
+    path_col: str = "path",
+    size_col: str = "bytes",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """``manifest`` + (``action``, ``group``): ``action`` ∈ {'keep',
+    'rewrite'}; ``group`` is a 0-based output-group id per partition
+    bucket (NULL for kept files).
+
+    The greedy rule: within each partition bucket, order under-target
+    files by (bytes DESC, path) and put a file in
+    ``group = floor(cumulative_bytes_before_it / target_bytes)``.
+    Size-descending order gives the first-fit-decreasing flavour: big
+    fragments seed groups, slivers top them up, and every group's
+    content is <= target_bytes + (its first file) < 2 × target_bytes.
+    """
+    from ubparquet_spark.operators.ranks import blocked_cumsum
+
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    parts = list(partition_cols or [])
+    small = manifest.filter(F.col(size_col) < target_bytes)
+    big = manifest.filter(F.col(size_col) >= target_bytes).select(
+        *manifest.columns,
+        F.lit("keep").alias("action"),
+        F.lit(None).cast("long").alias("group"),
+    )
+    # blocked_cumsum orders ascending; cumulate on negated size so the
+    # walk is size-DESCENDING, path tie-break keeps the order total
+    # (order_cols must be unique — paths are).
+    ordered = small.withColumn("_negb", -F.col(size_col))
+    summed = blocked_cumsum(
+        ordered,
+        ["_negb", path_col],
+        {"_before": (size_col, "exclusive")},
+        part_cols=parts or None,
+    )
+    planned = summed.select(
+        *manifest.columns,
+        F.lit("rewrite").alias("action"),
+        F.floor(F.col("_before") / F.lit(int(target_bytes)))
+        .cast("long")
+        .alias("group"),
+    )
+    return big.unionByName(planned)
+
+
+def compaction_summary(plan: DataFrame, *, size_col: str = "bytes") -> DataFrame:
+    """Per-action rollup of a plan: files, bytes, output groups — the
+    numbers an operator reviews before paying for the rewrite."""
+    return plan.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(size_col).cast("long").alias("n_bytes"),
+        F.countDistinct("group").alias("n_groups"),
+    )
+
+
+def build_manifest(spark, directory: str) -> DataFrame:
+    """Local-FS manifest helper for tests/examples: (path, bytes) for the
+    parquet part files under ``directory``.  On a cluster the manifest
+    comes from the catalog / object-store listing instead."""
+    import os
+
+    rows = [
+        (os.path.join(directory, f), os.path.getsize(os.path.join(directory, f)))
+        for f in sorted(os.listdir(directory))
+        if f.endswith(".parquet")
+    ]
+    return spark.createDataFrame(rows, "path string, bytes long")
+
+
+def compact_parquet_dir(
+    spark, directory: str, target_bytes: int, *, out_dir: str
+) -> DataFrame:
+    """Apply a compaction plan to a local parquet directory: each rewrite
+    group becomes ONE output file (coalesce(1) per group read — the
+    local[32] twin of a cluster rewrite job); kept files are copied
+    through unchanged.  Returns the plan that was applied."""
+    import os
+    import shutil
+
+    plan = plan_compaction(build_manifest(spark, directory), target_bytes)
+    rows = plan.collect()  # file-grain and local-only by contract
+    os.makedirs(out_dir, exist_ok=True)
+    for r in rows:
+        if r["action"] == "keep":
+            shutil.copy(r["path"], os.path.join(out_dir, os.path.basename(r["path"])))
+    groups: dict[int, list[str]] = {}
+    for r in rows:
+        if r["action"] == "rewrite":
+            groups.setdefault(int(r["group"]), []).append(r["path"])
+    for gid, paths in sorted(groups.items()):
+        (
+            spark.read.parquet(*paths)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+    return plan
