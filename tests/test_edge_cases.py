@@ -1116,3 +1116,52 @@ def test_widened_read_rejects_tz_aware_timestamp_drift(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="tz-aware"):
         uio.read_parquet_widened(spark, d)
+
+def test_decimal_precision_drift_repair(spark, tmp_path_factory):
+    """DECIMAL precision drift at the same scale (decimal(12,2) vs
+    decimal(18,2) — a writer tightening or widening money columns)
+    repairs to the larger precision; SCALE drift stays unrepairable
+    (it would change the value grid) and fails loudly."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from ubparquet_spark import io as uio
+    from ubparquet_spark.io import _widen
+
+    assert _widen("decimal(12,2)", "decimal(18,2)") == "decimal(18,2)"
+    with pytest.raises(ValueError, match="cannot widen"):
+        _widen("decimal(18,2)", "decimal(18,4)")
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("sf_decdrift"))
+    d = f"{dst}/orders.parquet"
+    os.makedirs(d)
+    build = duckdb.connect()
+    build.sql(
+        f"CREATE VIEW src AS SELECT *, row_number() OVER () AS _rid"
+        f" FROM '{src}/orders.parquet'"
+    )
+    build.sql(
+        f"COPY (SELECT o_orderkey,"
+        f" CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM src"
+        f" WHERE _rid % 2 = 0 AND o_totalprice < 9999999999.99)"
+        f" TO '{d}/part-00.parquet' (FORMAT PARQUET)"
+    )
+    build.sql(
+        f"COPY (SELECT o_orderkey,"
+        f" CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM src"
+        f" WHERE _rid % 2 = 1)"
+        f" TO '{d}/part-01.parquet' (FORMAT PARQUET)"
+    )
+    got = uio.read_parquet_widened(spark, d)
+    assert dict(got.dtypes)["price"] == "decimal(18,2)"
+    oracle = build.sql(
+        f"SELECT SUM(price) AS s, COUNT(*) AS n FROM"
+        f" read_parquet('{d}/*.parquet', union_by_name=true)"
+    ).fetchone()
+    from pyspark.sql import functions as F
+
+    row = got.agg(F.sum("price").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    assert float(row["s"]) == float(oracle[0]) and row["n"] == oracle[1]

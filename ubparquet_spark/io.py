@@ -160,6 +160,15 @@ def _widen(a: str, b: str) -> str:
         return a
     if a.startswith("array<") and b.startswith("array<"):
         return f"array<{_widen(a[6:-1], b[6:-1])}>"
+    if a.startswith("decimal(") and b.startswith("decimal("):
+        # precision drift at the SAME scale widens to the larger
+        # precision (values are embeddable exactly); scale drift would
+        # change the value grid — unrepairable, falls through to raise
+        (pa, sa), (pb, sb) = (
+            tuple(int(x) for x in t[8:-1].split(",")) for t in (a, b)
+        )
+        if sa == sb and max(pa, pb) <= 38:
+            return f"decimal({max(pa, pb)},{sa})"
     if a in _INT_ORDER and b in _INT_ORDER:
         return _INT_ORDER[max(_INT_ORDER.index(a), _INT_ORDER.index(b))]
     if a in _FLOAT_ORDER and b in _FLOAT_ORDER:
@@ -234,8 +243,9 @@ def read_parquet_widened(spark: SparkSession, path: str) -> DataFrame:
         m = re.fullmatch(r"(?:large_)?list<\w+: (.+)>", arrow)
         if m:
             return f"array<{sql_type(m.group(1))}>"
-        if arrow.startswith("decimal"):
-            return arrow  # decimal(p,s) spells identically
+        m = re.fullmatch(r"decimal(?:128|256)\((\d+), ?(\d+)\)", arrow)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
         raise ValueError(f"unmapped arrow type in drift repair: {arrow}")
 
     # canonical column order = first appearance across sorted files

@@ -2867,6 +2867,128 @@ FROM trailed
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend (ROUND-11 REGISTRATION CANDIDATE — implemented
+# and oracle-tested in round 10, deliberately NOT in QUERIES yet: the
+# round-10 registration budget went to the four queries above; register
+# next round by adding the QUERIES entry + _CHECK_FIRST slot + shuffle
+# budget).  The median-of-pairwise-slopes estimator over the daily
+# revenue series — the robust alternative to OLS when level shifts /
+# outlier days would drag a least-squares line (29% breakdown point).
+#
+# Scale shape: ONE day-grain shuffle builds the ≤366-row/  (or N-day)
+# daily artifact (localCheckpointed — three consumers); pairwise slopes
+# are a self-join over that BOUNDED artifact (D(D−1)/2 ≤ ~67k pairs at a
+# year), never over raw events.  Medians are exact order statistics by
+# rank arithmetic: every slope is ONE integer-ratio double division
+# (identical across engines), the lo/hi ranks are integers, and an
+# even-count median averages two such doubles — bit-stable end to end;
+# outputs rounded 6 dp as usual.
+# ---------------------------------------------------------------------------
+
+
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = (
+        ev.select(
+            F.datediff(
+                F.date_trunc("DAY", F.col("ts")), F.lit("1970-01-01")
+            ).alias("d"),
+            cents("value").alias("vc"),
+        )
+        .groupBy("d")
+        .agg(F.coalesce(F.sum("vc"), F.lit(0)).alias("rc"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        (
+            (F.col("b.rc") - F.col("a.rc")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("s")
+    )
+
+    def _median(df: DataFrame, col: str) -> DataFrame:
+        """Exact multiset median of a BOUNDED artifact column: global
+        order statistics via one window over the artifact (allowlisted
+        shape — the input is ≤ D² rows by construction)."""
+        w = Window.orderBy(col)
+        ranked = df.select(
+            F.col(col), F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("m"),
+        )
+        # lo = floor((m+1)/2), hi = floor(m/2)+1: equal when m is odd
+        # (one row selected), adjacent when even (two rows averaged)
+        return ranked.filter(
+            F.expr("rn = (m + 1) div 2 OR rn = m div 2 + 1")
+        ).agg((F.sum(col) / F.count(F.lit(1))).alias("med"))
+
+    slope = _median(slopes, "s").select(F.col("med").alias("slope"))
+    resid = daily.crossJoin(F.broadcast(slope)).select(
+        (
+            F.col("rc").cast("double") / 100.0
+            - F.col("slope") * F.col("d").cast("double") / 100.0
+        ).alias("r"),
+        "slope",
+    )
+    intercept = (
+        _median(resid.select("r"), "r")
+        .select(F.col("med").alias("intercept"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("n_pairs"),
+    )
+    return (
+        stats.crossJoin(slope)
+        .crossJoin(intercept)
+        .select(
+            "n_days",
+            "n_pairs",
+            roundn(F.col("slope") / 100.0, 6).alias("slope_rev_per_day"),
+            roundn(F.col("intercept"), 6).alias("intercept_rev"),
+        )
+    )
+
+
+Q_THEILSEN_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', date_trunc('day', ts)) AS d,
+         COALESCE(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)), 0) AS rc
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), slopes AS (
+  SELECT CAST(b.rc - a.rc AS DOUBLE) / (b.d - a.d) AS s
+  FROM daily a JOIN daily b ON a.d < b.d
+), sranked AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, COUNT(*) OVER () AS m
+  FROM slopes
+), slope AS (
+  SELECT SUM(s) / COUNT(*) AS slope FROM sranked
+  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+), resid AS (
+  SELECT CAST(rc AS DOUBLE) / 100.0 - slope * d / 100.0 AS r
+  FROM daily CROSS JOIN slope
+), rranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn, COUNT(*) OVER () AS m
+  FROM resid
+), icept AS (
+  SELECT SUM(r) / COUNT(*) AS intercept FROM rranked
+  WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+)
+SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+       CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+       FLOOR((slope / 100.0) * 1000000 + 0.5) / 1000000 AS slope_rev_per_day,
+       FLOOR(intercept * 1000000 + 0.5) / 1000000 AS intercept_rev
+FROM slope CROSS JOIN icept
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_ewma_daily": (q_ewma_daily, Q_EWMA_SQL),
     "q_psi_drift": (q_psi_drift, Q_PSI_SQL),

@@ -3908,6 +3908,122 @@ FROM d
 Q_ELASTICITY_SQL = _elasticity_sql()
 
 
+# ---------------------------------------------------------------------------
+# Kendall's tau-b (ROUND-11 REGISTRATION CANDIDATE — implemented and
+# oracle-tested in round 10, deliberately NOT in QUERIES yet; the
+# round-10 registration budget was spent.  Register next round with a
+# QUERIES entry + _CHECK_FIRST slot + shuffle budget.)
+#
+# The tie-corrected rank-concordance coefficient between l_quantity and
+# l_discount — the companion to q_spearman_qty_price when the analyst
+# wants pair-concordance semantics. A naive Kendall is O(n²) over ROWS;
+# here it is exact from the JOINT FREQUENCY GRID: quantity × discount
+# has a bounded value domain (50 × 11 cells on TPC-H), so
+#   P (concordant) = Σ_{a.x<b.x, a.y<b.y} f_a·f_b,
+#   Q (discordant) = Σ_{a.x<b.x, a.y>b.y} f_a·f_b,
+# computed by ONE self-join over the ≤|X|·|Y|-row cell artifact — never
+# over raw rows.  Tie terms n1/n2 come from the marginals.  All mass
+# arithmetic is exact decimal(38,0)/HUGEINT (counts are ~n², far past
+# bigint at 100 TB — CAST BEFORE the multiply, the established rule);
+# the final tau divides doubles once, bit-stable.  Scale: one (x, y)
+# shuffle + a bounded-artifact join, identical to the Spearman plan's
+# budget class.
+# ---------------------------------------------------------------------------
+
+
+def q_kendall_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+    )
+    cells = (
+        li.select(
+            cents("l_quantity").alias("x"), cents("l_discount").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("f"))
+        .localCheckpoint()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pq = a.join(b, F.col("a.x") < F.col("b.x")).agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.y") < F.col("b.y"), F.col("a.f") * F.col("b.f")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("p"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.y") > F.col("b.y"), F.col("a.f") * F.col("b.f")
+                )
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("q"),
+    )
+    n_row = cells.agg(F.sum("f").alias("n"))
+    t1 = (
+        cells.groupBy("x")
+        .agg(F.sum("f").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("t1x2"))
+    )
+    t2 = (
+        cells.groupBy("y")
+        .agg(F.sum("f").alias("u"))
+        .agg(F.sum(F.col("u") * (F.col("u") - 1)).alias("t2x2"))
+    )
+    out = n_row.crossJoin(pq).crossJoin(t1).crossJoin(t2)
+    nd = F.col("n").cast("double")
+    n0x2 = nd * (nd - 1.0)  # 2·n0
+    denom = F.sqrt(n0x2 - F.col("t1x2").cast("double")) * F.sqrt(
+        n0x2 - F.col("t2x2").cast("double")
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("p").cast("double").alias("concordant"),
+        F.col("q").cast("double").alias("discordant"),
+        roundn(
+            F.try_divide(
+                2.0 * (F.col("p") - F.col("q")).cast("double"), denom
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+Q_KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS y,
+         CAST(COUNT(*) AS HUGEINT) AS f
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+  GROUP BY 1, 2
+), pq AS (
+  SELECT COALESCE(SUM(CASE WHEN a.y < b.y THEN a.f * b.f END), 0) AS p,
+         COALESCE(SUM(CASE WHEN a.y > b.y THEN a.f * b.f END), 0) AS q
+  FROM cells a JOIN cells b ON a.x < b.x
+), nn AS (
+  SELECT SUM(f) AS n FROM cells
+), t1 AS (
+  SELECT SUM(t * (t - 1)) AS t1x2
+  FROM (SELECT SUM(f) AS t FROM cells GROUP BY x)
+), t2 AS (
+  SELECT SUM(u * (u - 1)) AS t2x2
+  FROM (SELECT SUM(f) AS u FROM cells GROUP BY y)
+)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(p AS DOUBLE) AS concordant,
+       CAST(q AS DOUBLE) AS discordant,
+       FLOOR((2.0 * CAST(p - q AS DOUBLE)
+              / (SQRT(CAST(n AS DOUBLE) * (n - 1) - CAST(t1x2 AS DOUBLE))
+                 * SQRT(CAST(n AS DOUBLE) * (n - 1) - CAST(t2x2 AS DOUBLE))))
+             * 1000000 + 0.5) / 1000000 AS tau_b
+FROM nn CROSS JOIN pq CROSS JOIN t1 CROSS JOIN t2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_triangle_count": (q_triangle_count, Q_TRIANGLE_SQL),
     "q_price_elasticity": (q_price_elasticity, Q_ELASTICITY_SQL),
