@@ -1,5 +1,5 @@
-"""Small-file compaction planner: plan properties, determinism, and the
-apply path (content-preserving rewrite into ~target-size files)."""
+"""Small-file compaction planner: plan properties, determinism,
+idempotence, and the apply path (content-preserving rewrite)."""
 
 from __future__ import annotations
 
@@ -15,6 +15,7 @@ from ubparquet_spark.operators.compaction import (
 )
 
 TARGET = 1000
+MIN = (3 * TARGET) // 4  # the default keep threshold
 
 
 def _manifest(spark, sizes, parts=None):
@@ -25,26 +26,23 @@ def _manifest(spark, sizes, parts=None):
     return spark.createDataFrame(rows, "path string, bytes long, pkey string")
 
 
-def _check_plan(rows, sizes_by_path, target):
+def _check_plan(rows, sizes_by_path, target, min_bytes, n_buckets=1):
     """The planner's contract, checked exhaustively on a collected plan."""
     groups: dict = {}
     for r in rows:
+        bucket = r["pkey"] if "pkey" in r.__fields__ else None
         if r["action"] == "keep":
-            assert sizes_by_path[r["path"]] >= target
             assert r["group"] is None
         else:
-            assert sizes_by_path[r["path"]] < target
-            key = (r["pkey"] if "pkey" in r.__fields__ else None, r["group"])
-            groups.setdefault(key, []).append(sizes_by_path[r["path"]])
-    for (_, gid), sizes in groups.items():
-        # no group exceeds target + its largest member (< 2x target)
+            assert sizes_by_path[r["path"]] < min_bytes
+            assert r["group"] is not None
+            groups.setdefault((bucket, r["group"]), []).append(
+                sizes_by_path[r["path"]]
+            )
+    for sizes in groups.values():
+        assert len(sizes) >= 2  # singleton groups are demoted to keep
+        # no group exceeds target + its largest member
         assert sum(sizes) < target + max(sizes)
-    # group ids are dense from 0 per partition bucket
-    by_bucket: dict = {}
-    for (bucket, gid), _ in groups.items():
-        by_bucket.setdefault(bucket, set()).add(gid)
-    for gids in by_bucket.values():
-        assert gids == set(range(len(gids)))
 
 
 def test_plan_properties_and_determinism(spark):
@@ -54,35 +52,61 @@ def test_plan_properties_and_determinism(spark):
     plan1 = plan_compaction(m, TARGET).collect()
     plan2 = plan_compaction(m, TARGET).collect()
     sizes_by_path = {f"f{i:04d}": s for i, s in enumerate(sizes)}
-    _check_plan(plan1, sizes_by_path, TARGET)
+    _check_plan(plan1, sizes_by_path, TARGET, MIN)
     assert sorted(map(tuple, plan1)) == sorted(map(tuple, plan2))
     # every file appears exactly once
     assert sorted(r["path"] for r in plan1) == sorted(sizes_by_path)
-    # all small-file bytes land in rewrite groups; kept bytes untouched
-    total_small = sum(s for s in sizes if s < TARGET)
-    assert (
-        sum(sizes_by_path[r["path"]] for r in plan1 if r["action"] == "rewrite")
-        == total_small
-    )
+    # healthy files (>= min) are always kept
+    for r in plan1:
+        if sizes_by_path[r["path"]] >= MIN:
+            assert r["action"] == "keep"
+
+
+def test_maintenance_loop_converges(spark):
+    """The fixpoint contract: every applied pass merges >= 2 files per
+    group, so the file count strictly decreases until the plan is empty
+    (single-pass idempotence is NOT promised; convergence is)."""
+    rng = random.Random(13)
+    sizes = {f"f{i:04d}": rng.randrange(1, 900) for i in range(150)}
+    passes = 0
+    while True:
+        plan = plan_compaction(
+            _manifest(spark, [sizes[k] for k in sorted(sizes)]), TARGET
+        ).collect()
+        relabel = {f"f{i:04d}": k for i, k in enumerate(sorted(sizes))}
+        rewrites = [r for r in plan if r["action"] == "rewrite"]
+        if not rewrites:
+            break
+        passes += 1
+        assert passes <= 8, "maintenance loop failed to converge"
+        nxt = {}
+        for r in plan:
+            s_ = sizes[relabel[r["path"]]]
+            if r["action"] == "keep":
+                nxt[f"k{passes}_{relabel[r['path']]}"] = s_
+            else:
+                key = f"g{passes}_{r['group']:04d}"
+                nxt[key] = nxt.get(key, 0) + s_
+        assert len(nxt) < len(sizes)  # strictly fewer files each pass
+        sizes = nxt
+    assert passes >= 1
 
 
 def test_plan_respects_partition_buckets(spark):
     sizes = [100, 200, 300, 400, 1500, 250]
     parts = ["a", "a", "b", "b", "a", "b"]
     m = _manifest(spark, sizes, parts)
-    plan = plan_compaction(
-        m, TARGET, partition_cols=["pkey"]
-    ).collect()
+    plan = plan_compaction(m, TARGET, partition_cols=["pkey"]).collect()
     sizes_by_path = {f"f{i:04d}": s for i, s in enumerate(sizes)}
-    _check_plan(plan, sizes_by_path, TARGET)
-    # files from different hive partitions never share a group id WITHIN
-    # the same bucket key (group ids are per-bucket, so the pair
-    # (pkey, group) is the output unit)
+    _check_plan(plan, sizes_by_path, TARGET, MIN, n_buckets=2)
     seen = {}
     for r in plan:
         if r["action"] == "rewrite":
             seen.setdefault((r["pkey"], r["group"]), []).append(r["path"])
+    # small files merged within their own hive partition, never across
     assert ("a", 0) in seen and ("b", 0) in seen
+    assert sorted(seen[("a", 0)]) == ["f0000", "f0001"]
+    assert sorted(seen[("b", 0)]) == ["f0002", "f0003", "f0005"]
 
 
 def test_summary_counts(spark):
@@ -98,22 +122,20 @@ def test_summary_counts(spark):
 
 
 def test_compact_parquet_dir_preserves_content(spark, tmp_path):
-    """Apply path: fragmented directory -> fewer files, identical rows."""
+    """Apply path: fragmented directory -> fewer files, identical rows,
+    and the maintenance loop converges (re-plan finds no rewrites)."""
     src = str(tmp_path / "frag")
     out = str(tmp_path / "compacted")
     df = spark.range(0, 5000).select(
         F.col("id"), (F.col("id") * 2).alias("v")
     )
-    # 25 small shards
     df.repartition(25).write.parquet(src)
     import os
 
     n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
     manifest = build_manifest(spark, src)
     assert manifest.count() == n_before
-    target = int(
-        manifest.agg(F.sum("bytes")).collect()[0][0] // 3
-    )  # aim for ~3-4 output files
+    target = int(manifest.agg(F.sum("bytes")).collect()[0][0] // 3) + 1
     compact_parquet_dir(spark, src, target, out_dir=out)
     n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
     assert n_after < n_before
@@ -121,6 +143,16 @@ def test_compact_parquet_dir_preserves_content(spark, tmp_path):
     assert got.count() == 5000
     assert got.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
     assert got.select(F.countDistinct("id")).collect()[0][0] == 5000
+    # convergence in the applied loop: any remaining rewrite group must
+    # hold >= 2 files, so one more pass would strictly reduce the count
+    replan = plan_compaction(build_manifest(spark, out), target)
+    regroups = (
+        replan.filter(F.col("action") == "rewrite")
+        .groupBy("group")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] >= 2 for r in regroups)
 
 
 def test_invalid_target_raises(spark):
@@ -129,3 +161,5 @@ def test_invalid_target_raises(spark):
     m = _manifest(spark, [10, 20])
     with pytest.raises(ValueError, match="target_bytes"):
         plan_compaction(m, 0)
+    with pytest.raises(ValueError, match="min_bytes"):
+        plan_compaction(m, 100, min_bytes=200)

@@ -38,7 +38,7 @@ yields the same plan — safe to re-run after a partial failure.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,25 +49,45 @@ def plan_compaction(
     path_col: str = "path",
     size_col: str = "bytes",
     partition_cols: list[str] | None = None,
+    min_bytes: int | None = None,
 ) -> DataFrame:
     """``manifest`` + (``action``, ``group``): ``action`` ∈ {'keep',
     'rewrite'}; ``group`` is a 0-based output-group id per partition
     bucket (NULL for kept files).
 
-    The greedy rule: within each partition bucket, order under-target
+    Files of at least ``min_bytes`` (default ¾ × target, the Iceberg
+    rewrite convention) are healthy and kept — compaction OUTPUT lands
+    around target, so the keep threshold must sit below target or every
+    maintenance cycle would rewrite the previous cycle's output forever.
+    A rewrite group that would contain exactly ONE file is demoted to
+    'keep' (rewriting a lone file achieves nothing).  With both rules
+    the maintenance loop CONVERGES: every applied pass merges >= 2 files
+    per group, so the file count strictly decreases until no multi-file
+    group remains and the plan is empty — the same fixpoint contract as
+    Iceberg/Delta bin-packing (single-pass idempotence is not guaranteed
+    for adversarial size distributions; a group can land under
+    ``min_bytes`` and merge once more next pass).
+
+    The greedy rule: within each partition bucket, order under-threshold
     files by (bytes DESC, path) and put a file in
     ``group = floor(cumulative_bytes_before_it / target_bytes)``.
     Size-descending order gives the first-fit-decreasing flavour: big
     fragments seed groups, slivers top them up, and every group's
-    content is <= target_bytes + (its first file) < 2 × target_bytes.
+    content is <= target_bytes + (its first file).
     """
     from ubparquet_spark.operators.ranks import blocked_cumsum
 
     if target_bytes <= 0:
         raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    if min_bytes is None:
+        min_bytes = (3 * target_bytes) // 4
+    if not (0 < min_bytes <= target_bytes):
+        raise ValueError(
+            f"min_bytes must be in (0, target_bytes], got {min_bytes}"
+        )
     parts = list(partition_cols or [])
-    small = manifest.filter(F.col(size_col) < target_bytes)
-    big = manifest.filter(F.col(size_col) >= target_bytes).select(
+    small = manifest.filter(F.col(size_col) < min_bytes)
+    big = manifest.filter(F.col(size_col) >= min_bytes).select(
         *manifest.columns,
         F.lit("keep").alias("action"),
         F.lit(None).cast("long").alias("group"),
@@ -82,12 +102,22 @@ def plan_compaction(
         {"_before": (size_col, "exclusive")},
         part_cols=parts or None,
     )
-    planned = summed.select(
+    grouped = summed.withColumn(
+        "_g",
+        F.floor(F.col("_before") / F.lit(int(target_bytes))).cast("long"),
+    )
+    # demote singleton groups: count over the (bucket, group) key — a
+    # window over the already-bounded plan artifact, <= files-per-group
+    # rows per partition
+    wg = Window.partitionBy(*parts, "_g")
+    planned = grouped.withColumn(
+        "_gn", F.count(F.lit(1)).over(wg)
+    ).select(
         *manifest.columns,
-        F.lit("rewrite").alias("action"),
-        F.floor(F.col("_before") / F.lit(int(target_bytes)))
-        .cast("long")
-        .alias("group"),
+        F.when(F.col("_gn") > 1, F.lit("rewrite"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(F.col("_gn") > 1, F.col("_g")).alias("group"),
     )
     return big.unionByName(planned)
 
