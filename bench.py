@@ -115,7 +115,11 @@ def main() -> None:
     # Persist the COMPLETE artifact in-repo so round-over-round per-query
     # diffs never depend on scraping prose (set SPARK_GRAFT_BENCHFULL to
     # override the path, or to an empty string to skip the write).
-    full_path = os.environ.get("SPARK_GRAFT_BENCHFULL", "BENCHFULL_latest.json")
+    # Only auto-persist at the canonical freeze scale: a quick sf0.01
+    # functional run must not clobber the sf0.1 drift baseline (an
+    # explicit SPARK_GRAFT_BENCHFULL still writes wherever it points).
+    default_path = "BENCHFULL_latest.json" if sf == "0.1" else ""
+    full_path = os.environ.get("SPARK_GRAFT_BENCHFULL", default_path)
     if full_path:
         try:
             with open(full_path, "w") as f:
