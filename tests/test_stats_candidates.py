@@ -109,3 +109,44 @@ def test_kendall_degenerate_all_tied(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
     got = q_kendall_qty_disc(spark, d).collect()[0]
     assert got["tau_b"] is None
+
+
+def test_theil_index_matches_oracle_and_numpy(spark, sf_dir):
+    from ubparquet_spark.plans.tpch import Q_THEIL_INDEX_SQL, q_theil_index
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    got = q_theil_index(spark, sf_dir).toPandas()
+    want = con.sql(Q_THEIL_INDEX_SQL).df()
+    assert _vhash(got) == _vhash(want)
+    # independent numpy check (unquantized ln; 1e-12 grain is far below
+    # the 1e-6 assertion tolerance)
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    xc = (
+        np.floor(orders.o_totalprice * 100 + 0.5)
+        .groupby(orders.o_custkey)
+        .sum()
+        .to_numpy()
+    )
+    xc = xc[xc > 0].astype("float64")
+    mu = xc.mean()
+    t = float(np.mean((xc / mu) * np.log(xc / mu)))
+    row = got.iloc[0]
+    assert row["n_customers"] == len(xc)
+    assert abs(row["theil_t"] - t) < 1e-6
+    assert 0.0 <= row["theil_t"] <= np.log(len(xc))
+
+
+def test_theil_index_equality_is_zero(spark, tmp_path):
+    """All-equal revenues -> T = 0 exactly after rounding."""
+    df = spark.createDataFrame(
+        [(i, 100.0) for i in range(20)], "o_custkey long, o_totalprice double"
+    )
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    from ubparquet_spark.plans.tpch import q_theil_index
+
+    row = q_theil_index(spark, d).collect()[0]
+    assert row["n_customers"] == 20 and row["theil_t"] == 0.0

@@ -4024,6 +4024,82 @@ FROM nn CROSS JOIN pq CROSS JOIN t1 CROSS JOIN t2
 """
 
 
+# ---------------------------------------------------------------------------
+# Theil T inequality index (ROUND-11 REGISTRATION CANDIDATE — implemented
+# and oracle-tested in round 10, NOT registered; see q_kendall_qty_disc).
+#
+# The information-theoretic companion to q_gini_revenue:
+#   T = (1/n) Σ (x_i/μ)·ln(x_i/μ),  0 = perfect equality, ln(n) = one
+# customer owns everything.  Unlike Gini it decomposes additively across
+# subgroups, which is why monitoring pipelines report both.
+#
+# Exactness: expand T = (Σ x_i·ln x_i)/S + ln n − ln S (scale-invariant,
+# so x in exact cents).  The ONLY per-row transcendental, ln(x_i), is
+# quantized to an integer at 1e-12 grain (the q_price_elasticity rule)
+# and Σ x_i·L_i accumulates in decimal(38,0)/HUGEINT — order-independent
+# under any partial-agg layout; ln(n) and ln(S) are single-row calls.
+# Zero-revenue customers contribute 0·ln 0 = 0 (excluded identically in
+# both engines).  Scale: ONE customer-grain shuffle + a 1-row reduce.
+# ---------------------------------------------------------------------------
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("xc"))
+        .filter(F.col("xc") > 0)
+    )
+    terms = rev.select(
+        "xc",
+        # integer-quantized ln(x): floor(ln(xc)·1e12 + 0.5) as bigint
+        F.expr("CAST(floor(ln(CAST(xc AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)")
+        .alias("lq"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("xc").cast("decimal(38,0)") * F.col("lq").cast("decimal(38,0)")
+        ).alias("sxl"),
+    )
+    t = (
+        F.col("sxl").cast("double") / 1e12 / F.col("s").cast("double")
+        + F.log(F.col("n").cast("double"))
+        - F.log(F.col("s").cast("double"))
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        (F.col("s").cast("double") / 100.0).alias("total_rev"),
+        roundn(t, 6).alias("theil_t"),
+    )
+
+
+Q_THEIL_INDEX_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS xc
+  FROM orders GROUP BY 1
+), terms AS (
+  SELECT xc,
+         CAST(FLOOR(ln(CAST(xc AS DOUBLE)) * 1e12 + 0.5) AS BIGINT) AS lq
+  FROM rev WHERE xc > 0
+), agg AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(xc AS HUGEINT)) AS s,
+         SUM(CAST(xc AS HUGEINT) * lq) AS sxl
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       CAST(s AS DOUBLE) / 100.0 AS total_rev,
+       FLOOR((CAST(sxl AS DOUBLE) / 1e12 / CAST(s AS DOUBLE)
+              + ln(NULLIF(CAST(n AS DOUBLE), 0))
+              - ln(CAST(s AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000 AS theil_t
+FROM agg
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "q_triangle_count": (q_triangle_count, Q_TRIANGLE_SQL),
     "q_price_elasticity": (q_price_elasticity, Q_ELASTICITY_SQL),
