@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     within a round; a partially-rotated cohort's remainder leads the
 #     next window).  Net-new registrations are capped at 6/round, which
 #     bounds the steady-state worst-case driver-row age at
-#     ceil(N / 44) + 1 rounds (≈6 at 250 queries) — see COVERAGE.md.
+#     ceil(N / 44) rounds (≈6 at 250 queries, ≈5 at 200) — see
+#     COVERAGE.md.
 #   - pytest backstop tier: ALL registry queries hash-compare against
 #     their DuckDB oracles at sf0.01 every session (tests/test_*.py
 #     oracle gates) and at sf0.1 at each round close — out-of-window

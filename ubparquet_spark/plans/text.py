@@ -5024,9 +5024,20 @@ def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chance agreement: sum over classes of row-marginal * col-marginal
     rows = conf.groupBy("lang").agg(F.sum("n").alias("rn"))
     cols = conf.groupBy("pred_lang").agg(F.sum("n").alias("cn"))
+    # CAST-before-multiply (repo decimal rule, cf. q_kendall_qty_disc):
+    # marginal products are ~n² and overflow BIGINT at corpus scale,
+    # where non-ANSI Spark wraps silently while DuckDB raises.
     pe_num = (
         rows.join(cols, rows.lang == cols.pred_lang, "inner")
-        .agg(F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0)).alias("pe_num"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("rn").cast("decimal(38,0)")
+                    * F.col("cn").cast("decimal(38,0)")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("pe_num")
+        )
     )
     out = n_total.crossJoin(diag).crossJoin(pe_num)
     po = F.col("n_agree").cast("double") / F.col("n_total")
@@ -5063,7 +5074,7 @@ WITH scored AS (
 ), diag AS (
   SELECT COALESCE(SUM(n), 0) AS n_agree FROM conf WHERE lang = pred_lang
 ), pe AS (
-  SELECT COALESCE(SUM(r.rn * c.cn), 0) AS pe_num
+  SELECT COALESCE(SUM(CAST(r.rn AS HUGEINT) * CAST(c.cn AS HUGEINT)), 0) AS pe_num
   FROM (SELECT lang, SUM(n) AS rn FROM conf GROUP BY lang) r
   JOIN (SELECT pred_lang, SUM(n) AS cn FROM conf GROUP BY pred_lang) c
     ON r.lang = c.pred_lang
