@@ -41,65 +41,69 @@ def entry(spark: SparkSession) -> DataFrame:
 #     queries are never unverified, only un-refreshed in the driver
 #     artifact.
 #
-# ROUND-10 ROTATION (executes VERDICT r09 "Next round" #1):
-#   1. the full r06-stale cohort — all 46 registry queries whose newest
-#      driver row is CORRECTNESS_r06;
-#   2. round-10 registrations (never driver-checked) — exactly 4, the
-#      per-round cap above.
-# After this round no registry query's newest driver row predates r07.
+# ROUND-11 ROTATION (executes VERDICT r10 "Next round" #1):
+#   1. round-11 registrations (never driver-checked) — exactly 4, inside
+#      the 6/round cap: the incremental SemDeDup decision plus the three
+#      statistics candidates staged in round 10;
+#   2. the first 46 (alphabetical) of the 50-query r07-stale cohort —
+#      the remainder (q_value_sanity, q_volume_anomaly, q_weighted_sample,
+#      q_zorder_cells) leads the round-12 window per the partial-cohort
+#      rule above.
+# After this round no registry query's newest driver row predates r08
+# except that 4-query remainder.
 _CHECK_FIRST = [
-    # -- the 46 queries whose newest driver row is CORRECTNESS_r06
-    "q22_dormant_customers",
-    "q4_order_priority",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_ann_ivf_multiprobe",
-    "q_ann_recall",
-    "q_bpe_token_stats",
-    "q_chunk_overlap",
-    "q_contamination",
-    "q_crossdoc_spans",
-    "q_customer_pareto",
-    "q_doc_exact_dedup",
-    "q_doc_fingerprint",
-    "q_doc_prefix_dedup",
-    "q_doc_quality",
-    "q_doc_repetition",
-    "q_doc_rolling_hash",
-    "q_doc_stats",
-    "q_domain_cap",
-    "q_embedding_neardup",
-    "q_embedding_norms",
-    "q_events_hourly",
-    "q_events_json",
-    "q_events_outliers",
-    "q_events_retention",
-    "q_events_sessionize",
-    "q_events_sliding",
-    "q_gopher_rules",
-    "q_ivf_recall",
-    "q_key_skew_profile",
-    "q_kmeans_clusters",
-    "q_knn_batch",
-    "q_knn_bruteforce",
-    "q_label_centroids",
-    "q_lang_id",
-    "q_lexical_diversity",
-    "q_minhash_lsh_buckets",
-    "q_mixture_sample",
-    "q_pack_sequences",
-    "q_pq_topk",
-    "q_price_histogram",
-    "q_simhash",
-    "q_tfidf_top_term",
-    "q_token_histogram",
-    "q_unigram_logprob",
-    "q_vocab_coverage",
-    # -- round-10 registrations (never driver-checked)
-    "q_semantic_dedup_quality",
-    "q_doc_perplexity",
-    "q_ngram_novelty",
-    "q_lang_kappa",
+    # -- round-11 registrations (never driver-checked)
+    "q_incremental_semdedup",
+    "q_theilsen_trend",
+    "q_kendall_qty_disc",
+    "q_theil_index",
+    # -- the first 46 of the 50 queries whose newest driver row is r07
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_order_count_histogram",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q18_large_volume_orders",
+    "q19_disjunctive",
+    "q1_pricing_summary",
+    "q2_min_cost_parts",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q_above_avg_balance",
+    "q_asof_prev_click",
+    "q_bigram_pmi",
+    "q_boilerplate_shingles",
+    "q_cube_orders",
+    "q_dau_mau",
+    "q_dedup_cluster_sizes",
+    "q_doc_dedup_decisions",
+    "q_doc_embedding",
+    "q_events_time_rollup",
+    "q_events_user_mode",
+    "q_events_voxelize",
+    "q_exact_quantiles",
+    "q_fiducial_cut",
+    "q_first_touch",
+    "q_grouping_sets",
+    "q_incremental_dedup",
+    "q_jl_projection",
+    "q_key_integrity",
+    "q_lang_mismatch",
+    "q_linear_quality",
+    "q_ngram_jaccard_pairs",
+    "q_order_price_ranks",
+    "q_paragraph_dedup",
+    "q_paragraph_dedup_text",
+    "q_price_qty_corr",
+    "q_reservoir_per_group",
+    "q_rfm_segments",
+    "q_rollup_revenue",
+    "q_semantic_dedup_2level",
+    "q_source_concentration",
+    "q_token_drift",
 ]
 
 

@@ -130,6 +130,35 @@ def main(sf_dir: str, workdir: str) -> None:
             verdicts.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
     print(f"incremental ingest verdicts: {dist}")
 
+    # 6b. the same arrival, SEMANTICALLY: assign the batch's embeddings to
+    #     the corpus's FROZEN centroids and ε-ball only against existing
+    #     cell members (round 11 — the incremental SemDeDup decision; in
+    #     production the centroids + corpus cell index are trained/built
+    #     once per corpus snapshot and cached)
+    from ubparquet_spark.functions.incremental import (
+        corpus_cell_index,
+        incremental_semdedup,
+    )
+    from ubparquet_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull()
+    )
+    vec_batch = emb.filter(F.col("vec_id") % 10 == 7).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    vec_corpus = emb.filter(F.col("vec_id") % 10 != 7).select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_fit(vec_corpus, k=8, rounds=2)
+    cell_idx = corpus_cell_index(vec_corpus, cents).localCheckpoint()
+    sem = incremental_semdedup(
+        vec_batch, vec_corpus, cents, corpus_cells=cell_idx
+    )
+    sem_dist = {r["verdict"]: r["n"] for r in
+                sem.groupBy("verdict").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"incremental SEMANTIC verdicts: {sem_dist}")
+
     # 7. tokenizer induction on the curated text: 3 BPE merge rounds from
     #    the word-frequency table (one corpus shuffle, vocab-bounded rounds)
     from ubparquet_spark.plans.text import _bpe_train

@@ -163,3 +163,93 @@ def test_invalid_target_raises(spark):
         plan_compaction(m, 0)
     with pytest.raises(ValueError, match="min_bytes"):
         plan_compaction(m, 100, min_bytes=200)
+
+
+def test_distributed_apply_matches_local_apply(spark, tmp_path):
+    """The executor-parallel apply (round 11) must preserve content and
+    converge exactly like the driver-side loop, on a multi-partition
+    fragmented fixture."""
+    import os
+
+    from ubparquet_spark.operators.compaction import (
+        compact_parquet_dir_distributed,
+    )
+
+    src = str(tmp_path / "frag_d")
+    out = str(tmp_path / "compacted_d")
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") * 3).alias("v")
+    )
+    df.repartition(25).write.parquet(src)
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    manifest = build_manifest(spark, src)
+    target = int(manifest.agg(F.sum("bytes")).collect()[0][0] // 3) + 1
+    plan = compact_parquet_dir_distributed(spark, src, target, out_dir=out)
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert n_after < n_before
+    # content preservation: same rows, no dup, no loss
+    got = spark.read.parquet(out)
+    assert got.count() == 5000
+    assert got.select(F.countDistinct("id")).collect()[0][0] == 5000
+    assert (
+        got.agg(F.sum("v")).collect()[0][0]
+        == df.agg(F.sum("v")).collect()[0][0]
+    )
+    # one output file per rewrite group + one per kept file
+    n_groups = len(
+        {r["group"] for r in plan.collect() if r["action"] == "rewrite"}
+    )
+    n_keep = plan.filter("action = 'keep'").count()
+    assert n_after == n_groups + n_keep
+    # convergence contract through the distributed path
+    replan = plan_compaction(build_manifest(spark, out), target)
+    regroups = (
+        replan.filter(F.col("action") == "rewrite")
+        .groupBy("group")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] >= 2 for r in regroups)
+
+
+def test_distributed_apply_respects_partition_buckets(spark, tmp_path):
+    """Bucketed plans: group ids restart per bucket — the distributed
+    apply must key groups by (bucket, group) and never merge across
+    buckets."""
+    import os
+
+    import pyarrow.parquet as pq
+    import duckdb
+
+    from ubparquet_spark.operators.compaction import (
+        apply_compaction_distributed,
+    )
+
+    src = tmp_path / "bucketed"
+    src.mkdir()
+    # two hive-style buckets, 4 tiny files each, with a bucket column
+    for b in ("x", "y"):
+        for i in range(4):
+            duckdb.sql(
+                f"COPY (SELECT j AS id, '{b}' AS pkey FROM range({i * 10},"
+                f" {i * 10 + 10}) t(j)) TO"
+                f" '{src}/{b}{i}.parquet' (FORMAT PARQUET)"
+            )
+    manifest = build_manifest(spark, str(src)).withColumn(
+        "pkey", F.expr("substring(reverse(split(path, '/'))[0], 1, 1)")
+    )
+    plan = plan_compaction(manifest, 10**6, partition_cols=["pkey"])
+    assert plan.filter("action = 'rewrite'").count() == 8
+    out = str(tmp_path / "bucketed_out")
+    stats = apply_compaction_distributed(
+        spark, plan, out_dir=out, partition_cols=["pkey"]
+    )
+    outs = sorted(r["out_path"] for r in stats.collect())
+    assert len(outs) == 2  # one merged file per bucket, none across
+    for p in outs:
+        t = pq.read_table(p)
+        assert len(set(t["pkey"].to_pylist())) == 1  # bucket purity
+        assert len(t) == 40
+    got = spark.read.parquet(out)
+    assert got.count() == 80
+    assert got.select(F.countDistinct("pkey")).collect()[0][0] == 2

@@ -340,6 +340,52 @@ SHUFFLE_BUDGETS = {
     # tf (doc,token) rollup + df branch + totals + argmax join
     "q_tfidf_top_term": 5,
     "q_unigram_logprob": 2,
+    # round-11 registrations. incremental semdedup: corpus cell-size
+    # window + cell-keyed pair join + vec_id rollup + exact-index distinct
+    "q_incremental_semdedup": 4,
+    # daily artifact shuffle + bounded self-join + rank branches
+    "q_theilsen_trend": 4,
+    # one (x, y) cell shuffle + bounded-grid self-join + marginal branches
+    "q_kendall_qty_disc": 6,
+    # ONE customer-grain shuffle + the 1-row reduce
+    "q_theil_index": 2,
+    # round-11 rotation fills (current plan counts, recorded as the
+    # window rotated per the tiering policy — each may be lowered,
+    # never raised without written justification)
+    "q10_returned_items": 2,
+    "q11_important_parts": 3,
+    "q13_order_count_histogram": 2,
+    "q14_promo_revenue": 1,
+    "q15_top_supplier": 3,
+    "q16_part_supplier_variety": 2,
+    "q18_large_volume_orders": 1,
+    "q19_disjunctive": 1,
+    "q2_min_cost_parts": 1,
+    "q6_forecast_revenue": 1,
+    "q7_nation_volume": 1,
+    "q_above_avg_balance": 2,
+    "q_asof_prev_click": 1,
+    "q_cube_orders": 1,
+    "q_dau_mau": 4,
+    "q_dedup_cluster_sizes": 4,
+    "q_doc_dedup_decisions": 2,
+    "q_events_time_rollup": 1,
+    "q_events_user_mode": 3,
+    "q_events_voxelize": 3,
+    "q_fiducial_cut": 1,
+    "q_first_touch": 2,
+    "q_grouping_sets": 1,
+    # five FK edges through the shared ref-integrity machinery — the
+    # q_ref_integrity budget class (distinct keys / 1-row collapses only)
+    "q_key_integrity": 12,
+    "q_lang_mismatch": 0,
+    # shingle-pair pipeline: band shuffle + per-pair melt/regroup chain,
+    # every stage keyed and bounded by the band-bucket cap
+    "q_ngram_jaccard_pairs": 7,
+    "q_order_price_ranks": 4,
+    "q_rollup_revenue": 1,
+    "q_semantic_dedup_2level": 1,
+    "q_source_concentration": 2,
     # round-6 (settled at 4): the "before" counts ride blocked_cumsum
     # (bounded _pid window + offset branch) — the q_ks_test shape
     "q_mannwhitney_u": 4,
@@ -420,6 +466,11 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "q_ann_ivf_multiprobe",
     # lag window over the YEAR-grain rollup (~7 rows)
     "q_yoy_growth",
+    # exact-median rank windows over DAY-domain-bounded artifacts: the
+    # daily series (≤366·years rows at ANY event count) and its pairwise
+    # slope set (≤D²/2 ≈ 67k at a year) — quantization-bounded inputs,
+    # same class as q_survival_km's day-grain histogram
+    "q_theilsen_trend",
 }
 
 _SANCTIONED_ORDER_KEYS = ("_pid", "block")

@@ -507,3 +507,63 @@ def test_pii_redaction_on_poisoned_corpus(spark, tmp_path):
         return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()
 
     assert vhash(got) == vhash(ora)
+
+
+def test_unigram_model_row_bounded_by_cap(spark, tmp_path):
+    """The unigram LM model row must hold at most UNIGRAM_LM_K entries
+    REGARDLESS of corpus vocabulary (VERDICT r10 "What's wrong" #1: the
+    uncapped form was a one-task collect + multi-GB broadcast at web
+    scale). Build a corpus whose vocab (~6000 distinct tokens) exceeds
+    the cap, then assert (a) the model row is exactly K entries, and
+    (b) BOTH scoring queries still hash-match their DuckDB oracles with
+    eviction ACTIVE — the add-1 smoothing semantics are cap-stable and
+    engine-identical."""
+    import duckdb
+
+    from ubparquet_spark.plans.text import (
+        UNIGRAM_LM_K,
+        _unigram_model,
+        q_doc_perplexity,
+        q_unigram_logprob,
+        Q_DOC_PERPLEXITY_SQL,
+        Q_UNIGRAM_LOGPROB_SQL,
+    )
+
+    assert UNIGRAM_LM_K == 4096  # corpus below is sized against this
+    sf = str(tmp_path / "sf_hivocab")
+    (tmp_path / "sf_hivocab").mkdir()
+    # the oracle harness registers every driver table: reuse sf0.001 for
+    # the tables these queries never read
+    import shutil
+
+    from ubparquet_spark.io import DRIVER_TABLES
+
+    for t in DRIVER_TABLES:
+        if t != "documents":
+            shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", sf)
+    # 600 docs x 10 unique rare tokens each = 6000 singleton types, plus
+    # a shared head token so the heavy-hitter cap keeps a deterministic
+    # prefix (count desc, token asc): 'the' + the 4095 alphabetically
+    # first singletons survive; ~1905 singletons are evicted.
+    duckdb.sql(
+        "COPY (SELECT d AS doc_id,"
+        " 'the ' || list_aggregate(list_transform(range(0, 10),"
+        "   i -> printf('w%05d', d * 10 + i)), 'string_agg', ' ') AS text,"
+        " 'en' AS lang, 'web' AS source, CAST(64 AS BIGINT) AS n_chars"
+        f" FROM range(0, 600) t(d)) TO '{sf}/documents.parquet'"
+        " (FORMAT PARQUET)"
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    vocab_row, total_row = _unigram_model(docs)
+    import pyspark.sql.functions as F
+
+    n_model = vocab_row.select(F.size(F.map_keys("vocab")).alias("n")).collect()[0].n
+    assert n_model == UNIGRAM_LM_K  # capped, not the 6001-type vocab
+    assert total_row.collect()[0].total == 600 * 11  # exact N, pre-cap
+
+    for df, sql in [
+        (q_unigram_logprob(spark, sf), Q_UNIGRAM_LOGPROB_SQL),
+        (q_doc_perplexity(spark, sf), Q_DOC_PERPLEXITY_SQL),
+    ]:
+        assert_matches_oracle(df, sql, sf)

@@ -174,3 +174,113 @@ def compact_parquet_dir(
             .parquet(out_dir)
         )
     return plan
+
+
+def apply_compaction_distributed(
+    spark, plan: DataFrame, *, out_dir: str, partition_cols: list[str] | None = None
+) -> DataFrame:
+    """Distributed APPLY (round 11, VERDICT r10 #7): execute a
+    ``plan_compaction`` plan with ONE executor task per rewrite group —
+    the cluster-shaped path ``compact_parquet_dir``'s driver-side loop
+    stands in for locally.
+
+    Each rewrite group's row set is collapsed to one (group, paths) row;
+    the group table is hash-repartitioned on ``group`` so groups spread
+    across executors, and a ``mapInPandas`` stage reads each group's
+    files with pyarrow and writes exactly one merged output file.  Kept
+    files copy through in their own tasks.  No driver-side loop over
+    groups — the driver only triggers the job and receives the per-file
+    stats rollup (group-grain, bounded by the plan size).
+
+    Crash/retry safety: output names are deterministic functions of the
+    group id (or source basename), and writes overwrite — a re-run or a
+    speculative duplicate task converges to the same bytes, the same
+    idempotence contract as the planner.  ``out_dir`` must be shared
+    storage (object store / DFS) on a real cluster; executor-local ==
+    driver-local under local[*].
+
+    ``partition_cols`` must name the same bucket columns the plan was
+    built with (group ids restart per bucket): they join the group key
+    and the output filename, so two buckets never merge.
+
+    Returns the stats frame: (action, group, n_files, out_path) — one
+    row per output file, already materialized (the writes have run)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    parts = list(partition_cols or [])
+
+    groups = (
+        plan.filter(F.col("action") == "rewrite")
+        .groupBy(*parts, "group")
+        .agg(F.sort_array(F.collect_list("path")).alias("paths"))
+        .withColumn(
+            "_bucket",
+            F.concat_ws(
+                "-", *[F.col(c).cast("string") for c in parts]
+            )
+            if parts
+            else F.lit(""),
+        )
+        .repartition(*parts, "group")
+    )
+
+    def _rewrite(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for gid, bucket, paths in zip(
+                pdf["group"], pdf["_bucket"], pdf["paths"]
+            ):
+                tables = [pq.read_table(p) for p in paths]
+                merged = pa.concat_tables(tables)
+                tag = f"{bucket}-" if bucket else ""
+                dst = os.path.join(
+                    out_dir, f"part-compact-{tag}g{int(gid):06d}.parquet"
+                )
+                pq.write_table(merged, dst)
+                out.append(("rewrite", int(gid), len(paths), dst))
+            yield pd.DataFrame(
+                out, columns=["action", "group", "n_files", "out_path"]
+            )
+
+    def _copy(batches):
+        import shutil
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                dst = os.path.join(out_dir, os.path.basename(p))
+                shutil.copy(p, dst)
+                out.append(("keep", None, 1, dst))
+            yield pd.DataFrame(
+                out, columns=["action", "group", "n_files", "out_path"]
+            )
+
+    stats_schema = (
+        "action string, group long, n_files int, out_path string"
+    )
+    rewritten = groups.mapInPandas(_rewrite, stats_schema)
+    kept = (
+        plan.filter(F.col("action") == "keep")
+        .select("path")
+        .mapInPandas(_copy, stats_schema)
+    )
+    stats = rewritten.unionByName(kept).localCheckpoint()  # runs the writes
+    return stats
+
+
+def compact_parquet_dir_distributed(
+    spark, directory: str, target_bytes: int, *, out_dir: str
+) -> DataFrame:
+    """Plan + distributed apply for a local parquet directory — the
+    executor-parallel twin of :func:`compact_parquet_dir` (same plan,
+    same convergence contract, writes happen in executor tasks)."""
+    plan = plan_compaction(build_manifest(spark, directory), target_bytes)
+    apply_compaction_distributed(spark, plan, out_dir=out_dir)
+    return plan

@@ -2868,11 +2868,8 @@ FROM trailed
 
 
 # ---------------------------------------------------------------------------
-# Theil–Sen robust trend (ROUND-11 REGISTRATION CANDIDATE — implemented
-# and oracle-tested in round 10, deliberately NOT in QUERIES yet: the
-# round-10 registration budget went to the four queries above; register
-# next round by adding the QUERIES entry + _CHECK_FIRST slot + shuffle
-# budget).  The median-of-pairwise-slopes estimator over the daily
+# Theil–Sen robust trend (staged in round 10, REGISTERED in round 11
+# within the 6/round cap).  The median-of-pairwise-slopes estimator over the daily
 # revenue series — the robust alternative to OLS when level shifts /
 # outlier days would drag a least-squares line (29% breakdown point).
 #
@@ -2991,6 +2988,7 @@ FROM slope CROSS JOIN icept
 
 QUERIES: dict[str, tuple] = {
     "q_ewma_daily": (q_ewma_daily, Q_EWMA_SQL),
+    "q_theilsen_trend": (q_theilsen_trend, Q_THEILSEN_SQL),
     "q_psi_drift": (q_psi_drift, Q_PSI_SQL),
     "q_partition_completeness": (
         q_partition_completeness,

@@ -1645,6 +1645,188 @@ Q_SEMANTIC_DEDUP_QUALITY_SQL = _semdedup_quality_sql()
 
 
 # ---------------------------------------------------------------------------
+# Incremental SemDeDup (round 11, VERDICT r10 "What's missing" #2 /
+# "Next round" #4): the continuously-ingesting pipeline's semantic-dedup
+# decision — a NEW batch of vectors arrives against an already-deduped
+# corpus, assigns to the corpus's FROZEN centroids, and ε-balls only
+# against existing members of its cells. Semantics and scale notes in
+# functions/incremental.py (incremental_semdedup); this registration
+# stands the mod-10 split in for "existing corpus" vs "incoming batch"
+# (the q_incremental_dedup convention) and trains the frozen quantizer on
+# the CORPUS side with the exact q_semantic_dedup recipe (k ∝ n_corpus,
+# mod-5 train sample, SEMDEDUP_ROUNDS Lloyd rounds, 1e-6 rounded
+# centroid updates).
+#
+# Scale shape: the corpus cell index is ONE corpus assignment pass
+# (pre-computable, bucketed-by-cell at 100 TB); the batch pays its own
+# assignment (narrow map over broadcast-size centroid literals) + a
+# cell-keyed equi-join whose corpus side is capped at SEMDEDUP_CELL_CAP
+# members per cell + an embedding-equality semi-join for exact dups.
+# Never all-pairs; nothing grows with the corpus except the cacheable
+# index.
+#
+# The oracle unrolls the SAME corpus-side Lloyd rounds as chained CTEs
+# (the Q_KMEANS_SQL technique), then mirrors the capped cell join and the
+# list-equality exact check.
+# ---------------------------------------------------------------------------
+
+INCR_SEM_MOD = 10
+INCR_SEM_REM = 7
+
+
+def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.functions.incremental import incremental_semdedup
+    from ubparquet_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_blas,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .localCheckpoint()
+    )
+    incoming = emb.filter(F.col("vec_id") % INCR_SEM_MOD == INCR_SEM_REM)
+    corpus = emb.filter(F.col("vec_id") % INCR_SEM_MOD != INCR_SEM_REM)
+    # frozen quantizer: trained on the CORPUS only, q_semantic_dedup recipe
+    n = corpus.count()
+    k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
+    train = corpus.filter(F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0)
+    init = train.orderBy("vec_id").limit(k).collect()
+    cents = [[float(v) for v in r.embedding] for r in init]
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "vec_id long, cell int, verdict string, n_matches long,"
+            " best_match long",
+        )
+    assign = assign_clusters if len(cents) <= 128 else assign_clusters_blas
+    for _ in range(SEMDEDUP_ROUNDS):
+        cents = _rounded_update(assign(train, cents), cents)
+    return incremental_semdedup(incoming, corpus, cents)
+
+
+def _incremental_semdedup_sql() -> str:
+    """Oracle: corpus-side unrolled Lloyd rounds, frozen assignment of
+    both sides, capped cell join + list-equality exact check."""
+    dist = (
+        "list_sum(list_transform(range(1, len({v}) + 1),"
+        " i -> (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])"
+        " * (CAST({v}[i] AS DOUBLE) - {c}.cvec[i])))"
+    )
+
+    def assign_cte(name: str, src: str, cents: str) -> str:
+        d = dist.format(v=f"{src}.embedding", c=cents)
+        return f"""{name} AS (
+  SELECT vec_id, embedding, c AS cell FROM (
+    SELECT {src}.vec_id, {src}.embedding, {cents}.c,
+           row_number() OVER (PARTITION BY {src}.vec_id
+                              ORDER BY {d} ASC, {cents}.c ASC) AS rn
+    FROM {src}, {cents}
+  ) WHERE rn = 1
+)"""
+
+    def update_cte(name: str, assigned: str, prev: str) -> str:
+        return f"""{name} AS (
+  SELECT p.c,
+         COALESCE(u.cvec, p.cvec) AS cvec
+  FROM {prev} p LEFT JOIN (
+    SELECT cell AS c,
+           list_transform(
+             list_sort(list(struct_pack(dim := dim, m := m))), s -> s.m) AS cvec
+    FROM (
+      SELECT cell, dim,
+             FLOOR(AVG(v) * 1000000 + 0.5) / 1000000 AS m
+      FROM (
+        SELECT cell,
+               UNNEST(range(1, len(embedding) + 1)) AS dim,
+               UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM {assigned}
+      )
+      GROUP BY cell, dim
+    )
+    GROUP BY cell
+  ) u ON u.c = p.c
+)"""
+
+    inc = f"vec_id % {INCR_SEM_MOD} = {INCR_SEM_REM}"
+    ctes = [
+        "embnn AS (SELECT vec_id, embedding FROM embeddings"
+        " WHERE embedding IS NOT NULL)",
+        f"inco AS (SELECT * FROM embnn WHERE {inc})",
+        f"corp AS (SELECT * FROM embnn WHERE NOT ({inc}))",
+        f"""kk AS (
+  SELECT GREATEST({SEMDEDUP_K_MIN},
+                  LEAST({SEMDEDUP_K_MAX}, COUNT(*) // {SEMDEDUP_CELL_TARGET})) AS k
+  FROM corp
+)""",
+        f"""train AS (
+  SELECT vec_id, embedding FROM corp
+  WHERE vec_id % {SEMDEDUP_TRAIN_MOD} = 0
+)""",
+        """c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM train
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= (SELECT k FROM kk)
+)""",
+    ]
+    prev = "c0"
+    for r in range(SEMDEDUP_ROUNDS):
+        ctes.append(assign_cte(f"a{r}", "train", prev))
+        ctes.append(update_cte(f"c{r + 1}", f"a{r}", prev))
+        prev = f"c{r + 1}"
+    ctes.append(assign_cte("acorp", "corp", prev))
+    ctes.append(assign_cte("ainc", "inco", prev))
+    for side in ("acorp", "ainc"):
+        ctes.append(
+            f"""{side}d AS (
+  SELECT vec_id, cell,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dvec,
+         SQRT(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS norm
+  FROM {side}
+)"""
+        )
+    ctes.append(
+        f"""corpok AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY cell) AS n_in_cell FROM acorpd
+  ) WHERE n_in_cell <= {SEMDEDUP_CELL_CAP}
+)"""
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined},
+near AS (
+  SELECT a.vec_id, COUNT(*) AS n_matches, MIN(b.vec_id) AS best_match
+  FROM aincd a JOIN corpok b ON a.cell = b.cell
+  WHERE FLOOR(({_sql_dot("a.dvec", "b.dvec")}
+               / (a.norm * b.norm)) * 1000000 + 0.5) / 1000000
+        >= {SEMDEDUP_THRESHOLD}
+  GROUP BY a.vec_id
+),
+ex AS (
+  SELECT DISTINCT i.vec_id
+  FROM inco i
+  WHERE EXISTS (SELECT 1 FROM corp c WHERE c.embedding = i.embedding)
+)
+SELECT s.vec_id, s.cell,
+       CASE WHEN ex.vec_id IS NOT NULL THEN 'exact_dup'
+            WHEN near.n_matches > 0 THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       CAST(COALESCE(near.n_matches, 0) AS BIGINT) AS n_matches,
+       near.best_match
+FROM ainc s
+LEFT JOIN near ON near.vec_id = s.vec_id
+LEFT JOIN ex ON ex.vec_id = s.vec_id
+"""
+
+
+Q_INCREMENTAL_SEMDEDUP_SQL = _incremental_semdedup_sql()
+
+
+# ---------------------------------------------------------------------------
 # Johnson–Lindenstrauss random projection 64-d -> 8-d (Achlioptas 2001
 # database-friendly ±1 form): the standard dimensionality-reduction
 # preprocessing for ANN / clustering at scale — distances are preserved to
@@ -2503,6 +2685,11 @@ QUERIES: dict[str, tuple] = {
     "q_semantic_dedup_quality": (
         q_semantic_dedup_quality,
         Q_SEMANTIC_DEDUP_QUALITY_SQL,
+    ),
+    # batch-vs-corpus incremental SemDeDup (round 11, VERDICT r10 #4)
+    "q_incremental_semdedup": (
+        q_incremental_semdedup,
+        Q_INCREMENTAL_SEMDEDUP_SQL,
     ),
     "q_jl_projection": (q_jl_projection, Q_JL_PROJECTION_SQL),
     "q_ann_ivf": (q_ann_ivf, Q_ANN_IVF_SQL),

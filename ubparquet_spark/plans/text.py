@@ -1257,76 +1257,127 @@ FROM base b LEFT JOIN covered c USING (doc_id)
 # shape: score each document by its average per-token log-probability under
 # a corpus unigram model, keep/bucket by score). Two-pass design:
 #   pass 1 builds the unigram table (explode -> count, the only token-grain
-#   shuffle) and folds it into ONE row holding a token->count map + total;
-#   pass 2 cross-joins that broadcast row and scores every document
-#   map-side with a higher-order fold — no explode, no per-token shuffle,
-#   no join on the fact table.
-# At 100 TB the vocab row is the top-K heavy-hitter table (a few MB
-# broadcast); scoring stays one scan. The fold order is the document's own
-# token order in BOTH engines (aggregate here, list_reduce in DuckDB), so
-# the double sum is bit-identical before the stabilizing roundn.
+#   shuffle), CAPS it to the top-K heavy hitters (count desc, token asc —
+#   deterministic TakeOrdered), and folds the capped table into ONE row
+#   holding a token->count map; pass 2 cross-joins that broadcast row and
+#   scores every document map-side with a higher-order fold — no explode,
+#   no per-token shuffle, no join on the fact table.
+# The model is add-1 smoothed over the CAPPED table (the q_bigram_logprob
+# unigram term, plans/text.py q_bigram_logprob):
+#   p(w) = (c_K(w) + 1) / (N + K)
+# where c_K(w) = 0 for words evicted from the top-K table and N is the
+# EXACT total token count (computed row-grain before the cap). That makes
+# the model row bounded by K at ANY corpus size — a web-scale corpus has
+# 1e8+ distinct tokens and an uncapped single-row collect is a one-task
+# OOM + multi-GB broadcast (pinned by
+# tests/test_text.py::test_unigram_model_row_bounded_by_cap) — while
+# keeping p > 0 for every token, seen or not. avg_tok_freq is the mean
+# SMOOTHED token probability under the same model (Σ (c_K+1)) / (n·(N+K)).
+# The fold order is the document's own token order in BOTH engines
+# (aggregate here, list_reduce in DuckDB), so the double sum is
+# bit-identical before the stabilizing roundn.
 # ---------------------------------------------------------------------------
 
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+# Shared with q_bigram_logprob's unigram term (defined here because this
+# module initializes Q_UNIGRAM_LOGPROB_SQL at import time).
+UNIGRAM_LM_K = 4096
+
+
+def _unigram_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(capped 1-row token->count map, 1-row exact total) — both
+    broadcastable artifacts; the map holds at most UNIGRAM_LM_K entries
+    regardless of corpus vocabulary."""
+    base = docs.select(F.split("text", " ").alias("toks"))
+    total = base.agg(
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("total")
+    )
     vocab = (
-        docs.select(F.explode(tokens_col()).alias("token"))
+        base.select(F.explode("toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(UNIGRAM_LM_K)
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("token", "cnt"))
-            ).alias("vocab"),
-            F.sum("cnt").alias("total"),
+            ).alias("vocab")
         )
     )
+    return vocab, total
+
+
+# One transition's ln p under the capped add-1 model — keep the Spark and
+# DuckDB expression text in lockstep (identical IEEE op chain).
+_UNI_LNP_SPARK = (
+    "ln(CAST(coalesce(element_at(vocab, t), 0) + 1 AS DOUBLE)"
+    f" / CAST(total + {UNIGRAM_LM_K} AS DOUBLE))"
+)
+_UNI_LNP_DUCK = (
+    "ln(CAST(COALESCE(vocab[t][1], 0) + 1 AS DOUBLE)"
+    f" / CAST(total + {UNIGRAM_LM_K} AS DOUBLE))"
+)
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab, total = _unigram_model(docs)
     # one materialized token array shared by both folds and the length
     # (lambda-CSE caveat: inline split() would tokenize 4x per row)
     logprob_sum = F.expr(
         "aggregate(toks, CAST(0.0 AS DOUBLE),"
-        " (acc, t) -> acc + ln(CAST(element_at(vocab, t) AS DOUBLE)"
-        " / CAST(total AS DOUBLE)))"
+        f" (acc, t) -> acc + {_UNI_LNP_SPARK})"
     )
     n_tokens = F.size(F.col("toks"))
     freq_sum = F.expr(
         "aggregate(toks, CAST(0 AS BIGINT),"
-        " (acc, t) -> acc + element_at(vocab, t))"
+        " (acc, t) -> acc + coalesce(element_at(vocab, t), 0) + 1)"
     )
     return docs.withColumn("toks", F.split("text", " ")).crossJoin(
         F.broadcast(vocab)
-    ).select(
+    ).crossJoin(F.broadcast(total)).select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
         roundn(logprob_sum / n_tokens).alias("avg_logprob"),
         roundn(
-            freq_sum.cast("double") / (n_tokens.cast("double") * F.col("total"))
+            freq_sum.cast("double")
+            / (
+                n_tokens.cast("double")
+                * (F.col("total") + F.lit(UNIGRAM_LM_K)).cast("double")
+            )
         , 6).alias("avg_tok_freq"),
     )
 
 
-Q_UNIGRAM_LOGPROB_SQL = """
-WITH uni AS (
+Q_UNIGRAM_LOGPROB_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), tot AS (
+  SELECT CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS total FROM base
+), uni0 AS (
   SELECT token, COUNT(*) AS cnt
-  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT UNNEST(toks) AS token FROM base)
   GROUP BY token
+), topk AS (
+  SELECT token, cnt FROM uni0 ORDER BY cnt DESC, token ASC LIMIT {UNIGRAM_LM_K}
 ), v AS (
-  SELECT MAP(list(token), list(cnt)) AS vocab, SUM(cnt) AS total FROM uni
+  SELECT MAP(list(token), list(cnt)) AS vocab FROM topk
 )
 SELECT doc_id,
-       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
        FLOOR((list_reduce(
                 list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(string_split(text, ' '),
-                    t -> ln(CAST(vocab[t][1] AS DOUBLE) / CAST(total AS DOUBLE)))),
+                  list_transform(toks,
+                    t -> {_UNI_LNP_DUCK})),
                 (acc, x) -> acc + x)
-              / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS avg_logprob,
+              / len(toks)) * 10000 + 0.5) / 10000 AS avg_logprob,
        FLOOR((CAST(list_reduce(
                 list_prepend(CAST(0 AS BIGINT),
-                  list_transform(string_split(text, ' '), t -> CAST(vocab[t][1] AS BIGINT))),
+                  list_transform(toks,
+                    t -> CAST(COALESCE(vocab[t][1], 0) + 1 AS BIGINT))),
                 (acc, x) -> acc + x) AS DOUBLE)
-              / (CAST(len(string_split(text, ' ')) AS DOUBLE) * total)) * 1000000 + 0.5)
+              / (CAST(len(toks) AS DOUBLE) * (total + {UNIGRAM_LM_K}))) * 1000000 + 0.5)
          / 1000000 AS avg_tok_freq
-FROM documents CROSS JOIN v
+FROM base CROSS JOIN v CROSS JOIN tot
 """
 
 
@@ -3688,7 +3739,8 @@ WHERE {sql_roundn(
 # ---------------------------------------------------------------------------
 
 BIGRAM_LM_K = 4096
-UNIGRAM_LM_K = 4096
+# UNIGRAM_LM_K (the unigram-term cap) is defined next to _unigram_model
+# above — shared with q_unigram_logprob / q_doc_perplexity.
 BIGRAM_LM_LAMBDA = 0.7
 
 
@@ -4774,9 +4826,11 @@ Q_SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 # head / middle / tail TERCILES by LM score and report the per-bucket
 # document counts, token mass, and score boundaries (training recipes
 # then sample buckets at different rates).  The score is the corpus
-# unigram avg log-prob (the q_unigram_logprob score, quantized to an
-# exact 1e-4 integer so every downstream comparison and sum is integer
-# arithmetic — order-independent and bit-identical cross-engine);
+# unigram avg log-prob (the q_unigram_logprob score — the CAPPED top-K
+# add-1-smoothed model from _unigram_model, bounded at UNIGRAM_LM_K
+# entries at any corpus size — quantized to an exact 1e-4 integer so
+# every downstream comparison and sum is integer arithmetic —
+# order-independent and bit-identical cross-engine);
 # q_bigram_logprob remains the richer scorer, this query is the
 # BUCKETING op.  Docs with NULL text carry no LM evidence and are
 # excluded in both engines.
@@ -4796,26 +4850,16 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.ranks import ntile_col, ranked
 
     docs = load_table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select(F.explode(tokens_col()).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("token", "cnt"))
-            ).alias("vocab"),
-            F.sum("cnt").alias("total"),
-        )
-    )
+    vocab, total = _unigram_model(docs)
     logprob_sum = F.expr(
         "aggregate(toks, CAST(0.0 AS DOUBLE),"
-        " (acc, t) -> acc + ln(CAST(element_at(vocab, t) AS DOUBLE)"
-        " / CAST(total AS DOUBLE)))"
+        f" (acc, t) -> acc + {_UNI_LNP_SPARK})"
     )
     n_tokens = F.size(F.col("toks"))
     scored = (
         docs.withColumn("toks", F.split("text", " "))
         .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "lang",
@@ -4855,22 +4899,28 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DOC_PERPLEXITY_SQL = f"""
-WITH uni AS (
+WITH base AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), tot AS (
+  SELECT CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS total FROM base
+), uni0 AS (
   SELECT token, COUNT(*) AS cnt
-  FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+  FROM (SELECT UNNEST(toks) AS token FROM base)
   GROUP BY token
+), topk AS (
+  SELECT token, cnt FROM uni0 ORDER BY cnt DESC, token ASC LIMIT {UNIGRAM_LM_K}
 ), v AS (
-  SELECT MAP(list(token), list(cnt)) AS vocab, SUM(cnt) AS total FROM uni
+  SELECT MAP(list(token), list(cnt)) AS vocab FROM topk
 ), scored AS (
   SELECT doc_id, lang,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(FLOOR(list_reduce(
                 list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(string_split(text, ' '),
-                    t -> ln(CAST(vocab[t][1] AS DOUBLE) / CAST(total AS DOUBLE)))),
+                  list_transform(toks,
+                    t -> {_UNI_LNP_DUCK})),
                 (acc, x) -> acc + x)
-              / len(string_split(text, ' ')) * 10000 + 0.5) AS BIGINT) AS lp4
-  FROM documents CROSS JOIN v
+              / len(toks) * 10000 + 0.5) AS BIGINT) AS lp4
+  FROM base CROSS JOIN v CROSS JOIN tot
 ), nn AS (
   SELECT * FROM scored WHERE lp4 IS NOT NULL
 ), bucketed AS (

@@ -3909,10 +3909,8 @@ Q_ELASTICITY_SQL = _elasticity_sql()
 
 
 # ---------------------------------------------------------------------------
-# Kendall's tau-b (ROUND-11 REGISTRATION CANDIDATE — implemented and
-# oracle-tested in round 10, deliberately NOT in QUERIES yet; the
-# round-10 registration budget was spent.  Register next round with a
-# QUERIES entry + _CHECK_FIRST slot + shuffle budget.)
+# Kendall's tau-b (staged in round 10, REGISTERED in round 11 within
+# the 6/round cap).
 #
 # The tie-corrected rank-concordance coefficient between l_quantity and
 # l_discount — the companion to q_spearman_qty_price when the analyst
@@ -4025,8 +4023,8 @@ FROM nn CROSS JOIN pq CROSS JOIN t1 CROSS JOIN t2
 
 
 # ---------------------------------------------------------------------------
-# Theil T inequality index (ROUND-11 REGISTRATION CANDIDATE — implemented
-# and oracle-tested in round 10, NOT registered; see q_kendall_qty_disc).
+# Theil T inequality index (staged in round 10, REGISTERED in round 11
+# within the 6/round cap; see q_kendall_qty_disc).
 #
 # The information-theoretic companion to q_gini_revenue:
 #   T = (1/n) Σ (x_i/μ)·ln(x_i/μ),  0 = perfect equality, ln(n) = one
@@ -4101,6 +4099,8 @@ FROM agg
 
 
 QUERIES: dict[str, tuple] = {
+    "q_kendall_qty_disc": (q_kendall_qty_disc, Q_KENDALL_SQL),
+    "q_theil_index": (q_theil_index, Q_THEIL_INDEX_SQL),
     "q_triangle_count": (q_triangle_count, Q_TRIANGLE_SQL),
     "q_price_elasticity": (q_price_elasticity, Q_ELASTICITY_SQL),
     "q_bootstrap_ci": (q_bootstrap_ci, Q_BOOTSTRAP_CI_SQL),
