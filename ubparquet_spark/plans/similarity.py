@@ -1301,6 +1301,40 @@ SEMDEDUP_ROUNDS = 2          # Lloyd rounds — matches KMEANS_ROUNDS
 SEMDEDUP_TRAIN_MOD = 5       # train on vec_id % 5 == 0 (20% mod-sample)
 
 
+def _materialize_working_set(df: DataFrame) -> DataFrame:
+    """Materialize the multi-pass k-means working set ONCE (the sizing
+    count, the Lloyd rounds, and the final assignment all re-read it).
+
+    The strategy is switchable via UBSPARK_SEMDEDUP_MATERIALIZE so the
+    run-to-run variance of the SemDeDup family can be A/B-measured
+    (round 11, VERDICT r10 #3 — BENCHNOTES records the comparison):
+
+      localCheckpoint  eager executor-block materialization, lineage
+                       truncated (default — measured winner; see
+                       BENCHNOTES round 11)
+      disk_only        persist(StorageLevel.DISK_ONLY) + count: blocks
+                       on executor-local disk, lineage kept (cache-hit
+                       short-circuit at execution, full lineage at
+                       planning)
+      memory_deser     persist(MEMORY_AND_DISK_DESER) + count — Spark's
+                       default cache level
+    """
+    import os
+
+    mode = os.environ.get("UBSPARK_SEMDEDUP_MATERIALIZE", "localCheckpoint")
+    if mode == "localCheckpoint":
+        return df.localCheckpoint()
+    from pyspark import StorageLevel
+
+    level = {
+        "disk_only": StorageLevel.DISK_ONLY,
+        "memory_deser": StorageLevel.MEMORY_AND_DISK_DESER,
+    }[mode]
+    df = df.persist(level)
+    df.count()  # eager, like localCheckpoint(eager=True)
+    return df
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.kmeans import (
         assign_clusters,
@@ -1320,8 +1354,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(F.col("embedding").isNotNull())
-        .localCheckpoint()
     )
+    emb = _materialize_working_set(emb)
     n = emb.count()
     k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
     train = emb.filter(F.col("vec_id") % SEMDEDUP_TRAIN_MOD == 0)
@@ -1562,8 +1596,8 @@ def q_semantic_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .filter(F.col("embedding").isNotNull())
         .join(docs_q, "vec_id", "left")
-        .localCheckpoint()
     )
+    emb = _materialize_working_set(emb)
     n = emb.count()
     k = int(max(SEMDEDUP_K_MIN, min(SEMDEDUP_K_MAX, n // SEMDEDUP_CELL_TARGET)))
     train = emb.select("vec_id", "embedding").filter(
@@ -1685,8 +1719,8 @@ def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(F.col("embedding").isNotNull())
-        .localCheckpoint()
     )
+    emb = _materialize_working_set(emb)
     incoming = emb.filter(F.col("vec_id") % INCR_SEM_MOD == INCR_SEM_REM)
     corpus = emb.filter(F.col("vec_id") % INCR_SEM_MOD != INCR_SEM_REM)
     # frozen quantizer: trained on the CORPUS only, q_semantic_dedup recipe
@@ -1973,8 +2007,8 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "embedding")
         .filter(F.col("embedding").isNotNull())
-        .localCheckpoint()
     )
+    emb = _materialize_working_set(emb)
     n = emb.count()
     k1, k2, k_eff = _two_level_ks(n)
     # same dispatch boundary as the one-level scaled form: past 128
