@@ -584,6 +584,11 @@ def _allowlist_bounds():
         "q_bpe_vocab": BPE_VOCAB_TOP,             # TakeOrdered symbol artifact
         "q_ann_ivf_multiprobe": IVF_PROBES,       # probe set
         "q_yoy_growth": 50,                       # year-grain rollup
+        # day-grain daily series (≤366·years) and its pairwise slope set
+        # (≤D²/2 ≈ 67k for a year-long corpus) — the allowlist entry's
+        # documented quantization bound (the mid-build round-11 commit
+        # added the allowlist row but missed this table; repaired here)
+        "q_theilsen_trend": 67_000,
     }
 
 
