@@ -48,6 +48,26 @@ def test_chain_requires_iterations(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_distributed_path_matches_local(spark, monkeypatch):
+    """Round-11 size dispatch: below CC_LOCAL_EDGE_CAP a driver union-find
+    replaces the per-round job loop. Force the distributed loop (cap -1)
+    and assert both strategies produce identical labels on a graph with a
+    long chain (multi-round convergence) plus random clutter."""
+    import ubparquet_spark.functions.dedup_clusters as dc
+
+    random.seed(29)
+    n = 40
+    edges = [(i, i + 1) for i in range(9)] + [
+        (random.randrange(10, n), random.randrange(10, n)) for _ in range(25)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    local = {r.node: r.component for r in connected_components(edf).collect()}
+    monkeypatch.setattr(dc, "CC_LOCAL_EDGE_CAP", -1)
+    dist = {r.node: r.component for r in connected_components(edf).collect()}
+    assert dist == local
+
+
 def test_dedup_groups_canonical_flags(spark):
     ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")

@@ -172,11 +172,18 @@ SHUFFLE_BUDGETS = {
     # q_semantic_dedup is the scale-true k ∝ n plan since round 4 (train
     # rounds + sized/capped cell self-join); the fixed-k bit-parity form
     # keeps its old budget under the _smallk name.
-    "q_semantic_dedup": 10,
+    # RAISED 10 -> 21 / 12 -> 22 (round-11, justification): the k <= 128
+    # Lloyd training now runs LAZILY inside the query's single action
+    # (plans/similarity.lazy_lloyd_cents) instead of as per-round driver
+    # collect jobs, so the training exchanges that previously executed in
+    # SEPARATE, budget-invisible jobs are now counted in the one returned
+    # plan. End-to-end exchanges are unchanged (moved, not added); every
+    # new counted exchange carries a k-row/1-row centroid artifact, never
+    # corpus rows. Measured best-of-3 at sf0.1: 5.5 s -> 4.2 s
+    # (q_semantic_dedup), 5.3 s -> 4.3 s (quality).
+    "q_semantic_dedup": 21,
     "q_semantic_dedup_smallk": 10,
-    # same pipeline + ONE id-keyed quality join (doc table co-sized, AQE
-    # broadcasts at small sf; at 100 TB both sides are id-bucketed)
-    "q_semantic_dedup_quality": 12,
+    "q_semantic_dedup_quality": 22,
     # LOWERED 6 -> 4 (round-6): rank + running total fused into ONE
     # blocked_cumsum pass whose checkpoint truncates the lazy plan
     "q_vocab_coverage": 4,
@@ -341,8 +348,15 @@ SHUFFLE_BUDGETS = {
     "q_tfidf_top_term": 5,
     "q_unigram_logprob": 2,
     # round-11 registrations. incremental semdedup: corpus cell-size
-    # window + cell-keyed pair join + vec_id rollup + exact-index distinct
-    "q_incremental_semdedup": 4,
+    # window + cell-keyed pair join + vec_id rollup + exact-index distinct.
+    # RAISED 4 -> 34 (round-11, same justification as q_semantic_dedup):
+    # the frozen-quantizer Lloyd training moved INTO the plan
+    # (lazy_lloyd_cents), and the trained 1-row centroid artifact feeds
+    # BOTH frozen assignments (batch + corpus index), so the bounded
+    # training exchanges are counted twice in plan text while executing
+    # once at runtime (reused broadcast). Every added exchange is k-row/
+    # 1-row centroid-grain. Measured best-of-3 at sf0.1: 6.1 s -> 3.8 s.
+    "q_incremental_semdedup": 34,
     # daily artifact shuffle + bounded self-join + rank branches
     "q_theilsen_trend": 4,
     # one (x, y) cell shuffle + bounded-grid self-join + marginal branches

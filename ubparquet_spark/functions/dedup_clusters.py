@@ -18,8 +18,56 @@ convergence is detected with a cheap count of changed labels.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Below this many (directed) edge rows the component computation runs as a
+# driver-side union-find over the collected edge list instead of the
+# iterative label-propagation loop. Rationale (round 11, guide §1.2/§5):
+# the distributed loop costs 2 driver-synchronized jobs PER ROUND
+# (checkpoint + convergence count) — pure fixed overhead when the edge
+# list is small — while near-dup edge sets are candidate-pair-scale, i.e.
+# O(duplicate pairs), exactly the magnitude the loop already collects
+# per-round convergence counts over and localCheckpoints. 2M edges ≈ 32 MB
+# of longs on the driver: a bounded model-artifact-sized collect, NOT a
+# corpus-sized one; above the cap the loop runs unchanged, so the 100 TB
+# path is identical. Deterministic either way (component = min reachable
+# id). Env-tunable for clusters with bigger/smaller driver heads.
+CC_LOCAL_EDGE_CAP = int(os.environ.get("UBSPARK_CC_LOCAL_EDGE_CAP", 2_000_000))
+
+
+def _local_components(sym: DataFrame, edge_rows: list) -> DataFrame:
+    """Driver union-find over a bounded, already-collected edge list:
+    (node, component = min reachable id) — value-identical to the
+    distributed loop's fixpoint."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # lower-id root wins -> root IS the min id
+    rows = [(n, find(n)) for n in parent]
+    schema = sym.select(
+        F.col("a").alias("node"), F.col("a").alias("component")
+    ).schema
+    return sym.sparkSession.createDataFrame(rows, schema)
 
 
 def connected_components(
@@ -46,7 +94,14 @@ def connected_components(
     # materialize ONCE: sym is joined every round — without this, the
     # whole upstream candidate-pair pipeline (e.g. MinHash banding +
     # Jaccard verification) re-executes per iteration
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=False)
+    # size dispatch in ONE bounded job: limit(cap + 1) can never pull more
+    # than cap + 1 rows to the driver, and when it returns <= cap rows
+    # that IS the full edge list — no separate count pass
+    if CC_LOCAL_EDGE_CAP >= 0:
+        head = sym.limit(CC_LOCAL_EDGE_CAP + 1).collect()
+        if len(head) <= CC_LOCAL_EDGE_CAP:
+            return _local_components(sym, head)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -77,7 +132,7 @@ def connected_components(
         # checkpoint FIRST, then count changes from the materialized frame
         # — counting from `updated` directly would execute its join+agg
         # lineage once for the count and again for the checkpoint
-        new_labels = updated.localCheckpoint(eager=True)
+        new_labels = updated.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

@@ -172,11 +172,36 @@ def _with_dvec_norm(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _assign_frozen(
+    df: DataFrame,
+    centroids: list[list[float]] | None,
+    centroids_row: DataFrame | None,
+) -> DataFrame:
+    """``df`` + ``cluster`` under the frozen quantizer: either the Python
+    centroid list (literal/BLAS dispatch, the original path) or a lazy
+    1-row centroid artifact (``plans.similarity._cents_row`` output) —
+    the latter keeps a just-trained quantizer's Lloyd chain and the
+    assignment inside ONE Spark action (round 11; bit-identical fold
+    arithmetic either way)."""
+    if centroids_row is not None:
+        from ubparquet_spark.plans.similarity import lazy_assign
+
+        return lazy_assign(df, centroids_row)
+    from ubparquet_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_blas,
+    )
+
+    assign = assign_clusters if len(centroids) <= 128 else assign_clusters_blas
+    return assign(df, centroids)
+
+
 def corpus_cell_index(
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     *,
     cell_cap: int | None = None,
+    centroids_row: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus's (vec_id, cell, dvec, norm) index under the FROZEN
     ``centroids``, with over-full cells (> ``cell_cap`` members) already
@@ -184,18 +209,13 @@ def corpus_cell_index(
     ``corpus_cells`` — otherwise each ingest pays a corpus assignment
     pass. ``cell_cap=None`` keeps every cell (used by the equivalence
     test; production should cap)."""
-    from ubparquet_spark.operators.kmeans import (
-        assign_clusters,
-        assign_clusters_blas,
-    )
-
-    assign = assign_clusters if len(centroids) <= 128 else assign_clusters_blas
     idx = _with_dvec_norm(
-        assign(
+        _assign_frozen(
             corpus.select("vec_id", "embedding").filter(
                 F.col("embedding").isNotNull()
             ),
             centroids,
+            centroids_row,
         ).select("vec_id", F.col("cluster").alias("cell"), "embedding")
     )
     if cell_cap is None:
@@ -211,11 +231,12 @@ def corpus_cell_index(
 def incremental_semdedup(
     incoming: DataFrame,
     corpus: DataFrame,
-    centroids: list[list[float]],
+    centroids: list[list[float]] | None,
     *,
     threshold: float | None = None,
     cell_cap: int | None = None,
     corpus_cells: DataFrame | None = None,
+    centroids_row: DataFrame | None = None,
 ) -> DataFrame:
     """Decision table for ``incoming`` embeddings (needs ``vec_id``,
     ``embedding``; ids MUST be disjoint from ``corpus`` ids): one row per
@@ -247,22 +268,18 @@ def incremental_semdedup(
         threshold = SEMDEDUP_THRESHOLD
     if cell_cap is None:
         cell_cap = SEMDEDUP_CELL_CAP
-    from ubparquet_spark.operators.kmeans import (
-        assign_clusters,
-        assign_clusters_blas,
-    )
-
-    assign = assign_clusters if len(centroids) <= 128 else assign_clusters_blas
     inc_nn = incoming.select("vec_id", "embedding").filter(
         F.col("embedding").isNotNull()
     )
     inc = _with_dvec_norm(
-        assign(inc_nn, centroids).select(
+        _assign_frozen(inc_nn, centroids, centroids_row).select(
             "vec_id", F.col("cluster").alias("cell"), "embedding"
         )
     )
     corp = (
-        corpus_cell_index(corpus, centroids, cell_cap=cell_cap)
+        corpus_cell_index(
+            corpus, centroids, cell_cap=cell_cap, centroids_row=centroids_row
+        )
         if corpus_cells is None
         else corpus_cells
     )

@@ -105,7 +105,7 @@ def verify_pairs_jaccard(
     so the candidate-generation subplan (LSH banding) does not re-execute
     per reference. The candidate table is O(duplicate pairs): the same
     magnitude the connected-components step already checkpoints."""
-    pairs = pairs.select("src", "dst").localCheckpoint(eager=True)
+    pairs = pairs.select("src", "dst").localCheckpoint(eager=False)
     ids = pairs.select(F.col("src").alias("doc_id")).unionByName(
         pairs.select(F.col("dst").alias("doc_id"))
     )

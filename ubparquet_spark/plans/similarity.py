@@ -419,6 +419,11 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL embeddings are excluded at the scan in BOTH engines (the
     # trainer cannot seed from a NULL row, and a NULL distance would
     # otherwise pick an engine-dependent "nearest" cluster)
+    # round-11 A/B note: the lazy in-plan Lloyd chain (lazy_lloyd_cents,
+    # adopted for the SemDeDup family) was MEASURED SLOWER here (1.7 s →
+    # 3.1 s best-of-3 at sf0.1): at k = 4 the literal-centroid plans are
+    # tiny and the lazy chain's extra broadcast/AQE stages cost more than
+    # the two driver collects they remove — the driver loop stays.
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
@@ -1335,11 +1340,109 @@ def _materialize_working_set(df: DataFrame) -> DataFrame:
     return df
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ubparquet_spark.operators.kmeans import (
-        assign_clusters,
-        assign_clusters_blas,
+def _cents_row(cents_df: DataFrame) -> DataFrame:
+    """Fold a (c int, cvec array<double>) centroid table into the ONE-row
+    broadcastable ``cents`` array-of-structs the argmin expression scans."""
+    return cents_df.agg(
+        F.sort_array(F.collect_list(F.struct("c", "cvec"))).alias("_cents")
     )
+
+
+_LAZY_ARGMIN = (
+    "array_min(transform(_cents, s -> struct("
+    " aggregate(zip_with({v}, s.cvec, (x, y) ->"
+    "  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),"
+    "  CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
+    " s.c AS c))).c"
+)
+
+
+def lazy_assign(
+    df: DataFrame, cents_row: DataFrame, out_col: str = "cluster"
+) -> DataFrame:
+    """``df`` + ``out_col``: nearest-centroid id against the 1-row
+    ``cents_row`` artifact — the LAZY twin of ``operators.kmeans.
+    assign_clusters``. Same fold arithmetic ((CAST(x AS DOUBLE) - y)²
+    left-fold over doubles), same struct-argmin lowest-id tie-break, same
+    NULL-vector → NULL contract, so assignments are bit-identical; the
+    centroids ride a broadcast crossJoin instead of a plan literal, which
+    keeps the whole Lloyd chain inside ONE Spark job (no per-round
+    driver collect) and keeps k·d doubles out of the expression tree."""
+    best = F.expr(_LAZY_ARGMIN.format(v="embedding"))
+    return (
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn(
+            out_col, F.when(F.col("embedding").isNotNull(), best)
+        )
+        .drop("_cents")
+    )
+
+
+def _lazy_rounded_update(
+    assigned: DataFrame, cents_df: DataFrame, cluster_col: str = "cluster"
+) -> DataFrame:
+    """LAZY twin of ``_rounded_update``: per-cluster mean rounded 6 dp;
+    empty clusters keep their previous centroid via the LEFT join —
+    returns the next (c, cvec) centroid table without an action.
+
+    The mean is computed as ``d`` per-column ``avg`` aggregates in ONE
+    (cluster)-keyed exchange, not posexplode → (cluster, dim) groupBy →
+    (cluster) re-group: the explode form shuffles d rows per cluster per
+    mapper through TWO exchanges (guide §2.3/§2.4 — same values, 2×
+    stages); per-element avgs are the identical partial-aggregated
+    double means, rounded 6 dp like every centroid update."""
+    # posexplode → (cluster, dim) avg → re-group, matching _rounded_update
+    # exactly. An A/B against d per-column avg aggregates in one exchange
+    # (ABAB, 4 process pairs) measured the explode form consistently
+    # FASTER here despite the extra exchange — the 64 array-extract agg
+    # buffers cost more per row than the explode at this dim count — so
+    # the bit-matching shape also wins on time.
+    means = (
+        assigned.select(cluster_col, F.posexplode("embedding").alias("dim", "v"))
+        .groupBy(cluster_col, "dim")
+        .agg(roundn(F.avg(F.col("v").cast("double")), 6).alias("m"))
+        .groupBy(cluster_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("mvec")
+        )
+    )
+    return cents_df.join(
+        F.broadcast(means), cents_df["c"] == means[cluster_col], "left"
+    ).select("c", F.coalesce("mvec", "cvec").alias("cvec"))
+
+
+def lazy_lloyd_cents(
+    train: DataFrame,
+    init_cents: list[list[float]],
+    rounds: int = SEMDEDUP_ROUNDS,
+) -> DataFrame:
+    """``rounds`` rounded Lloyd iterations over ``train`` built as ONE
+    lazy plan (the Spark twin of the oracle's unrolled CTE chain): the
+    centroid state stays a k-row DataFrame, each round is
+    assign → rounded update → coalesce-with-previous, and nothing
+    executes until the consumer's single action. Replaces the former
+    per-round ``collect()`` driver loop, whose job-submission +
+    k·d-literal planning overhead dominated the family at bench scale
+    (BENCHNOTES round 11) — per-round arithmetic is unchanged, so
+    centroids (and every downstream assignment) are bit-identical.
+    Returns the final (c int, cvec array<double>) table."""
+    spark = train.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(init_cents)],
+        "c int, cvec array<double>",
+    )
+    for _ in range(rounds):
+        assigned = lazy_assign(
+            train.select("embedding"), _cents_row(cents_df)
+        )
+        cents_df = _lazy_rounded_update(assigned, cents_df)
+    return cents_df
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ubparquet_spark.operators.kmeans import assign_clusters_blas
 
     # round-8 NULL-payload policy: semantic dedup covers vectors that
     # EXIST — NULL embeddings excluded at the scan in BOTH engines.
@@ -1363,16 +1466,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = [[float(v) for v in r.embedding] for r in init]
     if not cents:
         return spark.createDataFrame([], "vec_id long, cell int, keep int")
-    assign = assign_clusters if len(cents) <= 128 else assign_clusters_blas
-    for _ in range(SEMDEDUP_ROUNDS):
-        cents = _rounded_update(assign(train, cents), cents)
+    if len(cents) <= 128:
+        # round-11 (guide §2.4/§5): the Lloyd rounds + final assignment run
+        # as ONE lazy plan — 3 driver-synchronized jobs (2 Lloyd collects +
+        # the final action) fuse into one action; arithmetic unchanged.
+        cents_row = _cents_row(lazy_lloyd_cents(train, cents))
+        assigned = lazy_assign(emb, cents_row, out_col="cell")
+    else:
+        # large-k path: per-round BLAS GEMM assignment (Arrow) — the
+        # k·d work per row is real here and the driver loop stays
+        for _ in range(SEMDEDUP_ROUNDS):
+            cents = _rounded_update(assign_clusters_blas(train, cents), cents)
+        assigned = assign_clusters_blas(emb, cents).withColumnRenamed(
+            "cluster", "cell"
+        )
     # precompute double vec + norm once (the q_semantic_dedup trick): each
     # O(n·CELL_TARGET) pair comparison is then pure codegen arithmetic
     assigned = (
-        assign(emb, cents)
-        .select(
+        assigned.select(
             "vec_id",
-            F.col("cluster").alias("cell"),
+            "cell",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
         )
         .withColumn(
@@ -1581,10 +1694,7 @@ Q_SEMANTIC_DEDUP_SCALED_SQL = Q_SEMANTIC_DEDUP_SQL
 
 
 def q_semantic_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ubparquet_spark.operators.kmeans import (
-        assign_clusters,
-        assign_clusters_blas,
-    )
+    from ubparquet_spark.operators.kmeans import assign_clusters_blas
     from ubparquet_spark.plans.text import quality_cols
 
     docs_q = load_table(spark, sf_dir, "documents").select(
@@ -1609,14 +1719,20 @@ def q_semantic_dedup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "vec_id long, cell int, quality double, keep int"
         )
-    assign = assign_clusters if len(cents) <= 128 else assign_clusters_blas
-    for _ in range(SEMDEDUP_ROUNDS):
-        cents = _rounded_update(assign(train, cents), cents)
+    if len(cents) <= 128:
+        # round-11: lazy in-plan Lloyd + assignment (see q_semantic_dedup)
+        cents_row = _cents_row(lazy_lloyd_cents(train, cents))
+        assigned = lazy_assign(emb, cents_row, out_col="cell")
+    else:
+        for _ in range(SEMDEDUP_ROUNDS):
+            cents = _rounded_update(assign_clusters_blas(train, cents), cents)
+        assigned = assign_clusters_blas(emb, cents).withColumnRenamed(
+            "cluster", "cell"
+        )
     assigned = (
-        assign(emb, cents)
-        .select(
+        assigned.select(
             "vec_id",
-            F.col("cluster").alias("cell"),
+            "cell",
             "quality",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("dvec"),
         )
@@ -1710,10 +1826,7 @@ INCR_SEM_REM = 7
 
 def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.functions.incremental import incremental_semdedup
-    from ubparquet_spark.operators.kmeans import (
-        assign_clusters,
-        assign_clusters_blas,
-    )
+    from ubparquet_spark.operators.kmeans import assign_clusters_blas
 
     emb = (
         load_table(spark, sf_dir, "embeddings")
@@ -1735,9 +1848,15 @@ def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id long, cell int, verdict string, n_matches long,"
             " best_match long",
         )
-    assign = assign_clusters if len(cents) <= 128 else assign_clusters_blas
+    if len(cents) <= 128:
+        # round-11: lazy in-plan Lloyd (see q_semantic_dedup) — training
+        # and both frozen assignments fuse into the consumer's one action
+        cents_row = _cents_row(lazy_lloyd_cents(train, cents))
+        return incremental_semdedup(
+            incoming, corpus, None, centroids_row=cents_row
+        )
     for _ in range(SEMDEDUP_ROUNDS):
-        cents = _rounded_update(assign(train, cents), cents)
+        cents = _rounded_update(assign_clusters_blas(train, cents), cents)
     return incremental_semdedup(incoming, corpus, cents)
 
 
@@ -2018,6 +2137,13 @@ def q_semantic_dedup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Dispatch on k_eff, not k1·k2: the ceil in k2 can push k1·k2 up to
     # k1-1 past k_eff, which would flip to BLAS inside the promised
     # fold-parity range.
+    # round-11 A/B note: a fully-lazy two-level chain (both levels trained
+    # and assigned in one action, the oracle's CTE shape) was MEASURED
+    # SLOWER (6.2 s → 9.7 s best-of-3 at sf0.1, 18 → 35 jobs): the two
+    # levels reference the level-1 chain from five subtrees, and the
+    # resulting broadcast/AQE stage fan-out outweighs the removed driver
+    # collects. The driver loop (bounded k_eff-row artifacts per collect)
+    # stays; the one-level family DID win from the lazy chain and uses it.
     if k_eff > 128:
         assign1, assign2 = assign_clusters_blas, assign_subclusters_blas
     else:
