@@ -1070,7 +1070,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_cents",
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def quartile(df: DataFrame, keys: list, out: str) -> DataFrame:
@@ -1819,7 +1819,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         life.select((F.col("d1") - F.col("d0")).alias("t"), "d1")
         .groupBy("t", "d1")
         .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     horizon = hist0.agg(F.max("d1").alias("dmax"))
     c = (F.col("dmax") - F.col("d1") < CENSOR_DAYS).cast("int")
@@ -2895,7 +2895,7 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(F.coalesce(F.sum("vc"), F.lit(0)).alias("rc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(

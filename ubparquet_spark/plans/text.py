@@ -583,7 +583,7 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").cast("long").alias("n_tokens"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # tot_sq folds over the source-sorted list — a plain SUM of doubles
     # is layout/order-dependent on both engines; |sources| rows, so the
@@ -1980,7 +1980,7 @@ def _bpe_word_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # vocab-size artifact; every round folds + recounts over it — at
         # 100 TB this is the one corpus pass followed by vocab-local rounds
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
 
@@ -2063,7 +2063,7 @@ def bpe_train(
             )
         since_ckpt += len(picked)
         if since_ckpt >= checkpoint_every:
-            words = words.localCheckpoint(eager=True)
+            words = words.localCheckpoint(eager=False)
             since_ckpt = 0
     return merges, words
 
@@ -3247,7 +3247,7 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # signatures + shingle sets ONLY for candidate docs (semi-join
     # prefilter), joined through ONE melt — the verify_pairs_jaccard
@@ -3772,7 +3772,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(UNIGRAM_LM_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     trans = base.select(
         "doc_id",
@@ -3792,7 +3792,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cb"))
         .orderBy(F.desc("cb"), F.asc("prev"), F.asc("cur"))
         .limit(BIGRAM_LM_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scored = (
         trans.join(
@@ -4261,7 +4261,7 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), F.asc("w"))
         .limit(KL_VOCAB_K)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # only top-K tokens are ever read downstream — the broadcast leftsemi
     # gate BEFORE the (source, token) groupBy keeps that exchange at
@@ -4271,8 +4271,8 @@ def q_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cs"))
     )
-    n_total = stot.agg(F.sum("ns").alias("n")).localCheckpoint()
-    sources = stot.localCheckpoint()
+    n_total = stot.agg(F.sum("ns").alias("n")).localCheckpoint(eager=False)
+    sources = stot.localCheckpoint(eager=False)
     # full |sources| × K grid so absent tokens contribute their smoothed
     # mass (both artifacts are bounded — grid rows = sources · K)
     grid = (
@@ -4449,7 +4449,7 @@ def q_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = (
         docs.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     langs = obs.groupBy("lang").agg(F.sum("o").alias("rl"))
     sources = obs.groupBy("source").agg(F.sum("o").alias("cs"))
@@ -4547,7 +4547,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = (
         docs.select("source", F.explode(F.split("text", " ")).alias("w"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("nv"))
     a, b = st.alias("a"), st.alias("b")
@@ -5065,7 +5065,7 @@ def q_lang_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("lang", _lang_pred_expr().alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()  # tiny (#langs² rows); consumed by 3 branches
+        .localCheckpoint(eager=False)  # tiny (#langs² rows); consumed by 3 branches
     )
     n_total = conf.agg(F.sum("n").alias("n_total"))
     diag = conf.filter(F.col("lang") == F.col("pred_lang")).agg(

@@ -2765,7 +2765,7 @@ def q_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_brand").alias("src"), F.col("b.p_brand").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     wn = edges.join(F.broadcast(outw), "src").select(
@@ -3169,7 +3169,7 @@ def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = (
         ob.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("p_brand")).alias("bs"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_orders = sets.agg(F.count(F.lit(1)).alias("n_orders"))
     singles = sets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
@@ -3756,7 +3756,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= TRIANGLE_MIN_CO)
         .select("u", "v")
-        .localCheckpoint()  # ≤ C(|brands|,2) rows; truncates the corpus plan
+        .localCheckpoint(eager=False)  # ≤ C(|brands|,2) rows; truncates the corpus plan
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
@@ -3939,7 +3939,7 @@ def q_kendall_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("f"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     a, b = cells.alias("a"), cells.alias("b")
     pq = a.join(b, F.col("a.x") < F.col("b.x")).agg(
