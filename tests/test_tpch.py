@@ -99,3 +99,30 @@ def test_bootstrap_ci_statistics(spark, sf_dir):
     # 1.96*se is the CLT half-width; B=32 replicas put generous slack on
     # the percentile estimate but the magnitude must be right
     assert 0.5 * 1.96 * se < half < 2.5 * 1.96 * se, (half, 1.96 * se)
+
+
+@pytest.mark.parametrize("name", ["q_brand_pagerank", "q_triangle_count"])
+def test_graph_distributed_path_matches_local(spark, sf_dir, name):
+    """Round-11 size dispatch: below _GRAPH_LOCAL_EDGE_CAP the brand-graph
+    tails (PageRank power iterations, triangle counting) run as driver
+    integer arithmetic over the collected bounded edge list instead of the
+    in-plan broadcast-join chains. Force the in-plan path (cap -1) and
+    assert both strategies produce identical rows and schemas on real
+    data."""
+    import ubparquet_spark.plans.tpch as t
+
+    fn = getattr(t, name)
+    local_df = fn(spark, sf_dir)
+    local = sorted(map(tuple, local_df.collect()))
+    assert local, "corpus produced no brand graph — fixture regression"
+    old = t._GRAPH_LOCAL_EDGE_CAP
+    t._GRAPH_LOCAL_EDGE_CAP = -1
+    try:
+        dist_df = fn(spark, sf_dir)
+        dist = sorted(map(tuple, dist_df.collect()))
+    finally:
+        t._GRAPH_LOCAL_EDGE_CAP = old
+    assert dist == local
+    assert [(f.name, f.dataType) for f in dist_df.schema.fields] == [
+        (f.name, f.dataType) for f in local_df.schema.fields
+    ]

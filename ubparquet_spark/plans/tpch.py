@@ -30,6 +30,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2749,6 +2751,55 @@ PAGERANK_ROUNDS = 3
 _PR_ONE = 10**12        # rank unit
 _PR_PPM = 10**6         # edge-weight normalization grain
 
+# Below this many edge rows the brand-graph queries (PageRank power
+# iterations, triangle count) finish on the driver over the collected edge
+# list instead of the in-plan join chains (round 11, guide §1.2/§5, same
+# size dispatch as functions/dedup_clusters): the in-plan forms cost 2+
+# sequential broadcast-build jobs per iteration/aggregate branch on a
+# ≤C(brands,2)-row artifact — pure driver-synchronization overhead. The
+# edge table is brand-pair grain (a bounded model artifact, like
+# centroids/codebooks), the collect is additionally limit-bounded by
+# construction, and the arithmetic is ALL-INTEGER (floor divisions of
+# non-negative ints), so the driver result is bit-identical to the in-plan
+# chain. Above the cap the lazy plans run unchanged — the
+# arbitrarily-large-graph path is untouched.
+_GRAPH_LOCAL_EDGE_CAP = int(
+    os.environ.get("UBSPARK_GRAPH_LOCAL_EDGE_CAP", 500_000)
+)
+
+
+def _local_pagerank(spark: SparkSession, edge_rows: list) -> DataFrame:
+    """Driver power iterations over a bounded, already-collected weighted
+    edge list — value-identical to the unrolled in-plan rounds (same
+    integer floor-division arithmetic on non-negative operands)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("brand", T.StringType()),
+            T.StructField("n_neighbors", T.LongType(), False),
+            T.StructField("pagerank", T.DoubleType()),
+        ]
+    )
+    if not edge_rows:
+        return spark.createDataFrame([], schema)
+    ow: dict = {}
+    deg: dict = {}
+    for src, dst, w in edge_rows:
+        ow[src] = ow.get(src, 0) + w
+        deg[src] = deg.get(src, 0) + 1
+    wn = [(src, dst, (w * _PR_PPM) // ow[src]) for src, dst, w in edge_rows]
+    nodes = list(ow)
+    n = len(nodes)
+    r = {b: _PR_ONE // n for b in nodes}
+    for _ in range(PAGERANK_ROUNDS):
+        s: dict = {}
+        for src, dst, wnv in wn:
+            s[dst] = s.get(dst, 0) + (r[src] * wnv) // _PR_PPM
+        r = {b: 150000000000 // n + (s.get(b, 0) * 85) // 100 for b in nodes}
+    rows = [(b, deg[b], r[b] / float(_PR_ONE)) for b in nodes]
+    return spark.createDataFrame(rows, schema)
+
 
 def q_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = _order_brand_pairs(spark, sf_dir)
@@ -2767,6 +2818,12 @@ def q_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .localCheckpoint(eager=False)
     )
+    # size dispatch in ONE bounded job (limit(cap+1) can never pull more
+    # than cap+1 rows; <= cap returned rows IS the full edge list)
+    if _GRAPH_LOCAL_EDGE_CAP >= 0:
+        head = edges.limit(_GRAPH_LOCAL_EDGE_CAP + 1).collect()
+        if len(head) <= _GRAPH_LOCAL_EDGE_CAP:
+            return _local_pagerank(spark, [(e["src"], e["dst"], e["w"]) for e in head])
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     wn = edges.join(F.broadcast(outw), "src").select(
         "src", "dst",
@@ -3758,6 +3815,36 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=False)  # ≤ C(|brands|,2) rows; truncates the corpus plan
     )
+    # size dispatch (see _GRAPH_LOCAL_EDGE_CAP): the corpus aggregation runs
+    # distributed inside this ONE bounded job; the three count branches and
+    # the triple self-join — pure set arithmetic on the bounded artifact —
+    # finish on the driver instead of 3 more broadcast-build jobs
+    if _GRAPH_LOCAL_EDGE_CAP >= 0:
+        head = edges.limit(_GRAPH_LOCAL_EDGE_CAP + 1).collect()
+        if len(head) <= _GRAPH_LOCAL_EDGE_CAP:
+            from pyspark.sql import types as T
+
+            es = [(e["u"], e["v"]) for e in head]
+            eset = set(es)
+            succ: dict = {}
+            nodes = set()
+            for u, v in es:
+                succ.setdefault(u, []).append(v)
+                nodes.add(u)
+                nodes.add(v)
+            n_tri = sum(
+                1 for u, v in es for w in succ.get(v, ()) if (u, w) in eset
+            )
+            schema = T.StructType(
+                [
+                    T.StructField("n_nodes", T.LongType(), False),
+                    T.StructField("n_edges", T.LongType(), False),
+                    T.StructField("n_triangles", T.LongType(), False),
+                ]
+            )
+            return spark.createDataFrame(
+                [(len(nodes), len(es), n_tri)], schema
+            )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
         e3,
