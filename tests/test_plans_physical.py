@@ -86,12 +86,17 @@ def test_time_range_join_is_equi_join(spark, sf_dir):
     assert "HashJoin" in plan or "SortMergeJoin" in plan
 
 
-def test_rank_windows_have_no_whole_group_partition(spark, sf_dir):
+def test_rank_windows_have_no_whole_group_partition(spark, sf_dir, monkeypatch):
     """q_order_price_ranks must never sort a whole priority group in one
     window task, and must shuffle the orders table exactly once (the range
     partition): no rank/row_number window over the full table, and no
     second exchange keyed on the slice id. (The offsets windows partition
-    by priority alone, but run over n_tasks rows, not n_rows.)"""
+    by priority alone, but run over n_tasks rows, not n_rows.) The round-11
+    materialize-once checkpoint truncates the visible plan at the range
+    partition, so flip it off here to assert the full underlying shape."""
+    from ubparquet_spark.operators import ranks
+
+    monkeypatch.setattr(ranks, "_CHECKPOINT", False)
     plan = plan_text(tpch.q_order_price_ranks(spark, sf_dir))
     assert "rangepartitioning" in plan
     # no per-row ranking window exists anywhere in the plan

@@ -42,6 +42,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: materialize-once checkpoints inside ranked()/blocked_cumsum(). Always on
+#: in production; plan-shape tests flip it off to inspect the otherwise
+#: checkpoint-truncated range-partition subtree (semantics-neutral either
+#: way — the flag only controls whether the artifact is reused or re-derived).
+_CHECKPOINT = True
+
+
+def _maybe_checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=False) if _CHECKPOINT else df
+
 
 def _shuffle_partitions(df: DataFrame) -> int:
     """Shuffle-partition count with a fallback for non-numeric confs
@@ -121,12 +131,20 @@ def ranked(
     sort_cols = [*part_cols, *order_cols]
     if num_partitions is None:
         num_partitions = _shuffle_partitions(df)
+    # lazy checkpoint (round 11, guide §2.4): the sorted slice feeds BOTH
+    # the offset branch and the final join — without it, column pruning
+    # specializes the two subtrees into two separate range Exchanges (no
+    # ReuseExchange), so the input executed 3x (range-bound sampling +
+    # two map stages) and shuffled 2x. With it the input executes once
+    # for sampling (which materializes the artifact) and both consumers
+    # read the one artifact. Same rationale as blocked_cumsum below.
     local = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_g", F.monotonically_increasing_id())
     )
+    local = _maybe_checkpoint(local)
     per_task_group = local.groupBy("_pid", *part_cols).agg(
         F.min("_g").alias("_min_g"),
         F.max("_g").alias("_max_g"),
@@ -227,12 +245,20 @@ def blocked_cumsum(
     # (inherent to localCheckpoint): the artifact lives on executor local
     # storage, not a reliable store — an executor loss mid-job fails the
     # job rather than recomputing the lineage.
+    # input checkpoint (round 11): a range exchange executes its child
+    # TWICE — once for RangePartitioner's bound-sampling pass, once for
+    # the real map stage. Every caller passes an aggregated distribution
+    # here, so without this the groupBy (and its shuffle) ran twice per
+    # call; the sampling pass now materializes the artifact and the map
+    # stage reads it back. The artifact is distinct-value grain — the
+    # same magnitude the range shuffle moves anyway.
+    df = _maybe_checkpoint(df)
     local = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
     )
+    local = _maybe_checkpoint(local)
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     per_task = local.groupBy("_pid", *part_cols).agg(
         *[F.sum(as_col(ic)).alias(f"_t_{name}") for name, (ic, _k) in sums.items()],
