@@ -558,7 +558,14 @@ def test_unigram_model_row_bounded_by_cap(spark, tmp_path):
     vocab_row, total_row = _unigram_model(docs)
     import pyspark.sql.functions as F
 
-    n_model = vocab_row.select(F.size(F.map_keys("vocab")).alias("n")).collect()[0].n
+    # round 11: the model row is a TWO-LEVEL map (hash bucket -> inner
+    # token map, O(√K) lookup) — the cap bounds the TOTAL entry count
+    # across the inner maps
+    n_model = vocab_row.select(
+        F.expr(
+            "aggregate(map_values(vocab), 0, (acc, m) -> acc + size(m))"
+        ).alias("n")
+    ).collect()[0].n
     assert n_model == UNIGRAM_LM_K  # capped, not the 6001-type vocab
     assert total_row.collect()[0].total == 600 * 11  # exact N, pre-cap
 

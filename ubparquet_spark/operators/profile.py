@@ -5,24 +5,32 @@ per column with row count, null count, exact distinct count and typed
 min/max — the first query anyone runs against an unfamiliar 100 TB
 table, and the backbone of schema-drift monitors.
 
-Plan shape (two scans, no Expand):
+Plan shape (round 11, guide §2.3): ONE aggregation branch PER COLUMN,
+unioned. Each branch scans only its own column (columnar source ⇒ the
+union's total I/O equals one scan of all profiled columns), computes
+count/nulls/min/max alongside a single ``countDistinct`` — ONE distinct
+aggregate never triggers the distinct-rewrite Expand that stacking N
+``countDistinct`` calls in one groupBy would (that rewrite multiplies
+the scan N× through an Expand node, the measured ~25× regression
+documented in ``plans/tpch.q_sketch_stats``) — and Spark plans it as
+partial-aggregate-by-value → exchange(value) → merge: fully parallel,
+map-side combined, memory O(distinct values per partition).
 
-1. typed pass — ONE aggregation computes every column's null count and
-   min/max (plain aggregates fuse into a single hash-aggregate; they
-   never trigger the distinct-rewrite Expand that stacking N
-   ``countDistinct`` calls in one groupBy would — that rewrite
-   multiplies the scan N× through an Expand node, the measured ~25×
-   regression documented in ``plans/tpch.q_sketch_stats``);
-2. distinct pass — columns unpivot to (column, value-as-string) long
-   format (a narrow map), then ``groupBy(column, value)`` with map-side
-   combine collapses duplicates before ONE shuffle, and a second-level
-   count per column yields every column's exact distinct count from a
-   single exchange.
+This replaced the round-9 two-pass form (typed aggregate + ONE
+long-format ``(column, value-as-string)`` unpivot shuffle for all
+distinct counts): the long format exploded N struct rows per input row
+and cast every value to string before the exchange, so the shuffle
+carried wide strings where the per-column branches shuffle NATIVE
+values (a bigint column's distinct set moves as 8-byte longs, guide
+§2.3 "narrower types") with no ``column`` tag and no explode.
+Measured at sf0.1 on lineitem ×11 columns: 4.61 s → 2.14 s best-of-3
+(plans/r11/q_profile_lineitem_{before,after}.txt); the union's
+branches are independent stages that backfill each other's tails.
 
-Exact distinct over a near-unique column shuffles ~its full value set;
-for monitoring at extreme scale swap pass 2 for
-``approx_count_distinct`` (rsd-bounded, one pass, no long format) — the
-exact form is the oracle-checkable default here.
+Exact distinct over a near-unique column still shuffles ~its full value
+set; for monitoring at extreme scale swap ``countDistinct`` for
+``approx_count_distinct`` (rsd-bounded, no value shuffle) — the exact
+form is the oracle-checkable default here.
 
 Min/max are computed on the NATIVE type (string min of a numeric column
 would order lexically) and stringified only for the uniform output
@@ -54,58 +62,25 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     ``|x| >= 1e7`` render in scientific notation (see module contract);
     keep oracle-compared double columns under that magnitude."""
     cols = list(cols) if cols is not None else list(df.columns)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in cols:
-        aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}")
+    # one branch per column: its scan prunes to that column alone, and the
+    # single countDistinct plans as partial-by-value → exchange → merge
+    # (no Expand — pinned by test_profile_table_no_expand_in_plan)
+    branches = [
+        df.select(F.col(c).alias("_v")).agg(
+            F.lit(c).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # sum over an empty table is NULL in both engines — no
+            # coalesce, matching the oracle's SUM(CASE ...) exactly
+            F.sum(F.col("_v").isNull().cast("long")).alias("n_null"),
+            F.countDistinct("_v").alias("n_distinct"),
+            F.min("_v").cast("string").alias("min_value"),
+            F.max("_v").cast("string").alias("max_value"),
         )
-        aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
-        aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
-    typed = df.agg(*aggs)
-    long_rows = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col(c).cast("string").alias("value"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("e")
-    ).select("e.column", "e.value")
-    distincts = (
-        long_rows.filter(F.col("value").isNotNull())
-        .groupBy("column", "value")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy("column")
-        .agg(F.count(F.lit(1)).alias("n_distinct"))
-    )
-    # ONE reference to the 1-row aggregate: explode it into per-column
-    # rows (a union of 11 selects would re-run the aggregation subtree
-    # once per branch — measured 26 Exchanges vs 3)
-    wide = typed.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("column"),
-                        F.col("n_rows").alias("n_rows"),
-                        F.col(f"_null_{c}").alias("n_null"),
-                        F.col(f"_min_{c}").alias("min_value"),
-                        F.col(f"_max_{c}").alias("max_value"),
-                    )
-                    for c in cols
-                ]
-            )
-        ).alias("e")
-    ).select("e.column", "e.n_rows", "e.n_null", "e.min_value", "e.max_value")
-    return wide.join(distincts, "column", "left").select(
-        "column",
-        "n_rows",
-        "n_null",
-        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
-        "min_value",
-        "max_value",
+        for c in cols
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "column", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
     )

@@ -157,11 +157,17 @@ def exact_quantiles_multi(
     column's non-null count. Output names must be globally unique."""
     keys = list(keys)
     cols = list(specs)
+    # _var is a TINYINT position id, not the column-name string (round 11,
+    # guide §2.3 narrower types): the tag rides every row of the exploded
+    # long format through the distribution shuffle and the range exchange,
+    # and the output names are applied from `specs` order at the end, so
+    # a 1-byte id carries the same information as the ~15-char name.
     structs = [
         F.struct(
-            F.lit(c).alias("_var"), F.col(c).cast("double").alias("_v")
+            F.lit(i).cast("tinyint").alias("_var"),
+            F.col(c).cast("double").alias("_v"),
         )
-        for c in cols
+        for i, c in enumerate(cols)
     ]
     base = df.select(*keys, F.explode(F.array(*structs)).alias("_e")).select(
         *keys, "_e._var", "_e._v"
@@ -190,6 +196,7 @@ def exact_quantiles_multi(
                 ).alias(f"_hi_{name}")
             )
     lvl = dist.groupBy(*keys, "_var").agg(*aggs)
+    var_id = {c: i for i, c in enumerate(cols)}
     value_cols = []
     for c, probs in specs.items():
         for name, p in probs.items():
@@ -197,13 +204,13 @@ def exact_quantiles_multi(
             frac = h - F.floor(h)
             lo, hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
             value_cols.append(
-                F.when(F.col("_var") == c, lo + (hi - lo) * frac).alias(name)
+                F.when(F.col("_var") == var_id[c], lo + (hi - lo) * frac).alias(name)
             )
     lvl = lvl.select(
         *keys,
         "_var",
         *value_cols,
-        F.when(F.col("_var") == cols[0], F.col("_n")).alias("_n0"),
+        F.when(F.col("_var") == var_id[cols[0]], F.col("_n")).alias("_n0"),
     )
     # collapse the var rows: each output name is non-null on exactly one row
     return lvl.groupBy(*keys).agg(

@@ -53,6 +53,21 @@ def _cosine(a: str, b: str) -> Column:
     return F.when(den > 0, _dot(a, b) / F.sqrt(den))
 
 
+def _cosine_pre(a: str, b: str, n2a: str, n2b: str) -> Column:
+    """``_cosine`` with both sides' SQUARED norms precomputed as columns
+    (round 11, guide §1.2 per-task work). In a pair join ``_cosine``
+    re-folds each side's O(d) norm per PAIR — and because the
+    ``when(den > 0, ...)`` guard is lambda-bearing (Spark's codegen
+    subexpression elimination skips expressions containing lambda
+    functions), ``den`` is folded once for the predicate and once for the
+    divide: ~5 O(d) folds per pair. With per-side n² computed once per
+    ROW before the join, the per-pair work is the ONE dot fold.
+    ``den = n2a * n2b`` multiplies the identical doubles ``_cosine``
+    would produce, so the result is bit-identical."""
+    den = F.col(n2a) * F.col(n2b)
+    return F.when(den > 0, _dot(a, b) / F.sqrt(den))
+
+
 def _sign_bucket(a: str, bits: int = LSH_SIGN_BITS, offset: int = 0) -> Column:
     """Sign-bit LSH bucket from ``bits`` dimensions starting at ``offset``."""
     terms = " + ".join(
@@ -85,10 +100,13 @@ def _sql_sign_bucket(a: str, bits: int = LSH_SIGN_BITS, offset: int = 0) -> str:
 # ---------------------------------------------------------------------------
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # per-side squared norms once per row; the pair stage folds only the dot
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_n2", _sq_norm("embedding")
+    )
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qvec"))
+        .select(F.col("embedding").alias("qvec"), F.col("_n2").alias("_qn2"))
     )
     scored = (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -97,7 +115,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             roundn(
-                _cosine("embedding", "qvec"),
+                _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
                 6,
             ).alias("cosine"),
         )
@@ -122,12 +140,18 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _sign_bucket("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", _sign_bucket("embedding"))
+        .withColumn("_n2", _sq_norm("embedding"))
     )
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+        .select(
+            F.col("embedding").alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+            F.col("_n2").alias("_qn2"),
+        )
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -137,7 +161,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "bucket",
             roundn(
-                _cosine("embedding", "qvec"),
+                _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
                 6,
             ).alias("cosine"),
         )
@@ -182,13 +206,16 @@ ANN_RECALL_QUERIES = 20
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket", _sign_bucket("embedding")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", _sign_bucket("embedding"))
+        .withColumn("_n2", _sq_norm("embedding"))
     )
     qs = emb.filter(F.col("vec_id") < ANN_RECALL_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("bucket").alias("qbucket"),
+        F.col("_n2").alias("_qn2"),
     )
     scored = emb.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
         "qid",
@@ -196,7 +223,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         "qbucket",
         roundn(
-            _cosine("embedding", "qvec"),
+            _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
             6,
         ).alias("cosine"),
     )
@@ -295,7 +322,8 @@ def embedding_neardup_pairs(
     all-zero embeddings or dead dimensions at 100 TB) instead of letting
     one hot bucket go quadratic — standard LSH practice: an over-full
     bucket carries no discriminating signal."""
-    emb = emb.select("vec_id", "embedding")
+    # squared norm once per VECTOR, before the band explode duplicates rows
+    emb = emb.select("vec_id", "embedding", _sq_norm("embedding").alias("_n2"))
     band_structs = F.array(
         *[
             F.struct(
@@ -307,9 +335,9 @@ def embedding_neardup_pairs(
             for b in range(bands)
         ]
     )
-    e = emb.select("vec_id", "embedding", F.explode(band_structs).alias("_b")).select(
-        "vec_id", "embedding", "_b.band", "_b.bucket"
-    )
+    e = emb.select(
+        "vec_id", "embedding", "_n2", F.explode(band_structs).alias("_b")
+    ).select("vec_id", "embedding", "_n2", "_b.band", "_b.bucket")
     # window count over the same (band, bucket) shuffle the join needs —
     # a separate groupBy branch would re-execute the banding subplan; with
     # the window the a/b sides are identical and the exchange is reused
@@ -324,7 +352,7 @@ def embedding_neardup_pairs(
     a = e.alias("a")
     b = e.alias("b")
     cos = roundn(
-        _cosine("a.embedding", "b.embedding"),
+        _cosine_pre("a.embedding", "b.embedding", "a._n2", "b._n2"),
         6,
     )
     return (
@@ -564,9 +592,13 @@ N_QUERY_BATCH = 5
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_n2", _sq_norm("embedding")
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERY_BATCH).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("_n2").alias("_qn2"),
     )
     scored = (
         emb.crossJoin(F.broadcast(queries))
@@ -575,7 +607,7 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "vec_id",
             roundn(
-                _cosine("embedding", "qvec"),
+                _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
                 6,
             ).alias("cosine"),
         )
@@ -692,17 +724,20 @@ carr AS (
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = _label_centroids(emb)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_n2", _sq_norm("embedding")
+    )
+    cent = _label_centroids(emb.drop("_n2"))
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qvec"))
+        .select(F.col("embedding").alias("qvec"), F.col("_n2").alias("_qn2"))
     )
     best = (
         cent.crossJoin(F.broadcast(qv))
         .select(
             "label",
             "qvec",
+            "_qn2",
             roundn(
                 _cosine("centroid", "qvec"),
                 6,
@@ -710,7 +745,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cscore"), F.asc("label"))
         .limit(1)
-        .select("label", "qvec")
+        .select("label", "qvec", "_qn2")
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -719,7 +754,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             roundn(
-                _cosine("embedding", "qvec"),
+                _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
                 6,
             ).alias("cosine"),
         )
@@ -763,11 +798,13 @@ IVF_PROBES = 3
 
 
 def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    cent = _label_centroids(emb)
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_n2", _sq_norm("embedding")
+    )
+    cent = _label_centroids(emb.drop("_n2"))
     qv = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.col("embedding").alias("qvec"))
+        .select(F.col("embedding").alias("qvec"), F.col("_n2").alias("_qn2"))
     )
     w = Window.orderBy(F.desc("cscore"), F.asc("label"))
     probes = (
@@ -775,6 +812,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label",
             "qvec",
+            "_qn2",
             roundn(
                 _cosine("centroid", "qvec"),
                 6,
@@ -784,7 +822,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(IVF_PROBES)
         # window over <= P rows — the probe set, never the corpus
         .withColumn("probe_rank", F.row_number().over(w).cast("long"))
-        .select("label", "qvec", "probe_rank")
+        .select("label", "qvec", "_qn2", "probe_rank")
     )
     return (
         emb.filter(F.col("vec_id") != QUERY_VEC_ID)
@@ -794,7 +832,7 @@ def q_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "probe_rank",
             roundn(
-                _cosine("embedding", "qvec"),
+                _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
                 6,
             ).alias("cosine"),
         )
@@ -860,10 +898,15 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         " s.label AS c))).c"
     )
     vecs = emb.crossJoin(F.broadcast(cents1)).select(
-        "vec_id", "embedding", cell.alias("cell")
+        "vec_id",
+        "embedding",
+        cell.alias("cell"),
+        _sq_norm("embedding").alias("_n2"),
     )
     qs = vecs.filter(F.col("vec_id") < IVF_RECALL_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("_n2").alias("_qn2"),
     )
     # query-side cell ranking: queries × cells — tiny both sides
     qdist = roundn(
@@ -887,7 +930,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cell",
         roundn(
-            _cosine("embedding", "qvec"),
+            _cosine_pre("embedding", "qvec", "_n2", "_qn2"),
             6,
         ).alias("cosine"),
     )
@@ -1850,8 +1893,15 @@ def q_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if len(cents) <= 128:
         # round-11: lazy in-plan Lloyd (see q_semantic_dedup) — training
-        # and both frozen assignments fuse into the consumer's one action
-        cents_row = _cents_row(lazy_lloyd_cents(train, cents))
+        # and both frozen assignments fuse into the consumer's one action.
+        # The 1-row centroid artifact is lazily checkpointed because BOTH
+        # frozen assignments (batch + corpus index) reference it: without
+        # the checkpoint the whole training chain is inlined twice into
+        # the plan (planned and staged twice even when the broadcast is
+        # reused). Measured ABAB at sf0.1: 5.49/4.79 → 4.40/4.65 s.
+        cents_row = _cents_row(lazy_lloyd_cents(train, cents)).localCheckpoint(
+            eager=False
+        )
         return incremental_semdedup(
             incoming, corpus, None, centroids_row=cents_row
         )
@@ -2564,7 +2614,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
+        "vec_id", "embedding", "label", _sq_norm("embedding").alias("_n2")
     )
     band_structs = F.array(
         *[
@@ -2578,8 +2628,8 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     e = emb.select(
-        "vec_id", "embedding", "label", F.explode(band_structs).alias("_b")
-    ).select("vec_id", "embedding", "label", "_b.band", "_b.bucket")
+        "vec_id", "embedding", "label", "_n2", F.explode(band_structs).alias("_b")
+    ).select("vec_id", "embedding", "label", "_n2", "_b.band", "_b.bucket")
     # cap computed over the FULL bucket population (before the anchor
     # gate) on the same (band, bucket) shuffle the join reuses
     w = Window.partitionBy("band", "bucket")
@@ -2595,7 +2645,7 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.filter(F.col("vec_id") % HN_ANCHOR_MOD == 0).alias("a")
     b = e.hint("shuffle_hash").alias("b")
     cos = roundn(
-        _cosine("a.embedding", "b.embedding"),
+        _cosine_pre("a.embedding", "b.embedding", "a._n2", "b._n2"),
         6,
     )
     pairs = (
@@ -2753,21 +2803,29 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     half = F.expr("slice(embedding, 1, CAST(size(embedding) DIV 2 AS INT))")
-    base = emb.select("vec_id", "embedding", half.alias("hvec"))
+    base = emb.select("vec_id", "embedding", half.alias("hvec")).select(
+        "vec_id",
+        "embedding",
+        "hvec",
+        _sq_norm("embedding").alias("_n2f"),
+        _sq_norm("hvec").alias("_n2h"),
+    )
     qs = base.filter(F.col("vec_id") < MATRYOSHKA_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("hvec").alias("qh"),
+        F.col("_n2f").alias("_qn2f"),
+        F.col("_n2h").alias("_qn2h"),
     )
     scored = base.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
         roundn(
-            _cosine("embedding", "qvec"),
+            _cosine_pre("embedding", "qvec", "_n2f", "_qn2f"),
             6,
         ).alias("cf"),
         roundn(
-            _cosine("hvec", "qh"),
+            _cosine_pre("hvec", "qh", "_n2h", "_qn2h"),
             6,
         ).alias("ch"),
     )

@@ -1181,17 +1181,22 @@ def q_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = SPAN_K
     docs = load_table(spark, sf_dir, "documents")
+    # round 11: toks feed the span branch AND the final n_tokens join —
+    # materialize the split once (guide §2.4)
     base = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
-    )
-    # size >= k guard: sequence(1, n<=0) yields [1, 0] (step -1)
+    ).localCheckpoint(eager=False)
+    # size >= k guard: sequence(1, n<=0) yields [1, 0] (step -1).
+    # gkey is unhex(16-hex-md5-prefix) — an 8-byte BINARY bijection of
+    # the oracle's hex-string key (identical groups by construction),
+    # halving the key bytes through the window shuffle (guide §2.3)
     spans = base.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"if(size(toks) >= {k},"
                 f" transform(sequence(1, size(toks) - {k} + 1),"
-                f" i -> substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 16)),"
+                f" i -> unhex(substring(md5(array_join(slice(toks, i, {k}), ' ')), 1, 16))),"
                 " array())"
             )
         ).alias("pos0", "gkey"),
@@ -1281,12 +1286,23 @@ FROM base b LEFT JOIN covered c USING (doc_id)
 # Shared with q_bigram_logprob's unigram term (defined here because this
 # module initializes Q_UNIGRAM_LOGPROB_SQL at import time).
 UNIGRAM_LM_K = 4096
+#: hash buckets of the two-level model map — ~√K balances outer scan
+#: against inner-map size (Spark maps are array-backed: element_at is a
+#: LINEAR scan, so a flat K-entry map costs O(K) string compares PER
+#: TOKEN once the cap binds; two levels cost ~B + K/B ≈ 2√K — the
+#: operators/pq two-level-IMI bound. Round 11, guide §1.2 per-task work;
+#: measured 0.74 → 0.59 s on the sf0.1 scoring pass even with the cap
+#: not yet binding. Lookup results are identical — same (token, cnt)
+#: entries, just sharded by xxhash64 bucket — so scores are bit-identical
+#: and the DuckDB oracle's flat MAP form is untouched.)
+_UNIGRAM_LM_B = 64
 
 
 def _unigram_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(capped 1-row token->count map, 1-row exact total) — both
-    broadcastable artifacts; the map holds at most UNIGRAM_LM_K entries
-    regardless of corpus vocabulary."""
+    """(capped 1-row two-level token->count map, 1-row exact total) —
+    both broadcastable artifacts; the model holds at most UNIGRAM_LM_K
+    entries regardless of corpus vocabulary, sharded into _UNIGRAM_LM_B
+    inner maps keyed by pmod(xxhash64(token), B) for O(√K) lookup."""
     base = docs.select(F.split("text", " ").alias("toks"))
     total = base.agg(
         F.coalesce(F.sum(F.size("toks")), F.lit(0)).cast("long").alias("total")
@@ -1297,19 +1313,35 @@ def _unigram_model(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(UNIGRAM_LM_K)
+        .groupBy(
+            F.pmod(F.xxhash64("token"), F.lit(_UNIGRAM_LM_B)).alias("_h")
+        )
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("token", "cnt"))
+            ).alias("_m")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_h", "_m"))
             ).alias("vocab")
         )
     )
     return vocab, total
 
 
+#: the two-level lookup: outer bucket by token hash, inner by token; a
+#: missing bucket yields NULL → coalesce 0, same as a missing token
+_UNI_CNT_SPARK = (
+    "coalesce(element_at(element_at(vocab,"
+    f" pmod(xxhash64(t), {_UNIGRAM_LM_B})), t), 0)"
+)
+
 # One transition's ln p under the capped add-1 model — keep the Spark and
-# DuckDB expression text in lockstep (identical IEEE op chain).
+# DuckDB expression text in lockstep (identical IEEE op chain; the count
+# the lookup feeds into it is the identical integer either way).
 _UNI_LNP_SPARK = (
-    "ln(CAST(coalesce(element_at(vocab, t), 0) + 1 AS DOUBLE)"
+    f"ln(CAST({_UNI_CNT_SPARK} + 1 AS DOUBLE)"
     f" / CAST(total + {UNIGRAM_LM_K} AS DOUBLE))"
 )
 _UNI_LNP_DUCK = (
@@ -1330,7 +1362,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(F.col("toks"))
     freq_sum = F.expr(
         "aggregate(toks, CAST(0 AS BIGINT),"
-        " (acc, t) -> acc + coalesce(element_at(vocab, t), 0) + 1)"
+        f" (acc, t) -> acc + {_UNI_CNT_SPARK} + 1)"
     )
     return docs.withColumn("toks", F.split("text", " ")).crossJoin(
         F.broadcast(vocab)
@@ -2505,6 +2537,12 @@ def _bloom_member_expr(
 
 def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # round 11 (guide §2.4 materialize-once): the shingle arrays feed the
+    # benchmark branch (collected below to build the filter), the
+    # candidate branch, AND the verify join's bench side — without the
+    # checkpoints the 3-gram build ran ~3× and the bench explode+distinct
+    # subplan re-executed inside the final action. Both artifacts are
+    # what the Bloom collect materializes anyway.
     base = docs.withColumn("toks", F.split("text", " ")).withColumn(
         "grams",
         F.array_distinct(
@@ -2515,11 +2553,12 @@ def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " array())"
             )
         ),
-    )
+    ).select("doc_id", "grams").localCheckpoint(eager=False)
     bench = (
         base.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("g"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     # bounded driver artifact: the held-out benchmark's distinct shingles;
     # m tracks the gram count so the FP rate stays constant as the
@@ -3447,7 +3486,12 @@ def _dsir_weights(
         f" transform(sequence(1, size(toks) - 1), i -> {_dsir_bucket(width)}),"
         " array())"
     )
-    with_b = base.select("doc_id", "_is_t", buckets_expr.alias("bs"))
+    # round 11 (guide §2.4 materialize-once): the bucket arrays feed BOTH
+    # the model build (explode → groupBy) and the scoring pass — without
+    # the checkpoint each branch re-tokenizes and re-hashes every bigram
+    with_b = base.select(
+        "doc_id", "_is_t", buckets_expr.alias("bs")
+    ).localCheckpoint(eager=False)
     model = (
         with_b.select("_is_t", F.explode("bs").alias("b"))
         .groupBy("b")
@@ -3479,13 +3523,23 @@ def _dsir_weights(
             "tr",
             "tt",
         )
+        # round 11 (guide §1.2 per-task work): hoist the per-bucket
+        # log-ratio into the one-row model — the scoring fold then adds a
+        # looked-up double instead of evaluating 2 ln() per bigram. The
+        # addend ln((at_b+1)/(tt+w)) − ln((ar_b+1)/(tr+w)) is computed
+        # from the identical doubles, once per bucket instead of once per
+        # bigram occurrence, so every doc's sum is bit-identical.
+        .select(
+            F.expr(
+                "zip_with(ar, at, (r, t) ->"
+                f" ln(CAST(t + 1 AS DOUBLE) / CAST(tt + {width} AS DOUBLE))"
+                f" - ln(CAST(r + 1 AS DOUBLE) / CAST(tr + {width} AS DOUBLE)))"
+            ).alias("lw")
+        )
     )
     logw = F.expr(
-        "aggregate(bs, CAST(0.0 AS DOUBLE), (acc, b) -> acc +"
-        " (ln(CAST(element_at(at, CAST(b + 1 AS INT)) + 1 AS DOUBLE)"
-        f"    / CAST(tt + {width} AS DOUBLE))"
-        "  - ln(CAST(element_at(ar, CAST(b + 1 AS INT)) + 1 AS DOUBLE)"
-        f"    / CAST(tr + {width} AS DOUBLE))))"
+        "aggregate(bs, CAST(0.0 AS DOUBLE),"
+        " (acc, b) -> acc + element_at(lw, CAST(b + 1 AS INT)))"
     )
     return with_b.crossJoin(F.broadcast(model)).select(
         "doc_id",
@@ -3577,10 +3631,20 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.withColumn("toks", F.split("text", " ")).select(
-        "doc_id",
-        F.explode(F.expr(_SETSIM_SHINGLES)).alias("token"),
+    # round 11 (guide §2.4 materialize-once): the shingle arrays feed BOTH
+    # the prefix-index branch (explode → token shuffle) and the verify
+    # branch (md5-hash transform) — computing `split` + the 3-gram
+    # transform twice per doc was the largest per-task cost. One lazy
+    # checkpoint of (doc_id, shingles) makes both branches read a single
+    # materialized artifact; same expressions on both paths, so the
+    # output is bit-identical. Measured ABAB at sf0.1: 4.15/3.19 s →
+    # 2.99/1.87 s best-of-3.
+    shingled = (
+        docs.withColumn("toks", F.split("text", " "))
+        .select("doc_id", F.expr(_SETSIM_SHINGLES).alias("_sh"))
+        .localCheckpoint(eager=False)
     )
+    tok = shingled.select("doc_id", F.explode("_sh").alias("token"))
     # tokens are distinct per doc, so the per-token row count IS the df;
     # the window rides the token shuffle (the ngram_jaccard_pairs trick)
     tok = tok.withColumn(
@@ -3642,10 +3706,10 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 2^-60 hash collision (the DuckDB oracle intersects the STRINGS, so
     # a collision would surface as a hash mismatch — none observed).
     hashed = (
-        f"transform({_SETSIM_SHINGLES},"
+        "transform(_sh,"
         " t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
     )
-    sets = docs.withColumn("toks", F.split("text", " ")).select(
+    sets = shingled.select(
         "doc_id", F.expr(hashed).alias("s")
     ).withColumn("n", F.size("s"))
     sa = sets.select(
@@ -4169,20 +4233,34 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0)
         ),
     )
+    # round 11 (guide §1.2 per-task work): the t/s folds are lambda-bearing
+    # `aggregate` expressions, which Spark's subexpression elimination
+    # SKIPS — with plain projections the optimizer collapses them into one
+    # Project where the filter's t, e9's two t references and s each
+    # re-inline the full 26-replace counts array (~4 evaluations per row,
+    # measured 1.9-2.9 s). Each explode(array(...)) is a Generate barrier:
+    # its output is a real attribute, so cnts is built once and t/s are
+    # folded once per row, then e9 reads struct fields. Same expressions,
+    # bit-identical output; measured 1.28 s best-of-3 at sf0.1.
+    bound = docs.select("source", F.explode(F.array(counts)).alias("cnts"))
     perdoc = (
-        docs.select("source", counts.alias("cnts"))
-        .withColumn("t", t)
-        .filter(F.col("t") > 0)
-        .withColumn(
-            "e9",
+        bound.select(
+            "source",
+            F.explode(
+                F.array(F.struct(t.alias("t"), s.alias("s")))
+            ).alias("_ts"),
+        )
+        .filter(F.col("_ts.t") > 0)
+        .select(
+            "source",
             F.floor(
                 (
-                    F.log(F.col("t").cast("double"))
-                    - s / F.col("t").cast("double")
+                    F.log(F.col("_ts.t").cast("double"))
+                    - F.col("_ts.s") / F.col("_ts.t").cast("double")
                 )
                 * 1e9
                 + F.lit(0.5)
-            ).cast("long"),
+            ).cast("long").alias("e9"),
         )
     )
     return perdoc.groupBy("source").agg(
