@@ -313,18 +313,18 @@ _MH_A = (1103515245, 1566083941, 784588716, 1481765933, 1184016393, 920419823)
 _MH_B = (12345, 362436069, 521288629, 88675123, 5783321, 6615241)
 
 
-def minhash_band_keys(docs: DataFrame) -> DataFrame:
-    """Per-doc LSH band keys: (doc_id, band_id, band_key) — one row per
-    (doc, band). The reusable first stage of a dedup pipeline: group on
-    (band_id, band_key) for bucket stats (``q_minhash_lsh_buckets``) or
-    self-join on it for candidate pairs
-    (``functions.minhash_dedup.lsh_candidate_pairs``)."""
-    # materialize the token array once — Spark does not eliminate the
-    # repeated split() inside lambda bodies, and tokenization dominates.
-    # (A conditional repartition to widen the single-split local scan was
-    # measured SLOWER here — the extra exchange costs more than the now-
-    # cheap signature map; on a real lake file splits parallelize it.)
-    base = (
+def minhash_shingle_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, bases): the tokenize + per-shingle-md5 first stage
+    of every MinHash consumer — split once (Spark does not eliminate the
+    repeated split() inside lambda bodies, and tokenization dominates),
+    hash each 3-gram shingle once. Exposed so a caller that needs BOTH
+    the band keys and per-doc signatures/shingle sets
+    (``q_minhash_jaccard_est``) can checkpoint ONE artifact instead of
+    re-tokenizing + re-hashing per branch (round 11, guide §2.4).
+    ``bases`` keeps positional duplicates — ``array_min`` is
+    duplicate-insensitive, so signatures off this base equal signatures
+    off the distinct shingle set."""
+    return (
         docs.withColumn("toks", F.split("text", " "))
         # a doc with < 3 tokens has NO shingles: it must emit NO bands.
         # Without this filter its empty signature collapses to a single
@@ -344,7 +344,24 @@ def minhash_band_keys(docs: DataFrame) -> DataFrame:
                 " array())"
             ),
         )
+        .select("doc_id", "toks", "bases")
     )
+
+
+def minhash_band_keys(
+    docs: DataFrame, *, base: DataFrame | None = None
+) -> DataFrame:
+    """Per-doc LSH band keys: (doc_id, band_id, band_key) — one row per
+    (doc, band). The reusable first stage of a dedup pipeline: group on
+    (band_id, band_key) for bucket stats (``q_minhash_lsh_buckets``) or
+    self-join on it for candidate pairs
+    (``functions.minhash_dedup.lsh_candidate_pairs``). ``base`` accepts a
+    precomputed (possibly checkpointed) :func:`minhash_shingle_base`.
+    (A conditional repartition to widen the single-split local scan was
+    measured SLOWER here — the extra exchange costs more than the now-
+    cheap signature map; on a real lake file splits parallelize it.)"""
+    if base is None:
+        base = minhash_shingle_base(docs)
     sigs = base.select(
         "doc_id",
         *[
@@ -3262,6 +3279,11 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # round 11 (guide §2.4): ONE checkpointed (doc_id, toks, bases)
+    # artifact feeds the banding branch AND the per-candidate signature/
+    # shingle-set build below — previously each branch re-split and
+    # re-md5-hashed its shingles from the raw text.
+    shingle_base = minhash_shingle_base(docs).localCheckpoint(eager=False)
     # candidate pairs: capped band buckets, self-joined with the
     # shuffle_hash hint so ReusedExchange computes the banding subplan
     # ONCE (the lsh_candidate_pairs technique); pairs are a bounded
@@ -3269,7 +3291,7 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream reference
     wb = Window.partitionBy("band_id", "band_key")
     capped = (
-        minhash_band_keys(docs)
+        minhash_band_keys(docs, base=shingle_base)
         .withColumn("_bn", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bn") <= MINHASH_EST_BUCKET_CAP)
         .drop("_bn")
@@ -3290,12 +3312,15 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # signatures + shingle sets ONLY for candidate docs (semi-join
     # prefilter), joined through ONE melt — the verify_pairs_jaccard
-    # shape: tokenization cost is proportional to candidates, not corpus
+    # shape: the checkpointed shingle_base already carries toks + hashed
+    # bases, so the candidate build re-derives only the gram STRINGS
+    # (array_join slices — no re-split, no re-md5); the signature mins
+    # run over the positional (non-distinct) bases, which give the same
+    # minima as the distinct set (array_min is duplicate-insensitive).
     ids = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
-    cand_docs = docs.join(ids, "doc_id", "leftsemi")
-    base = cand_docs.withColumn("toks", F.split("text", " ")).withColumn(
+    base = shingle_base.join(ids, "doc_id", "leftsemi").withColumn(
         "grams",
         F.array_distinct(
             F.expr(
@@ -3304,13 +3329,6 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> array_join(slice(toks, i, 3), ' ')),"
                 " array())"
             )
-        ),
-    ).withColumn(
-        "bases",
-        F.expr(
-            "transform(grams,"
-            " g -> pmod(CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT),"
-            f" {_MH_P}))"
         ),
     )
     sig_tab = base.select(
@@ -4088,9 +4106,11 @@ def _rrf_tf_expr(tokens_sql: str) -> str:
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # round 11 (guide §2.4): the tokenized corpus feeds BOTH retrieval
+    # branches (BM25 lexical + hashed-TF dense) — materialize it once
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens_col()).alias("dl"), tokens_col().alias("toks")
-    )
+    ).localCheckpoint(eager=False)
     # lexical branch: BM25 pool + rank (window over the <=POOL-row artifact)
     lex = (
         _bm25_scored(docs)
@@ -4103,7 +4123,15 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
         .alias("lex_rank"),
     )
-    # dense branch: hashed-TF cosine of each doc against the query text
+    # dense branch: hashed-TF cosine of each doc against the query text.
+    # round 11 (guide §1.2, the q_char_entropy technique): the _d TF fold
+    # is O(tokens × DIM) and lambda-bearing — codegen subexpression
+    # elimination skips it, so with plain projections the filter's dot,
+    # the cosine's dot and nd each re-inlined the full fold (~4
+    # evaluations/row). explode(array(...)) Generate barriers bind _d and
+    # then the (dot, nd, nq) triple once per row; same expressions per
+    # evaluation → bit-identical output. Measured ABAB at sf0.1:
+    # 2.68/1.93 → 1.58/1.51 s (with the shared-docs checkpoint above).
     qtext = " ".join(BM25_TERMS)
     dot = F.expr(
         "aggregate(zip_with(_d, _q, (x, y) -> x * y),"
@@ -4117,14 +4145,29 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(_q, _q, (x, y) -> x * y),"
         " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
     )
-    dense = (
+    d0 = (
         docs.filter(F.size("toks") > 0)
-        .withColumn("_d", F.expr(_rrf_tf_expr("toks")))
-        .withColumn("_q", F.expr(_rrf_tf_expr(f"split('{qtext}', ' ')")))
-        .withColumn("_dot", dot)
-        .filter(F.col("_dot") > 0)
         .select(
-            "doc_id", roundn(F.col("_dot") / F.sqrt(nd * nq), 6).alias("cosine")
+            "doc_id",
+            F.explode(F.array(F.expr(_rrf_tf_expr("toks")))).alias("_d"),
+        )
+        .withColumn("_q", F.expr(_rrf_tf_expr(f"split('{qtext}', ' ')")))
+    )
+    d1 = d0.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(dot.alias("dot"), nd.alias("nd"), nq.alias("nq"))
+            )
+        ).alias("_s"),
+    )
+    dense = (
+        d1.filter(F.col("_s.dot") > 0)
+        .select(
+            "doc_id",
+            roundn(
+                F.col("_s.dot") / F.sqrt(F.col("_s.nd") * F.col("_s.nq")), 6
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), "doc_id")
         .limit(RRF_POOL)
