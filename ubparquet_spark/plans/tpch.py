@@ -2957,15 +2957,34 @@ def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_type is a known handful of values << n_tasks: pin the blocked
     # strategy (what round-8 auto-dispatch would pick) instead of paying
     # its approx_count_distinct probe job twice per run.
-    med = exact_quantiles(
-        ev, ["event_type"], "value", {"med": 0.5}, high_cardinality_keys=False
-    ).select("event_type", "med")
+    # round 11 #23 (guide §2.4 / §5): med and mad are K-row (one per
+    # event_type) artifacts each consumed by TWO broadcast builds — med by
+    # the MAD machinery's distribution pass and by the final aggregation's
+    # dev rebuild, mad by the final pass. Without the lazy checkpoints each
+    # consumer re-executed the artifact's whole quantile chain (the #22
+    # A/B rejected checkpointing the FACT-grain dev frame; the K-row
+    # artifacts are the right grain — negligible storage, measured action
+    # 1.35–2.57 s → 0.38–0.58 s ABAB at sf0.1). At 100 TB each removed
+    # re-execution is a full value-distribution pass over events.
+    med = (
+        exact_quantiles(
+            ev, ["event_type"], "value", {"med": 0.5},
+            high_cardinality_keys=False,
+        )
+        .select("event_type", "med")
+        .localCheckpoint(eager=False)
+    )
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = exact_quantiles(
-        dev, ["event_type"], "adev", {"mad": 0.5}, high_cardinality_keys=False
-    ).select("event_type", "mad")
+    mad = (
+        exact_quantiles(
+            dev, ["event_type"], "adev", {"mad": 0.5},
+            high_cardinality_keys=False,
+        )
+        .select("event_type", "mad")
+        .localCheckpoint(eager=False)
+    )
     is_out = (F.col("adev") > F.lit(ROBUST_K) * F.col("mad")).cast("int")
     return (
         dev.join(F.broadcast(mad), "event_type")
