@@ -41,69 +41,71 @@ def entry(spark: SparkSession) -> DataFrame:
 #     queries are never unverified, only un-refreshed in the driver
 #     artifact.
 #
-# ROUND-11 ROTATION (executes VERDICT r10 "Next round" #1):
-#   1. round-11 registrations (never driver-checked) — exactly 4, inside
-#      the 6/round cap: the incremental SemDeDup decision plus the three
-#      statistics candidates staged in round 10;
-#   2. the first 46 (alphabetical) of the 50-query r07-stale cohort —
-#      the remainder (q_value_sanity, q_volume_anomaly, q_weighted_sample,
-#      q_zorder_cells) leads the round-12 window per the partial-cohort
-#      rule above.
+# ROUND-12 ROTATION (executes VERDICT r11 "Next round" #8; no new
+# registrations this optimization round, so the never-checked tier is
+# empty):
+#   1. the 4-query remainder of the r07-stale cohort (the partial-cohort
+#      rule: q_value_sanity, q_volume_anomaly, q_weighted_sample,
+#      q_zorder_cells — their newest driver row is still r07);
+#   2. the first 46 (alphabetical) of the 50-query cohort whose newest
+#      driver row is r08 — the remainder (q_stratified_sample,
+#      q_string_funcs, q_top_orders_per_customer, q_unpivot_metrics)
+#      leads the round-13 window.
 # After this round no registry query's newest driver row predates r08
 # except that 4-query remainder.
 _CHECK_FIRST = [
-    # -- round-11 registrations (never driver-checked)
-    "q_incremental_semdedup",
-    "q_theilsen_trend",
-    "q_kendall_qty_disc",
-    "q_theil_index",
-    # -- the first 46 of the 50 queries whose newest driver row is r07
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_order_count_histogram",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q18_large_volume_orders",
-    "q19_disjunctive",
-    "q1_pricing_summary",
-    "q2_min_cost_parts",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q_above_avg_balance",
-    "q_asof_prev_click",
-    "q_bigram_pmi",
-    "q_boilerplate_shingles",
-    "q_cube_orders",
-    "q_dau_mau",
-    "q_dedup_cluster_sizes",
-    "q_doc_dedup_decisions",
-    "q_doc_embedding",
-    "q_events_time_rollup",
-    "q_events_user_mode",
-    "q_events_voxelize",
-    "q_exact_quantiles",
-    "q_fiducial_cut",
-    "q_first_touch",
-    "q_grouping_sets",
-    "q_incremental_dedup",
-    "q_jl_projection",
-    "q_key_integrity",
-    "q_lang_mismatch",
-    "q_linear_quality",
-    "q_ngram_jaccard_pairs",
-    "q_order_price_ranks",
-    "q_paragraph_dedup",
-    "q_paragraph_dedup_text",
-    "q_price_qty_corr",
-    "q_reservoir_per_group",
-    "q_rfm_segments",
-    "q_rollup_revenue",
-    "q_semantic_dedup_2level",
-    "q_source_concentration",
-    "q_token_drift",
+    # -- r07-stale remainder (partial-cohort rule)
+    "q_value_sanity",
+    "q_volume_anomaly",
+    "q_weighted_sample",
+    "q_zorder_cells",
+    # -- the first 46 of the 50 queries whose newest driver row is r08
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_assoc_rules",
+    "q_attribution_window",
+    "q_autocorr_daily",
+    "q_benford_prices",
+    "q_bigram_logprob",
+    "q_bm25_topk",
+    "q_bootstrap_ci",
+    "q_bpe_encode",
+    "q_bpe_merges",
+    "q_bpe_vocab",
+    "q_brand_pagerank",
+    "q_canonicalize_keys",
+    "q_centroid_drift",
+    "q_char_entropy",
+    "q_contamination_bloom",
+    "q_cumulative_revenue",
+    "q_customers_without_orders",
+    "q_dedup_audit",
+    "q_distinct_segments",
+    "q_event_pairs_10min",
+    "q_events_dow",
+    "q_events_funnel",
+    "q_events_gap_fill",
+    "q_incremental_stats",
+    "q_late_orders_semi",
+    "q_latest_event_per_user",
+    "q_mod_sample",
+    "q_neighbor_degree",
+    "q_order_gaps",
+    "q_order_qty_profile",
+    "q_pii_redaction",
+    "q_pivot_user_events",
+    "q_point_lookup",
+    "q_price_stats",
+    "q_priority_remap",
+    "q_ref_integrity",
+    "q_regex_source_buckets",
+    "q_rolling_7day_revenue",
+    "q_sanity_bounds",
+    "q_semantic_dedup",
+    "q_semantic_dedup_smallk",
+    "q_set_ops_customers",
+    "q_small_quantity_revenue",
+    "q_spatial_pairs",
 ]
 
 

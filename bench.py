@@ -41,18 +41,29 @@ def main() -> None:
     # the minimum robust to one bad sample per query.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
     for name, fn in sorted(qs.items()):
         best, n = None, 0
+        times: list[float] = []
         try:
             for _ in range(reps):
+                # TIMING INVARIANT (pinned by tests/test_bench_contract.py):
+                # the timed region covers query CONSTRUCTION + the collect.
+                # Several queries use bounded size-dispatch collects at
+                # construction time (dedup CC tails, brand-graph tails,
+                # k-means init) — that is real corpus work and MUST stay
+                # inside the clock; moving construction out would turn the
+                # dispatch pattern into untimed precomputation (gaming).
                 t0 = time.perf_counter()
                 n = len(fn(spark, sf_dir).collect())
                 dt = time.perf_counter() - t0
+                times.append(round(dt, 3))
                 best = dt if best is None else min(best, dt)
         except Exception as e:  # keep benching even if one query breaks
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
+        rep_times[name] = times
         print(f"bench: {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -122,8 +133,13 @@ def main() -> None:
     full_path = os.environ.get("SPARK_GRAFT_BENCHFULL", default_path)
     if full_path:
         try:
+            # the persisted artifact ADDITIONALLY carries every rep's wall
+            # time (round 12, VERDICT r11 "Next round" #6): per-query spike
+            # adjudication (the episodic 2-6x tail pattern, BENCHNOTES) is
+            # then post-hoc computable from one run instead of manual
+            # re-runs. The printed one-line JSON above is unchanged.
             with open(full_path, "w") as f:
-                json.dump(payload, f, indent=1, sort_keys=True)
+                json.dump({**payload, "rep_times": rep_times}, f, indent=1, sort_keys=True)
                 f.write("\n")
         except OSError as e:
             print(f"bench: could not write {full_path}: {e}", file=sys.stderr)

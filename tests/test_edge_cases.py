@@ -197,8 +197,22 @@ _EXTREME_SQL = dict(
 
 def _oracle_parity_check(spark, dst: str, duck_paths: dict) -> list[str]:
     """Require every registered query to run against ``dst`` AND every
-    oracled query to hash-match DuckDB reading ``duck_paths[table]``."""
+    oracled query to hash-match DuckDB reading ``duck_paths[table]``.
+
+    The per-query checks run from a small thread pool (round 12, VERDICT
+    r11 #7 — guide §2.6 "overlap independent jobs"): each check is an
+    independent Spark action over a tiny corpus whose wall time is almost
+    entirely driver-synchronized planning + stage scheduling, so
+    concurrent submission back-fills the idle executors and cuts the
+    sweep wall ~3-4x with IDENTICAL coverage (every registered query,
+    every oracle, same hashes — results are order-insensitive by
+    construction). py4j releases the GIL during JVM calls and SparkSession
+    is thread-safe for concurrent actions; DuckDB gets one cursor per
+    task (cursors share the parent connection's catalog). Set
+    UBSPARK_TEST_PAR=1 to force the old sequential behaviour."""
     import hashlib
+    import os
+    from concurrent.futures import ThreadPoolExecutor
 
     import duckdb
 
@@ -218,18 +232,31 @@ def _oracle_parity_check(spark, dst: str, duck_paths: dict) -> list[str]:
         return hashlib.sha256(p.to_csv(index=False).encode()).hexdigest()[:12]
 
     oracles = entry.oracle_sql()
-    failures = []
-    for name, fn in entry.queries().items():
+
+    def check(item) -> str | None:
+        name, fn = item
         try:
             pdf = fn(spark, dst).toPandas()
         except Exception as e:
-            failures.append(f"{name}: THREW {str(e).splitlines()[0][:120]}")
-            continue
+            return f"{name}: THREW {str(e).splitlines()[0][:120]}"
         if name not in oracles:
-            continue
-        if vhash(pdf) != vhash(con.sql(oracles[name]).df()):
-            failures.append(f"{name}: hash mismatch ({len(pdf)} rows)")
-    return failures
+            return None
+        cur = con.cursor()
+        try:
+            if vhash(pdf) != vhash(cur.sql(oracles[name]).df()):
+                return f"{name}: hash mismatch ({len(pdf)} rows)"
+        finally:
+            cur.close()
+        return None
+
+    workers = int(os.environ.get("UBSPARK_TEST_PAR", "6"))
+    items = list(entry.queries().items())
+    if workers <= 1:
+        results = [check(it) for it in items]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(check, items))
+    return [r for r in results if r]
 
 
 def _oracle_parity_sweep(spark, dst: str, table_sql: dict) -> list[str]:
