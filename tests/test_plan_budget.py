@@ -93,7 +93,13 @@ SHUFFLE_BUDGETS = {
     # columns halved the passes, re-flipping the round-3 A/B). The
     # exchanges are the artifact-scan window branch + offset branch +
     # the _pid-keyed window, each tiny or task-bounded.
-    "q_exact_quantiles": 5,
+    # RAISED 5 → 7 (round 12, justified): fuse_distribution — the
+    # distribution groupBy rides the blocked range exchange (its hash
+    # exchange is gone) and the checkpoint that hid the slice behind a
+    # LogicalRDD is removed, so the static plan counts the one range
+    # exchange once per consumer subtree. Executed adaptive plan shows
+    # ONE ReusedExchange (sf0.1): physical shuffles went DOWN by one.
+    "q_exact_quantiles": 7,
     # round-4 additions: recorded at registration
     "q_yoy_growth": 2,            # year rollup + 7-row lag window
     "q_interarrival_stats": 2,    # (user,type) lag window + type rollup
@@ -131,7 +137,14 @@ SHUFFLE_BUDGETS = {
     # range/offset exchanges (distinct-value grain), replacing an O(group
     # rows)-in-one-task buffer that was the suite's last fact-grain
     # single-task percentile. Results identical; wall a wash at sf0.1.
-    "q_sketch_stats": 7,
+    # RAISED 7 → 9 (round 12, justified): fuse_distribution removed the
+    # checkpoint that hid the blocked slice behind a LogicalRDD, so the
+    # STATIC plan now shows the one range exchange in both consumer
+    # subtrees (offset branch + final join). Physically it is ONE
+    # shuffle: the executed adaptive plan carries exactly one
+    # ReusedExchange (verified at sf0.1), and the hash(distribution)
+    # exchange is GONE — strictly fewer physical shuffles than round 11.
+    "q_sketch_stats": 9,
     "q_snapshot_diff": 2,
     "q12_service_levels": 1,
     "q17_small_qty_revenue": 2,
@@ -414,6 +427,35 @@ SHUFFLE_BUDGETS = {
     "q_rollup_revenue": 1,
     "q_semantic_dedup_2level": 1,
     "q_source_concentration": 2,
+    # round-12 window rotation: budgets recorded mechanically (current
+    # plan's count at sf0.01) for every newly-windowed _CHECK_FIRST
+    # member that lacked one — same policy as the round-9 block above.
+    "q_ann_ivf": 2,
+    "q_bpe_merges": 0,  # driver merge loop; the plan is the final map
+    "q_bpe_vocab": 1,
+    "q_customers_without_orders": 1,
+    "q_dedup_audit": 1,
+    "q_distinct_segments": 1,
+    "q_event_pairs_10min": 0,  # bucket self-join broadcasts at sf0.01
+    "q_events_dow": 1,
+    "q_events_funnel": 8,
+    "q_events_gap_fill": 2,
+    "q_late_orders_semi": 1,
+    "q_latest_event_per_user": 1,
+    "q_mod_sample": 1,
+    "q_neighbor_degree": 4,
+    "q_order_gaps": 2,
+    "q_order_qty_profile": 1,
+    "q_pivot_user_events": 2,
+    "q_price_stats": 1,
+    "q_priority_remap": 1,
+    "q_regex_source_buckets": 1,
+    "q_rolling_7day_revenue": 1,
+    "q_sanity_bounds": 2,
+    "q_set_ops_customers": 5,
+    "q_small_quantity_revenue": 2,
+    "q_value_sanity": 4,
+    "q_volume_anomaly": 3,
     # round-6 (settled at 4): the "before" counts ride blocked_cumsum
     # (bounded _pid window + offset branch) — the q_ks_test shape
     "q_mannwhitney_u": 4,
@@ -421,7 +463,12 @@ SHUFFLE_BUDGETS = {
     # blocked_cumsum, whose checkpointed artifact truncates the lazy
     # plan at the materialized distribution — the rank-join exchanges
     # and the 1-row Pearson collapse remain
-    "q_spearman_qty_price": 9,
+    # RAISED 9 → 11 (round 12, justified): the near-unique price side's
+    # midranks use fuse_distribution (hash(distribution) exchange gone,
+    # checkpoint removed) — the static plan double-counts the one range
+    # exchange across the two consumer subtrees; executed adaptive plan
+    # has ONE ReusedExchange (sf0.1). Physical shuffles net −1.
+    "q_spearman_qty_price": 11,
 }
 
 
