@@ -433,3 +433,119 @@ def test_high_cardinality_rejected_for_global_quantile(spark):
     df = spark.createDataFrame([(1.0,), (2.0,)], "v double")
     with pytest.raises(ValueError, match="global window"):
         exact_quantiles(df, [], "v", {"p50": 0.5}, high_cardinality_keys=True)
+
+
+def test_fuse_distribution_matches_default(spark):
+    """fuse_distribution=True (round 12) must be result-identical to the
+    default two-exchange plan — keyed, global, and multi-column forms —
+    including heavy ties (where the fused groupBy must still produce
+    complete per-value counts: RangePartitioner sends equal keys to one
+    partition)."""
+    import random
+
+    from ubparquet_spark.operators.quantiles import (
+        exact_quantiles,
+        exact_quantiles_multi,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (f"g{rng.randint(0, 3)}", round(rng.uniform(0, 100), 1), float(rng.randint(0, 5)))
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    probs = {"p25": 0.25, "p50": 0.5, "p99": 0.99}
+    for keys in (["k"], []):
+        a = exact_quantiles(df, keys, "v", probs, high_cardinality_keys=False)
+        b = exact_quantiles(
+            df, keys, "v", probs, high_cardinality_keys=False,
+            fuse_distribution=True,
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    specs = {"v": {"mv": 0.5}, "w": {"mw": 0.5, "qw": 0.25}}
+    a = exact_quantiles_multi(df, ["k"], specs)
+    b = exact_quantiles_multi(df, ["k"], specs, fuse_distribution=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_fuse_distribution_rejects_window_strategy(spark):
+    import pytest
+
+    from ubparquet_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    with pytest.raises(ValueError, match="blocked strategy"):
+        exact_quantiles(
+            df, ["k"], "v", {"p50": 0.5},
+            high_cardinality_keys=True, fuse_distribution=True,
+        )
+
+
+def test_blocked_cumsum_pre_partitioned_matches_default(spark):
+    """blocked_cumsum(pre_partitioned=True) over an upstream
+    repartitionByRange + riding groupBy equals the self-shuffling default
+    — the fuse_distribution contract at the operator level."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import (
+        _shuffle_partitions,
+        blocked_cumsum,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (f"g{rng.randint(0, 2)}", float(rng.randint(0, 50)))
+        for _ in range(3000)
+    ]
+    raw = spark.createDataFrame(rows, "k string, v double")
+    dist_default = raw.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    a = blocked_cumsum(
+        dist_default, ["v"], {"cum": ("c", "inclusive")},
+        part_cols=["k"], totals={"n": "c"},
+    )
+    pre = raw.repartitionByRange(_shuffle_partitions(raw), "k", "v")
+    dist_fused = pre.groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    b = blocked_cumsum(
+        dist_fused, ["v"], {"cum": ("c", "inclusive")},
+        part_cols=["k"], totals={"n": "c"}, pre_partitioned=True,
+    )
+    key = lambda r: (r.k, r.v)  # noqa: E731
+    assert sorted(map(tuple, a.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, b.collect()), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_ranked_checkpoint_skip_rule(spark):
+    """ranked() skips its materialize-once checkpoint exactly when every
+    input column is a sort key (round 12): the plan then keeps the range
+    exchange visible in both consumer subtrees (AQE reuses the shuffle at
+    runtime), while a payload column brings the checkpoint back. Results
+    are identical either way."""
+    from pyspark.sql import functions as F
+
+    from ubparquet_spark.operators.ranks import ranked
+
+    def plan(df):
+        sc = df.sparkSession.sparkContext
+        return sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # spark.range base: a local createDataFrame would itself scan an
+    # ExistingRDD and defeat the no-checkpoint plan assertion
+    df = spark.range(2000).select(
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("k"),
+        ((F.col("id") * 2654435761) % 1000003).alias("o"),
+        F.col("id").cast("double").alias("payload"),
+    )
+    slim = ranked(df.select("k", "o"), ["k"], ["o"], rank_col="r", n_col="n")
+    # no checkpoint: the sorted slice is NOT truncated to a LogicalRDD
+    assert "ExistingRDD" not in plan(slim)
+    assert plan(slim).count("rangepartitioning") >= 2  # visible in both subtrees
+    fat = ranked(df, ["k"], ["o"], rank_col="r", n_col="n")
+    assert "ExistingRDD" in plan(fat)
+    a = sorted((r.k, r.o, r.r, r.n) for r in slim.collect())
+    b = sorted((r.k, r.o, r.r, r.n) for r in fat.select("k", "o", "r", "n").collect())
+    assert a == b

@@ -48,6 +48,7 @@ def exact_quantiles(
     *,
     high_cardinality_keys: bool | None = None,
     n_keys: int | None = None,
+    fuse_distribution: bool = False,
 ) -> DataFrame:
     """Per-``keys`` exact quantiles of ``value_col``.
 
@@ -83,7 +84,19 @@ def exact_quantiles(
     is physical only. With ``keys=[]`` only the blocked strategy is
     bounded (the window variant would be a single-task global window),
     so ``high_cardinality_keys=True`` is rejected there and AUTO always
-    resolves to blocked."""
+    resolves to blocked.
+
+    ``fuse_distribution=True`` (round 12, guide §2.4; blocked strategy
+    only): ride the distribution groupBy on the SAME range exchange the
+    blocked running total needs — range-partition the raw (keys, value)
+    rows first, then aggregate (RangePartitioning satisfies the
+    aggregation's clustering requirement, so no second exchange). One
+    exchange instead of two. The trade is map-side partial aggregation:
+    the fused exchange carries raw rows, not pre-combined counts — right
+    when the value domain is NEAR-UNIQUE (prices, measurements: distinct
+    grain ~ row grain, so partial aggregation saved nothing), wrong for
+    bounded domains (keep the default: their distribution shuffle is
+    tiny). Result-identical either way (pinned by tests)."""
     keys = list(keys)
     if high_cardinality_keys and not keys:
         raise ValueError(
@@ -93,10 +106,19 @@ def exact_quantiles(
         )
     if high_cardinality_keys is None:
         high_cardinality_keys = use_plain_keyed_window(df, keys, n_keys=n_keys)
+    if fuse_distribution and high_cardinality_keys:
+        raise ValueError(
+            "fuse_distribution applies to the blocked strategy only"
+        )
     v = F.col(value_col).cast("double").alias("_v")
-    dist = df.select(*keys, v).groupBy(*keys, "_v").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
+    base = df.select(*keys, v)
+    if fuse_distribution:
+        from ubparquet_spark.operators.ranks import _shuffle_partitions
+
+        base = base.repartitionByRange(
+            _shuffle_partitions(base), *keys, "_v"
+        )
+    dist = base.groupBy(*keys, "_v").agg(F.count(F.lit(1)).alias("_c"))
     if high_cardinality_keys:
         from pyspark.sql import Window
 
@@ -115,6 +137,7 @@ def exact_quantiles(
             {"_cum": ("_c", "inclusive")},
             part_cols=keys,
             totals={"_n": "_c"},
+            pre_partitioned=fuse_distribution,
         )
     aggs = [F.max("_n").alias("_n")]
     for name, p in probs.items():
@@ -146,6 +169,8 @@ def exact_quantiles_multi(
     df: DataFrame,
     keys: Sequence[str],
     specs: Mapping[str, Mapping[str, float]],
+    *,
+    fuse_distribution: bool = False,
 ) -> DataFrame:
     """Exact quantiles of SEVERAL value columns in ONE scan.
 
@@ -154,7 +179,12 @@ def exact_quantiles_multi(
     once: the columns are unpivoted (explode of (var, value) structs — a
     narrow transform), the distribution groupBy keys on (keys, var, value),
     and the window partitions by (keys, var). ``n_rows`` reports the first
-    column's non-null count. Output names must be globally unique."""
+    column's non-null count. Output names must be globally unique.
+
+    ``fuse_distribution`` — as in :func:`exact_quantiles`: one range
+    exchange carries the exploded raw rows and the distribution groupBy
+    rides it (no hash exchange). Right when the value columns are
+    dominated by near-unique domains."""
     keys = list(keys)
     cols = list(specs)
     # _var is a TINYINT position id, not the column-name string (round 11,
@@ -172,6 +202,12 @@ def exact_quantiles_multi(
     base = df.select(*keys, F.explode(F.array(*structs)).alias("_e")).select(
         *keys, "_e._var", "_e._v"
     )
+    if fuse_distribution:
+        from ubparquet_spark.operators.ranks import _shuffle_partitions
+
+        base = base.repartitionByRange(
+            _shuffle_partitions(base), *keys, "_var", "_v"
+        )
     dist = base.groupBy(*keys, "_var", "_v").agg(F.count(F.lit(1)).alias("_c"))
     dist = blocked_cumsum(
         dist,
@@ -179,6 +215,7 @@ def exact_quantiles_multi(
         {"_cum": ("_c", "inclusive")},
         part_cols=[*keys, "_var"],
         totals={"_n": "_c"},
+        pre_partitioned=fuse_distribution,
     )
     # quantiles at the (keys, var) grain — h uses that var's own n
     aggs = [F.max("_n").alias("_n")]

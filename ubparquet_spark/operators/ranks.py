@@ -138,13 +138,28 @@ def ranked(
     # two map stages) and shuffled 2x. With it the input executes once
     # for sampling (which materializes the artifact) and both consumers
     # read the one artifact. Same rationale as blocked_cumsum below.
+    #
+    # Size-aware skip (round 12, guide §2.4/§5): when EVERY input column
+    # is a sort key, column pruning cannot specialize the two subtrees —
+    # the branch Exchanges stay byte-identical and AQE reuses the one
+    # shuffle's files (ReusedExchange), so the checkpoint's planning +
+    # materialization job buys nothing and just serializes the plan into
+    # an extra barrier (the measured q_order_price_ranks/q_price_deciles
+    # r11 regression). Cross-branch consistency of _pid/_g holds because
+    # (part_cols, order_cols) is a total order (in-partition row order is
+    # fully determined, so both branches assign identical ids) and the
+    # explicit numPartitions pins the shuffle against AQE re-layout.
+    # Callers with payload columns keep the checkpoint: their pruned
+    # subtrees would otherwise become two separate fact shuffles.
+    checkpoint = set(df.columns) != set(sort_cols)
     local = (
         df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
         .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_g", F.monotonically_increasing_id())
     )
-    local = _maybe_checkpoint(local)
+    if checkpoint:
+        local = _maybe_checkpoint(local)
     per_task_group = local.groupBy("_pid", *part_cols).agg(
         F.min("_g").alias("_min_g"),
         F.max("_g").alias("_max_g"),
@@ -194,6 +209,7 @@ def blocked_cumsum(
     part_cols: list[str] | None = None,
     totals: dict[str, str] | None = None,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """``df`` + exact running sums under ``order_cols``, distributed —
     global by default, per ``part_cols`` group when given.
@@ -234,6 +250,23 @@ def blocked_cumsum(
     n_tasks x n_groups rows and is broadcast. High-cardinality groups
     never have that pathology (their per-key partitions are small) and
     should keep the plain keyed window.
+
+    ``pre_partitioned=True`` (round 12, guide §2.4): the caller promises
+    ``df`` is ALREADY range-partitioned by ``sort_cols`` (a
+    ``repartitionByRange(n, *sort_cols)`` upstream, optionally with a
+    partitioning-preserving aggregation on the same keys above it —
+    RangePartitioning satisfies the groupBy's ClusteredDistribution, so
+    Catalyst inserts no second exchange). Then this operator adds NO
+    exchange and NO checkpoint of its own: it only sorts within the
+    existing partitions and runs the offset machinery. Correctness rests
+    on RangePartitioner's contract — partitions are contiguous,
+    non-overlapping key ranges (so ``_pid`` order IS global order) and
+    equal keys land in one partition (so a fused distribution groupBy is
+    complete per partition). The two consumers of the sorted slice
+    (offset aggregate + final join) re-run the post-shuffle work twice,
+    but AQE reuses the one shuffle's files (ReusedExchange), so no input
+    re-scan and no second shuffle — measured cheaper than a checkpoint
+    artifact at bench scale and strictly one less Exchange at any scale.
     """
     part_cols = list(part_cols or [])
     if num_partitions is None:
@@ -252,13 +285,20 @@ def blocked_cumsum(
     # call; the sampling pass now materializes the artifact and the map
     # stage reads it back. The artifact is distinct-value grain — the
     # same magnitude the range shuffle moves anyway.
-    df = _maybe_checkpoint(df)
-    local = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in sort_cols])
-        .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    local = _maybe_checkpoint(local)
+    if pre_partitioned:
+        local = df.sortWithinPartitions(
+            *[F.asc(c) for c in sort_cols]
+        ).withColumn("_pid", F.spark_partition_id())
+    else:
+        df = _maybe_checkpoint(df)
+        local = (
+            df.repartitionByRange(
+                num_partitions, *[F.col(c) for c in sort_cols]
+            )
+            .sortWithinPartitions(*[F.asc(c) for c in sort_cols])
+            .withColumn("_pid", F.spark_partition_id())
+        )
+        local = _maybe_checkpoint(local)
     as_col = lambda c: F.col(c) if isinstance(c, str) else c  # noqa: E731
     per_task = local.groupBy("_pid", *part_cols).agg(
         *[F.sum(as_col(ic)).alias(f"_t_{name}") for name, (ic, _k) in sums.items()],

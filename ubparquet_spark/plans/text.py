@@ -3193,6 +3193,11 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .withColumn("_nc", -F.col("c"))  # desc count == asc negated count
     )
+    # the payload count column keeps ranked()'s materialize-once
+    # checkpoint here — deliberate (round 12): vocab is an
+    # aggregate-grain artifact, so the checkpoint is cheap, while the
+    # checkpoint-free ReusedExchange variant re-plans the whole
+    # explode+groupBy subtree per branch (measured 3/3 slower ABAB)
     pts = ranked(vocab, [], ["_nc", "tok"], rank_col="rank", n_col="_n").select(
         F.expr(f"CAST(floor(ln(rank) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("x"),
         F.expr(f"CAST(floor(ln(c) * {_ZIPF_SCALE} + 0.5) AS BIGINT)").alias("y"),

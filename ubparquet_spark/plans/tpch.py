@@ -1506,6 +1506,9 @@ def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         {"_b0": lo_m, "_b1": hi_m, "_b2": lo_p, "_b3": hi_p},
         high_cardinality_keys=False,
+        # price cents are near-unique: the distribution groupBy rides the
+        # blocked range exchange (round 12, guide §2.4 — one exchange)
+        fuse_distribution=True,
     ).select("l_returnflag", "_b0", "_b1", "_b2", "_b3")
     agg = sketch.join(F.broadcast(exact_cd), "l_returnflag").join(
         F.broadcast(exact_q), "l_returnflag"
@@ -1778,6 +1781,10 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubparquet_spark.operators.quantiles import exact_quantiles_multi
 
     li = load_table(spark, sf_dir, "lineitem")
+    # fuse_distribution (round 12, guide §2.4): the exploded pass is
+    # dominated by near-unique price cents, so the distribution groupBy
+    # rides the blocked cumsum's range exchange — one fact-grain exchange
+    # instead of hash(distribution) + range(distribution).
     both = exact_quantiles_multi(
         li,
         ["l_returnflag"],
@@ -1785,6 +1792,7 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice": {"median_price": 0.5, "p90_price": 0.9},
             "l_discount": {"q1_discount": 0.25},
         },
+        fuse_distribution=True,
     )
     return both.select(
         "l_returnflag",
@@ -1848,7 +1856,12 @@ def q_order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then pure arithmetic on (rank, group size) — bit-identical output.
     from ubparquet_spark.operators.ranks import ntile_col, percent_rank_col, ranked
 
-    orders = load_table(spark, sf_dir, "orders")
+    # select exactly the sort keys (round 12): every column being a sort
+    # key means ranked() skips its slice checkpoint — the two consumer
+    # subtrees stay identical and AQE reuses the one range shuffle.
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
     r = ranked(
         orders,
         ["o_orderpriority"],
@@ -2966,10 +2979,14 @@ def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifacts are the right grain — negligible storage, measured action
     # 1.35–2.57 s → 0.38–0.58 s ABAB at sf0.1). At 100 TB each removed
     # re-execution is a full value-distribution pass over events.
+    # fuse_distribution on both quantile passes (round 12, guide §2.4):
+    # event values / absolute deviations are near-unique doubles, so each
+    # distribution groupBy rides its blocked range exchange — one exchange
+    # per pass instead of two.
     med = (
         exact_quantiles(
             ev, ["event_type"], "value", {"med": 0.5},
-            high_cardinality_keys=False,
+            high_cardinality_keys=False, fuse_distribution=True,
         )
         .select("event_type", "med")
         .localCheckpoint(eager=False)
@@ -2980,7 +2997,7 @@ def q_robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = (
         exact_quantiles(
             dev, ["event_type"], "adev", {"mad": 0.5},
-            high_cardinality_keys=False,
+            high_cardinality_keys=False, fuse_distribution=True,
         )
         .select("event_type", "mad")
         .localCheckpoint(eager=False)
@@ -3577,19 +3594,33 @@ FROM sums
 # decimal(38,0)/HUGEINT (Σxy ≤ ~8n³); one double expression at the end.
 # ---------------------------------------------------------------------------
 
-def _midrank2(df: DataFrame, col: str) -> DataFrame:
+def _midrank2(df: DataFrame, col: str, *, fuse: bool = False) -> DataFrame:
     """(value, 2·midrank) for ``col``'s distribution — exact integers.
 
     The "before" counts come from operators/ranks.blocked_cumsum: price
     cents are near-unique, so the rank table is row-scale and a plain
     ``SUM() OVER (ORDER BY _v)`` would funnel it through one task's sort.
-    """
-    from ubparquet_spark.operators.ranks import blocked_cumsum
 
-    dist = df.groupBy(F.col(col).alias("_v")).agg(
-        F.count(F.lit(1)).alias("_c")
+    ``fuse`` (round 12, guide §2.4) — for a NEAR-UNIQUE value domain the
+    distribution groupBy rides the blocked range exchange (range
+    partitioning satisfies the groupBy's clustering): one exchange
+    instead of two, at the cost of map-side partial aggregation, which a
+    near-unique domain never benefited from. Keep the default for
+    bounded domains (quantity cents: the distribution shuffle is ~50
+    rows at any scale — fusing would push every fact row through it).
+    """
+    from ubparquet_spark.operators.ranks import (
+        _shuffle_partitions,
+        blocked_cumsum,
     )
-    cum = blocked_cumsum(dist, ["_v"], {"_b": ("_c", "exclusive")})
+
+    base = df.select(F.col(col).alias("_v"))
+    if fuse:
+        base = base.repartitionByRange(_shuffle_partitions(base), "_v")
+    dist = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_c"))
+    cum = blocked_cumsum(
+        dist, ["_v"], {"_b": ("_c", "exclusive")}, pre_partitioned=fuse
+    )
     return cum.select(
         "_v", (2 * F.col("_b") + F.col("_c") + 1).cast("long").alias("_r2")
     )
@@ -3600,7 +3631,9 @@ def q_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents("l_quantity").alias("qc"), cents("l_extendedprice").alias("pc")
     )
     rx = _midrank2(li, "qc").withColumnsRenamed({"_v": "qc", "_r2": "x"})
-    ry = _midrank2(li, "pc").withColumnsRenamed({"_v": "pc", "_r2": "y"})
+    ry = _midrank2(li, "pc", fuse=True).withColumnsRenamed(
+        {"_v": "pc", "_r2": "y"}
+    )
     # quantity has a bounded distinct domain — broadcast; price is
     # near-unique so its rank table is row-scale — shuffle_hash
     joined = li.join(F.broadcast(rx), "qc").join(ry.hint("shuffle_hash"), "pc")
